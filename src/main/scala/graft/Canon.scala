@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism protocol helpers (SURVEY.md §2.B).
+  *
+  * Oracle parity rules (every declared query follows these in BOTH the
+  * Spark builder and the DuckDB SQL):
+  *  - doubles produced by arithmetic are computed in DOUBLE (identical
+  *    IEEE-754 ops in both engines), then cast to DECIMAL(18,4) BEFORE
+  *    aggregation, so summation order can never flip a ulp;
+  *  - timestamps are rendered as 'yyyy-MM-dd HH:mm:ss' strings;
+  *  - integral computed outputs are cast to BIGINT (Spark ints vs DuckDB
+  *    hugeint/bigint defaults differ);
+  *  - every query has a total ORDER BY over its output columns.
+  */
+object Canon {
+  val Dec: DecimalType = DecimalType(18, 4)
+
+  /** Cast to the canonical DECIMAL(18,4). */
+  def dec(c: Column): Column = c.cast(Dec)
+
+  /** Canonical timestamp rendering. DuckDB twin: strftime(ts, '%Y-%m-%d %H:%M:%S'). */
+  def tss(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Long-nanos epoch → canonical string (for events.ts). DuckDB twin:
+    * strftime(ts, ...) directly on its TIMESTAMP_NS column. */
+  def nsToStr(c: Column): Column = tss(timestamp_micros((c / 1000L).cast("long")))
+
+  def big(c: Column): Column = c.cast("long")
+
+  /** Exact-rational ratios (k/n) can land exactly on a 4th-decimal tie,
+    * where Spark's and DuckDB's double→decimal casts round differently.
+    * Render them as floor(x*1e4 + 0.5) BIGINT instead — floor over an
+    * explicitly computed double is the same IEEE op in both engines.
+    * DuckDB twin: CAST(floor(x * 10000 + 0.5) AS BIGINT). */
+  def ratio1e4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("long")
+}

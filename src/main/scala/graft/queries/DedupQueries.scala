@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import Canon._
+
+/** Document deduplication suite (north-star): exact hash dedup, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All hashing is engine-portable (token-id
+  * polynomial hashes mod 1e9+7 / LCGs mod 2^31-1 in BIGINT range) so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  *
+  * Scale design: shingling/minhashing is per-row narrow work; the only
+  * wide ops are (a) the tiny vocab dim (broadcast), (b) hash-partitioned
+  * groupBys on doc_id/shingle, (c) the LSH band-bucket self-join — which is
+  * exactly the point: candidates come from equality on (band, signature),
+  * never from an O(n²) comparison. The exact n-gram query carries an
+  * explicit doc_id bound as its scale guard; MinHash+LSH is the 100 TB
+  * path.
+  */
+object DedupQueries extends QueryGroup {
+
+  private val P = 1000000007L
+  // 8 minhash permutations → 4 bands × 2 rows.
+  private val HashParams: Seq[(Int, Long, Long)] = Seq(
+    (0, 1299721L, 7L), (1, 15485863L, 11L), (2, 32452843L, 13L),
+    (3, 49979687L, 17L), (4, 67867967L, 19L), (5, 86028121L, 23L),
+    (6, 104395301L, 29L), (7, 122949823L, 31L))
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), x => x =!= "")
+
+  /** 2-gram word shingles as strings, distinct per doc. */
+  private def shingleStrings(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", toks(col("text")))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+
+  /** Global token vocabulary: token → dense id by sorted order. The vocab
+    * is tiny relative to the corpus (Zipf) — broadcastable; at 100 TB a
+    * salted two-level dense-rank would replace the single window. */
+  private def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("token")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("token"))).cast("long"))
+
+  /** Distinct 2-gram shingle hashes per doc from consecutive token-id
+    * pairs: h = (id1*8191 + id2) mod P — portable across engines. */
+  private def shingleHashes(docs: DataFrame): DataFrame = {
+    val v = vocab(docs)
+    val tp = docs.withColumn("toks", toks(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+    val ids = tp.join(broadcast(v), "token")
+      .select(col("doc_id"), col("pos"), col("id"))
+    val a = ids.select(col("doc_id"), col("pos"), col("id").as("id1"))
+    val b = ids.select(col("doc_id").as("doc_id2"), (col("pos") - 1).as("pos2"), col("id").as("id2"))
+    a.join(b, col("doc_id") === col("doc_id2") && col("pos") === col("pos2"))
+      .select(col("doc_id"), ((col("id1") * 8191L + col("id2")) % P).as("h"))
+      .distinct()
+  }
+
+  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("doc_id").as("sd1"), col("h").as("h1"))
+    val s2 = sh.select(col("doc_id").as("sd2"), col("h").as("h2"))
+    pairs
+      .join(s1, col("d1") === col("sd1"))
+      .join(s2, col("d2") === col("sd2") && col("h1") === col("h2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
+      .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+      .select(col("d1"), col("d2"),
+        ratio1e4(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group on content hash (sha2 — at 100 TB you never
+    // shuffle full text, only the 32-byte digest), keep min doc_id.
+    "q31_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    // Exact pairwise n-gram Jaccard over shared-shingle candidates.
+    "q32_dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      val sh = shingleStrings(docs)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("d1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("d2"), col("shingle").as("shingle2"))
+      a.join(b, col("shingle") === col("shingle2") && col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
+        .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+        .select(col("d1"), col("d2"),
+          ratio1e4(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))
+        .filter(col("jacc_1e4") >= 3000)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // MinHash + LSH: 8 permutations, 4 bands × 2 rows; candidates from
+    // band-signature equality, then exact-Jaccard verification.
+    "q33_dedup_minhash_lsh" -> ((s, d) => {
+      val spark = s
+      val docs = Tables.documents(spark, d).filter(col("doc_id") < 2000)
+      val sh = shingleHashes(docs)
+      val hk = spark.createDataFrame(HashParams).toDF("k", "a", "b")
+      val mh = sh.crossJoin(broadcast(hk))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
+      val bands = mh
+        .withColumn("band", floor(col("k") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+          x => x.getField("mh").cast("string")), "-").as("sig"))
+      val ba = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+      val bb = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
+      val cand = ba.join(bb,
+          col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      jaccardOf(cand, sh)
+        .filter(col("jacc_1e4") >= 3000)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // SimHash: 62-bit fingerprint from two 31-bit LCG token hashes;
+    // bit b of the fingerprint is set iff the ±1 vote sum over the doc's
+    // distinct tokens is positive.
+    "q34_dedup_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = vocab(docs)
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token")).distinct()
+      val th = tok.join(broadcast(v), "token")
+        .select(col("doc_id"),
+          (((col("id") * 48271L) % 2147483647L) * 2147483648L +
+            ((col("id") * 69621L) % 2147483647L)).as("h62"))
+      val bits = th.select(col("doc_id"), col("h62"),
+          explode(sequence(lit(0), lit(61))).as("b"))
+        .withColumn("vote",
+          when(expr("(shiftright(h62, cast(b as int)) & 1) = 1"), 1L).otherwise(-1L))
+      bits.groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("vote")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0,
+          expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L))
+          .cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val shingleHashSql: String =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                 x -> x <> '') AS toks
+      |      FROM documents WHERE doc_id < 2000),
+      |tp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |       FROM t, unnest(range(1, greatest(len(toks), 1))) u(i)),
+      |v AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
+      |      FROM (SELECT DISTINCT unnest(toks) AS token FROM t) x),
+      |sh AS (SELECT DISTINCT doc_id, (v1.id * 8191 + v2.id) % 1000000007 AS h
+      |       FROM tp JOIN v v1 ON w1 = v1.token JOIN v v2 ON w2 = v2.token)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q31_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q32_dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                      x -> x <> '') AS toks
+        |           FROM documents WHERE doc_id < 2000),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS shingle
+        |       FROM t, unnest(range(1, greatest(len(toks), 1))) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
+        |FROM pairs JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+        |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q33_dedup_minhash_lsh" -> {
+      val hkValues = HashParams.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
+      s"""WITH $shingleHashSql,
+         |hk(k, a, b) AS (VALUES $hkValues),
+         |mh AS (SELECT doc_id, k, MIN((a * h + b) % 1000000007) AS mh
+         |       FROM sh, hk GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, k // 2 AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+         |          FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+         |                      JOIN sh s2 ON s2.doc_id = c.d2 AND s1.h = s2.h
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
+         |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+         |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "q34_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                      x -> x <> '') AS toks
+        |           FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
+        |      FROM (SELECT DISTINCT unnest(toks) AS token FROM t) x),
+        |th AS (SELECT doc_id,
+        |         ((id * 48271) % 2147483647) * 2147483648 + ((id * 69621) % 2147483647) AS h62
+        |       FROM tok JOIN v USING (token)),
+        |bb AS (SELECT doc_id, r.range AS b,
+        |         SUM(CASE WHEN (h62 >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |       FROM th, range(0, 62) r GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bb GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

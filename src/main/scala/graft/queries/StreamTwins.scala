@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import Canon._
+
+/** Batch twins of the streaming queries (SURVEY.md B25–B28). The same
+  * transformations run as true Structured Streaming queries in
+  * `graft.streaming` (tested with MemoryStream in StreamingSpec); the
+  * oracle checks the batch-equivalent semantics — Spark guarantees
+  * batch/stream parity for windowed aggregates over in-order input.
+  */
+object StreamTwins extends QueryGroup {
+
+  private val TS = "'%Y-%m-%d %H:%M:%S'"
+  private val GapNs: Long = 30L * 60L * 1000000000L // 30-min session gap
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B25: tumbling 1-hour event-time window (epoch-aligned, so it equals
+    // date_trunc('hour')). Streaming form adds withWatermark — same result
+    // on in-order replay.
+    "q25_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("sum_value"))
+        .select(tss(col("w.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // B26: session windows (30-min gap) via the portable window
+    // formulation: flag gap>30min, running-sum the flags into session ids.
+    // (session_window() itself is exercised in StreamingSpec.)
+    "q26_session_window" -> ((s, d) => {
+      val w1 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val g = Tables.events(s, d)
+        .withColumn("new_s",
+          when(col("ts") - lag(col("ts"), 1).over(w1) > GapNs, 1).otherwise(0))
+      g.withColumn("sid", sum(col("new_s")).over(
+          w1.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ns"), max(col("ts")).as("end_ns"))
+        .select(col("user_id"), col("sid"), col("n_events"),
+          nsToStr(col("start_ns")).as("session_start"),
+          nsToStr(col("end_ns")).as("session_end"))
+        .orderBy(col("user_id"), col("sid"))
+    }),
+
+    // B27: stateful dedup twin — keep min event_id per (user_id,
+    // event_type, ts). Streaming form is dropDuplicatesWithinWatermark.
+    "q27_dedup" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"), col("ts"))
+        .agg(min(col("event_id")).as("event_id"))
+        .select(col("user_id"), col("event_type"), nsToStr(col("ts")).as("ts_s"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"), col("ts"))),
+
+    // B28: CDC routing parity as a query — synthetic change stream derived
+    // from orders, route op-filter + portable hash bucketing (o_orderkey%3;
+    // Murmur3-vs-FNV balance parity is a unit-test concern, ShardingSpec).
+    "q28_cdc_routing" -> ((s, d) => {
+      val changes = Tables.orders(s, d).select(
+        col("o_orderkey").as("pk"),
+        when(col("o_orderkey") % 10 < 6, "INSERT")
+          .when(col("o_orderkey") % 10 < 9, "UPDATE")
+          .otherwise("DELETE").as("operation"),
+        lit("shop").as("database"), lit("orders").as("tbl"))
+      changes
+        .filter(col("operation").isin("INSERT", "UPDATE") &&
+          concat_ws(".", col("database"), col("tbl")) === "shop.orders")
+        .groupBy(col("operation"), pmod(col("pk"), lit(3)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("operation"), col("bucket"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q25_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), $TS) AS win_start, event_type,
+         |       COUNT(*) AS n,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q26_session_window" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts,
+         |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |  FROM g)
+         |SELECT user_id, sid, COUNT(*) AS n_events,
+         |       strftime(MIN(ts), $TS) AS session_start,
+         |       strftime(MAX(ts), $TS) AS session_end
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "q27_dedup" ->
+      s"""SELECT user_id, event_type, strftime(ts, $TS) AS ts_s,
+         |       MIN(event_id) AS event_id
+         |FROM events GROUP BY user_id, event_type, ts
+         |ORDER BY user_id, event_type, ts""".stripMargin,
+
+    "q28_cdc_routing" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey AS pk,
+        |         CASE WHEN o_orderkey % 10 < 6 THEN 'INSERT'
+        |              WHEN o_orderkey % 10 < 9 THEN 'UPDATE'
+        |              ELSE 'DELETE' END AS operation,
+        |         'shop' AS db, 'orders' AS tbl
+        |  FROM orders)
+        |SELECT operation, CAST(pk % 3 AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM changes
+        |WHERE operation IN ('INSERT','UPDATE') AND concat_ws('.', db, tbl) = 'shop.orders'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import Canon._
+
+/** Text-analysis operators over `documents` (SURVEY.md B29 + north-star
+  * text ops): token mining, n-gram-heuristic language ID, quality scoring,
+  * token counting, rolling-hash fingerprinting.
+  *
+  * Scale design: everything is per-row narrow work (explode/regexp) +
+  * hash aggregation — embarrassingly parallel at 100 TB. The only global
+  * structure is the language wordlist dim, which is a broadcast literal.
+  */
+object TextQueries extends QueryGroup {
+
+  private val P = 1000000007L
+
+  /** lowercase alpha tokens, empties removed — identical to the DuckDB twin
+    * `list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')`. */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), x => x =!= "")
+
+  private val langWords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
+    "en" -> "in", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "des", "fr" -> "est")
+
+  private def langWordsSqlValues: String =
+    langWords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B29: top-50 corpus tokens.
+    "q29_text_top_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    // Language ID by stopword-hit argmax (n-gram heuristic, wordlist dim
+    // broadcast). Output is the (truth-lang × predicted-lang) confusion
+    // matrix — small and stable at any corpus size.
+    "q37_text_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lw = s.createDataFrame(langWords).toDF("lang_c", "word")
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      val hits = tok.join(broadcast(lw), col("token") === col("word"))
+        .groupBy(col("doc_id"), col("lang_c")).agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("lang_c"))
+      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id").as("b_doc"), col("lang_c"))
+      docs.join(best, col("doc_id") === col("b_doc"), "left")
+        .select(col("lang"), coalesce(col("lang_c"), lit("und")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Quality scoring: token count, mean token length, stopword ratio,
+    // composite score — all double math (IEEE-identical), decimal-rendered.
+    "q38_text_quality" -> ((s, d) => {
+      val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val base = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("tok_chars",
+          aggregate(transform(col("t"), x => length(x).cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(col("t"), x => x.isin(enStops: _*))).cast("long"))
+      base
+        .withColumn("avg_tok_len",
+          coalesce(col("tok_chars") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("stop_ratio",
+          coalesce(col("n_stop").cast("double") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("score",
+          lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * col("stop_ratio") +
+            lit(0.3) * least(col("avg_tok_len") / 10.0, lit(1.0)))
+        .select(col("doc_id"), col("n_tokens"),
+          ratio1e4(col("avg_tok_len")).as("avg_tok_len_1e4"),
+          ratio1e4(col("stop_ratio")).as("stop_ratio_1e4"),
+          ratio1e4(col("score")).as("score_1e4"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + regex token classes (BPE-ish
+    // pre-tokenizer: alpha runs | digit runs | single non-space symbols).
+    "q39_text_tokencount" -> ((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+          size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("long").as("n_other"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprint: 31-base rolling hash mod 1e9+7 over the first
+    // 256 chars. Fold starts at 0 which matches DuckDB's init-less
+    // list_reduce (0*31 + c1 = c1).
+    "q40_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("s", substring(col("text"), 1, 256))
+        .withColumn("fp",
+          when(length(col("s")) > 0,
+            aggregate(transform(split(col("s"), ""), ch => ascii(ch).cast("long")),
+              lit(0L), (h, c) => (h * 31L + c) % P))
+            .otherwise(lit(0L)))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q29_text_top_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q37_text_langid" ->
+      s"""WITH lw(lang_c, word) AS (VALUES $langWordsSqlValues),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                              x -> x <> '')) AS token FROM documents),
+         |hits AS (SELECT doc_id, lang_c, COUNT(*) AS hits
+         |         FROM tok JOIN lw ON token = word GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang_c,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_c) AS rn
+         |         FROM hits)
+         |SELECT d.lang, COALESCE(b.lang_c, 'und') AS pred_lang, COUNT(*) AS n_docs
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q38_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(t) > 0
+        |         THEN list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+        |         ELSE 0.0 END AS tok_chars,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(tok_chars / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) AS avg_tok_len,
+        |    COALESCE(CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) AS stop_ratio
+        |  FROM m)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(avg_tok_len * 10000 + 0.5) AS BIGINT) AS avg_tok_len_1e4,
+        |  CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT) AS stop_ratio_1e4,
+        |  CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |            + 0.3 * stop_ratio
+        |            + 0.3 * least(avg_tok_len / 10.0, 1.0)) * 10000 + 0.5) AS BIGINT) AS score_1e4
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q39_text_tokencount" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT) AS n_other,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_text_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(s) > 0
+        |       THEN list_reduce(
+        |              list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS BIGINT)),
+        |              (h, c) -> (h * 31 + c) % 1000000007)
+        |       ELSE 0 END AS fp
+        |FROM (SELECT doc_id, substring(text, 1, 256) AS s FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+  )
+}

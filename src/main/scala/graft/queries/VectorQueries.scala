@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import Canon._
+
+/** Similarity search over `embeddings` (SURVEY.md B22/B30 + north-star):
+  * exact cosine top-k (brute force baseline), embedding near-dup pairs,
+  * and an IVF-pruned ANN variant (the 100 TB scale path: centroid dim is
+  * broadcast, each vector is scored against |C| centroids instead of N
+  * vectors, probe restricts the final scan to nprobe clusters).
+  *
+  * Float elements are cast to double BEFORE any arithmetic; dot/norm are
+  * left-to-right folds seeded at 0.0 — bit-identical to the DuckDB twins
+  * (0.0 + x == x), so scores agree to the last ulp and the DECIMAL(18,4)
+  * rendering is safe.
+  */
+object VectorQueries extends QueryGroup {
+
+  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  // DuckDB twins of dot/norm (same fold order).
+  private val duckDot =
+    "list_reduce(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), (a, b) -> a + b)"
+  private val duckNorm =
+    "sqrt(list_reduce(list_transform(%s, x -> x * x), (a, b) -> a + b))"
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot.format(a, b)} / (${duckNorm.format(a)} * ${duckNorm.format(b)})"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B30: exact cosine top-5 neighbors of vec_id=1 (brute force; query
+    // vector broadcast, single pass over the base side at any scale).
+    "q30_similarity_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      e.filter(col("vec_id") < 1000 && col("vec_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), dec(cosine(col("v"), col("qv"))).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // Near-duplicate detection by embedding cosine (threshold on the
+    // DECIMAL-rendered score so the cut is engine-stable).
+    "q35_dedup_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+      a.join(broadcast(b), col("i") < col("j"))
+        .select(col("i"), col("j"), dec(cosine(col("va"), col("vb"))).as("score"))
+        .filter(col("score") >= 0.3)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // IVF-pruned ANN: deterministic "trained" centroids (vec_id % 100 = 0),
+    // assign every base vector to its nearest centroid, probe the top-2
+    // centroids for the query, brute-force only inside those clusters.
+    "q36_similarity_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val cent = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val base = e.filter(col("vec_id") < 500)
+      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val asg = base.crossJoin(broadcast(cent))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("bid"), col("cid").as("acid"))
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      val probe = cent.crossJoin(broadcast(q))
+        .select(col("cid"), cosine(col("cv"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("cid"))
+        .limit(2)
+        .select(col("cid").as("pcid"))
+      base.join(asg, col("vec_id") === col("bid"))
+        .join(broadcast(probe), col("acid") === col("pcid"))
+        .filter(col("vec_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), dec(cosine(col("v"), col("qv"))).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q30_similarity_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+         |SELECT vec_id, CAST(${duckCos("v", "qv")} AS DECIMAL(18,4)) AS score
+         |FROM e, q WHERE vec_id < 1000 AND vec_id <> 1
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q35_dedup_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings WHERE vec_id < 300)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |       CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) AS score
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) >= 0.3
+         |ORDER BY i, j""".stripMargin,
+
+    "q36_similarity_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+         |asg AS (SELECT vec_id AS bid, cid AS acid FROM (
+         |  SELECT base.vec_id, cent.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM base, cent) t WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+         |probe AS (SELECT cid AS pcid FROM cent, q
+         |          ORDER BY ${duckCos("cent.cv", "q.qv")} DESC, cid LIMIT 2)
+         |SELECT base.vec_id, CAST(${duckCos("base.v", "q.qv")} AS DECIMAL(18,4)) AS score
+         |FROM base JOIN asg ON base.vec_id = asg.bid
+         |          JOIN probe ON asg.acid = probe.pcid, q
+         |WHERE base.vec_id <> 1
+         |ORDER BY score DESC, base.vec_id LIMIT 5""".stripMargin
+  )
+}
