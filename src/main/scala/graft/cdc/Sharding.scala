@@ -1,0 +1,93 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Horizontal sharding (A9) — reference: FNV-1a 64(key) mod count == index
+  * (/root/reference/internal/binwatch/blsenderwork/blsenderwork.go:126-149,
+  * config api/v1alpha2/config.go:42-47).
+  *
+  * Two modes:
+  *  - `Murmur3`: the Spark-native path. `pmod(hash(key), count)` — same
+  *    balance property the reference's own tests assert (≤20% skew,
+  *    blsenderwork_test.go:76-82), fully codegen'd, and identical to the
+  *    partitioning Spark's own shuffle would produce. This is the 100 TB
+  *    path: sharding IS `repartition(count, key)`.
+  *  - `Fnv1aParity`: bit-exact reference owner-assignment, for the
+  *    cross-system case where a Spark job must agree with live binwatch
+  *    replicas about who owns which event.
+  *
+  * Key selection mirrors the reference: a rendered key template if
+  * configured (row-affinity), else the binlog position as 8 LE bytes.
+  */
+object Sharding {
+
+  sealed trait HashMode
+  case object Murmur3 extends HashMode
+  case object Fnv1aParity extends HashMode
+
+  /** FNV-1a 64-bit (public-domain algorithm; parameters from the FNV spec). */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** uint64(position) as 8 little-endian bytes — the reference's default
+    * shard key (binary.Write LittleEndian, blsenderwork.go:139-147). */
+  def positionKeyBytes(pos: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((pos >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** Reference owner shard for a key (unsigned mod, Go uint64 semantics). */
+  def fnvShardOfBytes(key: Array[Byte], count: Int): Int =
+    java.lang.Long.remainderUnsigned(fnv1a64(key), count.toLong).toInt
+
+  def fnvShardOfPosition(pos: Long, count: Int): Int =
+    fnvShardOfBytes(positionKeyBytes(pos), count)
+
+  def fnvShardOfKey(key: String, count: Int): Int =
+    fnvShardOfBytes(key.getBytes(StandardCharsets.UTF_8), count)
+
+  private val fnvPosUdf = udf((pos: Long, count: Int) => fnvShardOfPosition(pos, count))
+  private val fnvKeyUdf = udf((key: String, count: Int) => fnvShardOfKey(key, count))
+
+  /** Shard id column for an envelope DataFrame.
+    * @param keyTemplate optional template (row-affinity key, e.g.
+    *   "{{ (index .Data.Rows 0).id }}"); None = binlog position. */
+  def shardId(count: Int, keyTemplate: Option[String], mode: HashMode): Column = mode match {
+    case Murmur3 =>
+      keyTemplate match {
+        case Some(t) => pmod(hash(Template.render(t,
+          struct(col("itemID"), col("log"), col("data")))), lit(count))
+        case None => pmod(hash(col("log.binlogPosition")), lit(count))
+      }
+    case Fnv1aParity =>
+      keyTemplate match {
+        case Some(t) => fnvKeyUdf(Template.render(t,
+          struct(col("itemID"), col("log"), col("data"))), lit(count))
+        case None => fnvPosUdf(col("log.binlogPosition"), lit(count))
+      }
+  }
+
+  /** shouldProcess(item) as a predicate (blsenderwork.go:126-149). */
+  def shardFilter(count: Int, index: Int, keyTemplate: Option[String],
+      mode: HashMode = Murmur3): Column =
+    if (count <= 1) lit(true)
+    else shardId(count, keyTemplate, mode) === index
+
+  /** The scale-native form: co-locate each shard's events on one partition
+    * (replaces N filtering replicas with one repartitioned job). */
+  def repartitionByShard(envelope: DataFrame, count: Int,
+      keyTemplate: Option[String]): DataFrame =
+    envelope.repartition(count, shardId(count, keyTemplate, Murmur3))
+}

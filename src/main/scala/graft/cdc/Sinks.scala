@@ -1,0 +1,107 @@
+package graft.cdc
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.Base64
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Connector sinks (A13–A15) — reference interface Send([]byte) error
+  * (/root/reference/internal/connectors/connectors.go:13-15).
+  *
+  * Delivery contract: at-least-once (the reference checkpoints AFTER the
+  * send, blsenderwork.go:204-213, so crash-replay duplicates are possible
+  * there too); every delivery carries an idempotency key derived from
+  * (binlogFile, binlogPosition, rowIdx) so idempotent receivers observe
+  * exactly-once (SURVEY.md §7 hard-part 5).
+  */
+trait Connector extends Serializable {
+  def name: String
+  /** Send one payload; throw on failure (caller handles retry/stop). */
+  def send(payload: Array[Byte], idempotencyKey: String): Unit
+  def close(): Unit = ()
+}
+
+/** HTTP webhook connector — parity with connectors.webhook.go:24-76:
+  * configured method/url/headers, optional basic auth, non-2xx = error. */
+final class WebhookConnector(
+    val name: String,
+    url: String,
+    method: String = "POST",
+    headers: Map[String, String] = Map.empty,
+    basicAuth: Option[(String, String)] = None,
+    timeout: Duration = Duration.ofSeconds(10)) extends Connector {
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(timeout).build()
+
+  override def send(payload: Array[Byte], idempotencyKey: String): Unit = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(timeout)
+      .method(method, HttpRequest.BodyPublishers.ofByteArray(payload))
+      .header("X-Idempotency-Key", idempotencyKey)
+    headers.foreach { case (k, v) => b.header(k, v) }
+    basicAuth.foreach { case (u, p) =>
+      b.header("Authorization", "Basic " + Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8)))
+    }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    // connectors.webhook.go:71-73: any non-2xx status is an error.
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new RuntimeException(
+        s"webhook '$name' returned status ${resp.statusCode()}")
+  }
+}
+
+/** In-JVM collecting connector for tests (stands in for Pub/Sub, whose
+  * client library is intentionally not vendored — the reference's pubsub
+  * connector, connectors.pubsub.go:19-42, is Send ≙ blocking publish;
+  * the seam here is identical). */
+final class CollectingConnector(val name: String) extends Connector {
+  override def send(payload: Array[Byte], idempotencyKey: String): Unit =
+    CollectingConnector.record(name, idempotencyKey, new String(payload, StandardCharsets.UTF_8))
+}
+
+object CollectingConnector {
+  // Keyed static store: survives closure serialization in local mode.
+  private val store = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[(String, String)]]()
+  def record(name: String, key: String, payload: String): Unit =
+    store.computeIfAbsent(name, _ => new ConcurrentLinkedQueue[(String, String)]())
+      .add(key -> payload)
+  def drain(name: String): Seq[(String, String)] = {
+    val q = store.getOrDefault(name, new ConcurrentLinkedQueue[(String, String)]())
+    q.iterator().asScala.toSeq
+  }
+  def clear(): Unit = store.clear()
+}
+
+/** Connector factory (A15 parity — connectors.go:17-33). */
+object Connectors {
+  def dispatch(routes: Seq[Route], connectors: Map[String, Connector],
+      strictCompat: Boolean = false)(envelope: DataFrame): Unit = {
+    val outbound = Routing.outboundAll(envelope, routes, strictCompat)
+      .select(col("connector"), col("payload"),
+        concat_ws("/", col("log.binlogFile"),
+          col("log.binlogPosition").cast("string"),
+          coalesce(col("rowIdx"), lit(0)).cast("string")).as("idemKey"))
+    // Executor-side delivery: no collect; one connector instance per
+    // partition, rows streamed through it.
+    outbound.foreachPartition { (it: Iterator[Row]) =>
+      it.foreach { r =>
+        val conn = connectors(r.getAs[String]("connector"))
+        conn.send(r.getAs[String]("payload").getBytes(StandardCharsets.UTF_8),
+          r.getAs[String]("idemKey"))
+      }
+    }
+  }
+
+  /** foreachBatch adapter for Structured Streaming:
+    * stream.writeStream.foreachBatch(Connectors.forEachBatch(routes, conns)). */
+  def forEachBatch(routes: Seq[Route], connectors: Map[String, Connector],
+      strictCompat: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, _) => dispatch(routes, connectors, strictCompat)(batch)
+}

@@ -1,0 +1,230 @@
+package graft.cdc.source
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.cdc.Model
+
+/** DSv2 replay twin of the binlog streaming source (SURVEY.md A1/M2).
+  *
+  * The live reference source is a MySQL replication-protocol tail
+  * (/root/reference/internal/binwatch/blreaderwork/blreaderwork.go:51-61,
+  * 119,140); its essential contract is (a) a totally-ordered stream of
+  * events addressed by (binlogFile, binlogPosition), (b) resumable from a
+  * checkpointed position, (c) bounded per-pull reads (the reference's
+  * 20-slot pool ≙ maxEventsPerTrigger). This source implements exactly
+  * that contract over a directory of JSONL fixture files (one file per
+  * binlog file, one event per line), so every downstream stage — decode,
+  * route, template, shard, sink, checkpoint/restart — is exercised without
+  * a live MySQL. A production source would swap the line reader for a
+  * replication client and keep the offset/partition machinery unchanged.
+  *
+  * Offsets are (fileIdx, line) — the replay analog of (file, position).
+  * `startingFile`/`startingLine` options mirror the reference's
+  * startLocation precedence (blreaderwork.go:78-109): honored when no
+  * checkpoint exists (Spark rule; delete the checkpoint to force).
+  *
+  * usage: spark.readStream.format("binlog-replay").option("path", dir)
+  *          .option("maxEventsPerTrigger", "500").load()
+  */
+class BinlogReplayProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "binlog-replay"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Model.RawEventSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new BinlogReplayTable(properties.get("path"), properties)
+}
+
+class BinlogReplayTable(path: String, props: JMap[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"binlog-replay($path)"
+  override def schema(): StructType = Model.RawEventSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new BinlogReplayScan(path, options)
+}
+
+case class BinlogReplayOffset(fileIdx: Int, line: Long) extends Offset {
+  override def json(): String = s"""{"fileIdx":$fileIdx,"line":$line}"""
+}
+
+object BinlogReplayOffset {
+  private val mapper = new ObjectMapper()
+  def fromJson(s: String): BinlogReplayOffset = {
+    val n = mapper.readTree(s)
+    BinlogReplayOffset(n.get("fileIdx").asInt(), n.get("line").asLong())
+  }
+}
+
+class BinlogReplayScan(path: String, options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = Model.RawEventSchema
+  override def description(): String = s"binlog-replay scan of $path"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ReplayDir.files(path).zipWithIndex.map { case (f, _) =>
+        FileSlicePartition(f.toString, 0L, Long.MaxValue)
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BinlogReplayStream(path, options)
+}
+
+class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val maxEvents: Long =
+    Option(options.get("maxEventsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue)
+
+  private def files: Seq[Path] = ReplayDir.files(path)
+
+  // Trigger.AvailableNow: freeze the end of the stream at prepare time so
+  // the bounded micro-batches drain up to exactly this point, then stop.
+  @volatile private var availableNowCap: Option[BinlogReplayOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestOffset().asInstanceOf[BinlogReplayOffset])
+
+  override def initialOffset(): Offset = {
+    val startFile = Option(options.get("startingFile"))
+    val startLine = Option(options.get("startingLine")).map(_.toLong).getOrElse(0L)
+    startFile match {
+      case Some(f) =>
+        val idx = files.indexWhere(_.getFileName.toString.startsWith(f))
+        BinlogReplayOffset(math.max(idx, 0), startLine)
+      case None => BinlogReplayOffset(0, 0L)
+    }
+  }
+
+  override def latestOffset(): Offset = {
+    val fs = files
+    if (fs.isEmpty) BinlogReplayOffset(0, 0L)
+    else BinlogReplayOffset(fs.size - 1, ReplayDir.lineCount(fs.last))
+  }
+
+  /** Bounded admission — the replay analog of the reference's bounded
+    * pool backpressure (pools.go:39-82). Walks forward from `start`,
+    * admitting at most the row limit, never past the AvailableNow cap. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BinlogReplayOffset]
+    val fs = files
+    if (fs.isEmpty) return s
+    val cap = availableNowCap.getOrElse(
+      BinlogReplayOffset(fs.size - 1, ReplayDir.lineCount(fs.last)))
+    var remaining = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => maxEvents
+    }
+    var fi = s.fileIdx
+    var line = s.line
+    while (remaining > 0 && (fi < cap.fileIdx || (fi == cap.fileIdx && line < cap.line))) {
+      val total = if (fi == cap.fileIdx) cap.line else ReplayDir.lineCount(fs(fi))
+      val avail = total - line
+      if (avail <= 0) { fi += 1; line = 0L }
+      else {
+        val take = math.min(remaining, avail)
+        line += take
+        remaining -= take
+        if (line >= total && fi < cap.fileIdx) { fi += 1; line = 0L }
+      }
+    }
+    BinlogReplayOffset(fi, line)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxEvents == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxEvents)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BinlogReplayOffset]
+    val e = end.asInstanceOf[BinlogReplayOffset]
+    val fs = files
+    (s.fileIdx to math.min(e.fileIdx, fs.size - 1)).flatMap { fi =>
+      val from = if (fi == s.fileIdx) s.line else 0L
+      val to = if (fi == e.fileIdx) e.line else Long.MaxValue
+      if (to > from) Some(FileSlicePartition(fs(fi).toString, from, to)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
+  override def deserializeOffset(json: String): Offset = BinlogReplayOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object ReplayDir {
+  def files(path: String): Seq[Path] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.endsWith(".jsonl"))
+      .sortBy(_.getFileName.toString)
+  }
+  def lineCount(p: Path): Long =
+    Files.lines(p, StandardCharsets.UTF_8).count()
+}
+
+/** One slice of one replay file: lines [fromLine, toLine). */
+case class FileSlicePartition(file: String, fromLine: Long, toLine: Long)
+    extends InputPartition
+
+class ReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ReplayReader(partition.asInstanceOf[FileSlicePartition])
+}
+
+class ReplayReader(slice: FileSlicePartition) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = Files.lines(Paths.get(slice.file), StandardCharsets.UTF_8)
+  private val it = lines.iterator().asScala.zipWithIndex
+    .filter { case (_, i) => i >= slice.fromLine && i < slice.toLine }
+    .map(_._1).filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { current = parse(it.next()); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+
+  private def utf8(n: JsonNode, field: String): UTF8String =
+    if (n.hasNonNull(field)) UTF8String.fromString(n.get(field).asText()) else null
+
+  private def parse(line: String): InternalRow = {
+    val n = mapper.readTree(line)
+    val colNames: GenericArrayData =
+      if (n.hasNonNull("colNames"))
+        new GenericArrayData(n.get("colNames").elements().asScala
+          .map(e => UTF8String.fromString(e.asText())).toArray[Any])
+      else null
+    val rows: GenericArrayData =
+      if (n.hasNonNull("rows"))
+        new GenericArrayData(n.get("rows").elements().asScala.map { row =>
+          new GenericArrayData(row.elements().asScala
+            .map(e => if (e.isNull) null else UTF8String.fromString(e.asText()))
+            .toArray[Any])
+        }.toArray[Any])
+      else null
+    InternalRow(
+      utf8(n, "eventType"), utf8(n, "binlogFile"),
+      if (n.hasNonNull("binlogPosition")) n.get("binlogPosition").asLong() else 0L,
+      utf8(n, "database"), utf8(n, "table"), colNames, rows)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** True Structured Streaming semantics (SURVEY.md B25–B27): watermark
+  * late-drop, session windows, dropDuplicatesWithinWatermark — driven by
+  * MemoryStream with out-of-order input (the cdc_outoforder fixture shape). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("B25: tumbling window with watermark drops too-late rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("b25").start()
+
+    in.addData((ts(5), "click"), (ts(10), "click"))
+    q.processAllAvailable()
+    // advance event time far ahead: watermark passes 10:59
+    in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "click"))
+    q.processAllAvailable()
+    // this row is now > 10 min behind the watermark → dropped
+    in.addData((ts(1), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("b25")
+      .filter(col("window.start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select(max("n")).collect()
+    assert(rows.head.getLong(0) == 2, "late row must not increment the 10:00 window")
+  }
+
+  test("B26: session_window groups events within 30-minute gaps") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("b26").start()
+    // user 1: 10:00,10:20,10:40 = one session; 11:30 = new session
+    in.addData((ts(0), 1L), (ts(20), 1L), (ts(40), 1L),
+      (Timestamp.valueOf("2024-01-01 11:30:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("b26").filter(col("user_id") === 1)
+      .select(col("n")).collect().map(_.getLong(0)).sorted
+    assert(sessions.toSeq == Seq(1L, 3L))
+  }
+
+  test("B27: dropDuplicatesWithinWatermark dedups replayed event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val dedup = in.toDF().toDF("ts", "event_id", "v")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("b27").start()
+    in.addData((ts(0), 1L, "a"), (ts(1), 2L, "b"))
+    q.processAllAvailable()
+    in.addData((ts(2), 1L, "a-replay"), (ts(3), 3L, "c"))
+    q.processAllAvailable()
+    // flush append-mode results past the watermark
+    in.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 99L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("b27").select("event_id").collect().map(_.getLong(0))
+    assert(ids.count(_ == 1L) == 1, "replayed event_id=1 must be deduped")
+    assert(ids.toSet.intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L))
+  }
+}
