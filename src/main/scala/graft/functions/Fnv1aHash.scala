@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** FNV-1a 64-bit over a string's UTF-8 bytes as a native Catalyst
+  * expression WITH whole-stage codegen (`doGenCode`) — the hot-path form
+  * of the reference's shard hash (blsenderwork.go:126-149). Unlike a
+  * Scala UDF this stays inside the generated code: no boxing, no
+  * serialization, full pipeline fusion.
+  */
+case class Fnv1aHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1aHash.hashUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv1aHash.hashUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1aHash =
+    copy(child = newChild)
+}
+
+object Fnv1aHash {
+  /** Static entry shared by interpreted eval and generated code. */
+  def hashUtf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(c: Column): Column = Bridge.column(Fnv1aHash(Bridge.expression(c)))
+}
