@@ -21,23 +21,50 @@ import org.apache.spark.sql.functions._
   */
 trait Connector extends Serializable {
   def name: String
-  /** Send one payload; throw on failure (caller handles retry/stop). */
+  /** Send one payload; throw on failure (caller handles retry/stop).
+    * May buffer/pipeline internally — delivery is only guaranteed after
+    * flush() returns. */
   def send(payload: Array[Byte], idempotencyKey: String): Unit
+  /** Block until every send() accepted so far is durably delivered;
+    * throw if any failed. Called once per partition before the batch
+    * commits, so at-least-once is preserved. */
+  def flush(): Unit = ()
   def close(): Unit = ()
 }
 
 /** HTTP webhook connector — parity with connectors.webhook.go:24-76:
-  * configured method/url/headers, optional basic auth, non-2xx = error. */
+  * configured method/url/headers, optional basic auth, non-2xx = error.
+  *
+  * Sends are pipelined through a bounded async in-flight window
+  * (`maxInFlight`) so sink latency is hidden: at 20 ms webhook RTT a
+  * sequential sender caps at 50 events/s/partition, while a 64-deep
+  * window sustains ~3,000. Ordering: deliveries within a partition may
+  * complete out of order unless maxInFlight=1 — the same trade the
+  * reference makes with `senderWorkers > 1` (README.md:38: total order
+  * only with a single worker). Failures surface on the next send() or
+  * on flush(), failing the task before the batch commits, so the
+  * at-least-once contract is unchanged. */
 final class WebhookConnector(
     val name: String,
     url: String,
     method: String = "POST",
     headers: Map[String, String] = Map.empty,
     basicAuth: Option[(String, String)] = None,
-    timeout: Duration = Duration.ofSeconds(10)) extends Connector {
+    timeout: Duration = Duration.ofSeconds(10),
+    maxInFlight: Int = 64) extends Connector {
 
-  @transient private lazy val client: HttpClient =
-    HttpClient.newBuilder().connectTimeout(timeout).build()
+  // One HttpClient per executor JVM (not per deserialized task closure):
+  // keeps the keep-alive connection pool warm across partitions and
+  // micro-batches instead of re-handshaking per task.
+  @transient private lazy val client: HttpClient = WebhookConnector.shared
+  // Per-task-instance window (task closures are deserialized per task,
+  // and a task is single-threaded, so no synchronization needed). The
+  // request rides along with its future so a connection-level failure
+  // (keep-alive raced with server-side idle close — routine with real
+  // webhook endpoints) can be retried; retry is legal under the
+  // at-least-once contract and idempotent receivers dedup by key.
+  @transient private lazy val inFlight =
+    new java.util.ArrayDeque[(HttpRequest, java.util.concurrent.CompletableFuture[HttpResponse[String]])]()
 
   override def send(payload: Array[Byte], idempotencyKey: String): Unit = {
     val b = HttpRequest.newBuilder(URI.create(url))
@@ -49,12 +76,34 @@ final class WebhookConnector(
       b.header("Authorization", "Basic " + Base64.getEncoder
         .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8)))
     }
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    while (inFlight.size >= maxInFlight) awaitOldest()
+    val req = b.build()
+    inFlight.add(req -> client.sendAsync(req, HttpResponse.BodyHandlers.ofString()))
+  }
+
+  private def awaitOldest(): Unit = {
+    val (req, fut) = inFlight.poll()
+    val resp =
+      try fut.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause.isInstanceOf[java.io.IOException] =>
+          client.send(req, HttpResponse.BodyHandlers.ofString()) // one sync retry
+      }
     // connectors.webhook.go:71-73: any non-2xx status is an error.
     if (resp.statusCode() < 200 || resp.statusCode() >= 300)
       throw new RuntimeException(
         s"webhook '$name' returned status ${resp.statusCode()}")
   }
+
+  override def flush(): Unit = while (!inFlight.isEmpty) awaitOldest()
+}
+
+object WebhookConnector {
+  lazy val shared: HttpClient = HttpClient.newBuilder()
+    .version(HttpClient.Version.HTTP_1_1)
+    .connectTimeout(Duration.ofSeconds(10))
+    .build()
 }
 
 /** In-JVM collecting connector for tests (stands in for Pub/Sub, whose
@@ -89,13 +138,18 @@ object Connectors {
           col("log.binlogPosition").cast("string"),
           coalesce(col("rowIdx"), lit(0)).cast("string")).as("idemKey"))
     // Executor-side delivery: no collect; one connector instance per
-    // partition, rows streamed through it.
+    // partition, rows streamed through it; flush before the partition
+    // (and hence the batch) completes so pipelined sends are durable.
     outbound.foreachPartition { (it: Iterator[Row]) =>
+      val used = scala.collection.mutable.Set.empty[String]
       it.foreach { r =>
-        val conn = connectors(r.getAs[String]("connector"))
-        conn.send(r.getAs[String]("payload").getBytes(StandardCharsets.UTF_8),
+        val name = r.getAs[String]("connector")
+        used += name
+        connectors(name).send(
+          r.getAs[String]("payload").getBytes(StandardCharsets.UTF_8),
           r.getAs[String]("idemKey"))
       }
+      used.foreach(connectors(_).flush())
     }
   }
 
