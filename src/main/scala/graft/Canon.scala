@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.MakeDecimal
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DecimalType
 
 /** Determinism protocol helpers (SURVEY.md §2.B).
@@ -30,6 +32,22 @@ object Canon {
   def nsToStr(c: Column): Column = tss(timestamp_micros((c / 1000L).cast("long")))
 
   def big(c: Column): Column = c.cast("long")
+
+  /** Fast fixed-point DECIMAL(18,s) for the per-row casts feeding hot
+    * aggregations. `cast(double as decimal)` goes through
+    * BigDecimal.valueOf + setScale — several allocations per row, the
+    * dominant cost of a decimal-protocol aggregate at scale. When the
+    * input is a non-negative double representing an exact s-dp real
+    * (the protocol's precondition anyway) with |x| < 9e14 / 10^s, the
+    * unscaled long is just trunc(x*10^s + 0.5) — all primitive codegen
+    * ops — and MakeDecimal builds the compact Decimal straight from it.
+    * Bit-identical to the Cast on that domain; the aggregation buffer
+    * still widens to BigDecimal-backed decimals on overflow, so sums
+    * stay exact at any scale. */
+  def decFix(c: Column, scale: Int = 4): Column = {
+    val scaled = (c * math.pow(10, scale).toLong + 0.5).cast("long")
+    Bridge.column(MakeDecimal(Bridge.expression(scaled), 18, scale))
+  }
 
   /** Exact-rational ratios (k/n) can land exactly on a 4th-decimal tie,
     * where Spark's and DuckDB's double→decimal casts round differently.

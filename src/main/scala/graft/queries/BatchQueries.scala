@@ -97,7 +97,7 @@ object BatchQueries extends QueryGroup {
       o.join(broadcast(buckets),
           col("o_orderdate") >= col("y_start") && col("o_orderdate") < col("y_end"))
         .groupBy(col("y_start"))
-        .agg(count(lit(1)).as("n_orders"), dec(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), dec(sum(decFix(col("o_totalprice")))).as("sum_price"))
         .select(tss(col("y_start")).as("y"), col("n_orders"), col("sum_price"))
         .orderBy(col("y"))
     }),
@@ -125,14 +125,13 @@ object BatchQueries extends QueryGroup {
         .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp_ntz"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+          dec(sum(decFix(col("l_quantity")))).as("sum_qty"),
+          dec(sum(decFix(col("l_extendedprice")))).as("sum_base_price"),
+          dec(sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
           // charge = 2dp*2dp*2dp is an exact 6-decimal real: render at scale
           // 6 so no rounding happens (engines' double→decimal tie-rounding
           // differs at scale 4).
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6))
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -231,10 +230,10 @@ object BatchQueries extends QueryGroup {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+          dec(sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
           sum(floor(col("l_quantity") / 7).cast("long")).as("sum_floor7"),
           sum(ceil(col("l_tax") * 100).cast("long")).as("sum_ceil_tax"),
-          dec(sum(dec(abs(col("l_discount") - 0.05)))).as("sum_absdev"))
+          dec(sum(decFix(abs(col("l_discount") - 0.05)))).as("sum_absdev"))
         .orderBy(col("l_returnflag"))),
 
     // B22: array higher-order functions over embeddings. The fold starts at

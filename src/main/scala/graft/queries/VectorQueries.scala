@@ -19,13 +19,15 @@ import Canon._
   */
 object VectorQueries extends QueryGroup {
 
-  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
-
+  // Native codegen kernels (graft.functions.VectorOps): same fold order
+  // as the aggregate(zip_with(...)) HOF formulation but a primitive
+  // tight loop directly over the parquet float arrays — no interpreted
+  // closures, no boxed doubles, no materialized cast copy of the array.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    graft.functions.VectorOps.vectorDot(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    graft.functions.VectorOps.vectorNorm(a)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -43,7 +45,7 @@ object VectorQueries extends QueryGroup {
     // B30: exact cosine top-5 neighbors of vec_id=1 (brute force; query
     // vector broadcast, single pass over the base side at any scale).
     "q30_similarity_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
       e.filter(col("vec_id") < 1000 && col("vec_id") =!= 1)
         .crossJoin(broadcast(q))
@@ -53,14 +55,17 @@ object VectorQueries extends QueryGroup {
     }),
 
     // Near-duplicate detection by embedding cosine (threshold on the
-    // DECIMAL-rendered score so the cut is engine-stable).
+    // DECIMAL-rendered score so the cut is engine-stable). Norms are
+    // computed once per vector BEFORE the pair join — O(n·d) instead of
+    // O(n²·d) — and each pair evaluates only one dot product.
     "q35_dedup_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id"), vd(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("i"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+        .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(broadcast(b), col("i") < col("j"))
-        .select(col("i"), col("j"), dec(cosine(col("va"), col("vb"))).as("score"))
+        .select(col("i"), col("j"),
+          dec(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
         .filter(col("score") >= 0.3)
         .orderBy(col("i"), col("j"))
     }),
@@ -69,7 +74,7 @@ object VectorQueries extends QueryGroup {
     // assign every base vector to its nearest centroid, probe the top-2
     // centroids for the query, brute-force only inside those clusters.
     "q36_similarity_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val cent = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val base = e.filter(col("vec_id") < 500)
