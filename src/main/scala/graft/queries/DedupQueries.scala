@@ -49,17 +49,23 @@ object DedupQueries extends QueryGroup {
       .withColumn("id", row_number().over(Window.orderBy(col("token"))).cast("long"))
 
   /** Distinct 2-gram shingle hashes per doc from consecutive token-id
-    * pairs: h = (id1*8191 + id2) mod P — portable across engines. */
+    * pairs: h = (id1*8191 + id2) mod P — portable across engines.
+    * One broadcast vocab join + one groupBy(doc_id) shuffle; consecutive
+    * pairs are formed narrowly inside the reassembled id array (the
+    * positional self-join formulation shuffles the token stream twice). */
   private def shingleHashes(docs: DataFrame): DataFrame = {
     val v = vocab(docs)
     val tp = docs.withColumn("toks", toks(col("text")))
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
-    val ids = tp.join(broadcast(v), "token")
-      .select(col("doc_id"), col("pos"), col("id"))
-    val a = ids.select(col("doc_id"), col("pos"), col("id").as("id1"))
-    val b = ids.select(col("doc_id").as("doc_id2"), (col("pos") - 1).as("pos2"), col("id").as("id2"))
-    a.join(b, col("doc_id") === col("doc_id2") && col("pos") === col("pos2"))
-      .select(col("doc_id"), ((col("id1") * 8191L + col("id2")) % P).as("h"))
+    val pid = tp.join(broadcast(v), "token")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("pid"))
+    pid.select(col("doc_id"), explode(
+        when(size(col("pid")) >= 2,
+          transform(sequence(lit(0), size(col("pid")) - 2),
+            i => (get(col("pid"), i).getField("id") * 8191L +
+              get(col("pid"), i + 1).getField("id")) % P))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
       .distinct()
   }
 
@@ -109,18 +115,20 @@ object DedupQueries extends QueryGroup {
     // MinHash + LSH: 8 permutations, 4 bands × 2 rows; candidates from
     // band-signature equality, then exact-Jaccard verification.
     "q33_dedup_minhash_lsh" -> ((s, d) => {
-      val spark = s
-      val docs = Tables.documents(spark, d).filter(col("doc_id") < 2000)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
       val sh = shingleHashes(docs)
-      val hk = spark.createDataFrame(HashParams).toDF("k", "a", "b")
-      val mh = sh.crossJoin(broadcast(hk))
-        .groupBy(col("doc_id"), col("k"))
-        .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
-      val bands = mh
-        .withColumn("band", floor(col("k") / 2).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-          x => x.getField("mh").cast("string")), "-").as("sig"))
+      // All 8 permutation minima in ONE groupBy pass (8 agg columns) —
+      // no x8 row blowup through a shuffle, no second groupBy, no
+      // per-band window. Band signature strings are byte-identical to
+      // the per-k formulation, so the oracle twin is unchanged.
+      val mhAggs = HashParams.map { case (k, a, b) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
+      }
+      val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = mh.select(col("doc_id"), explode(array(
+          (0 until 4).map(bd => struct(lit(bd).as("band"),
+            concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val ba = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
       val bb = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
       val cand = ba.join(bb,
