@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.cdc.{Sharding, TemplateEngine}
+
+/** Property-based invariants (SURVEY.md §5.4), generated with ScalaCheck
+  * under a fixed seed (raw Gen sampling — the scalatest bridge artifact
+  * is not vendored). Spark-level properties use the shared session on
+  * small generated batches; pure-function properties (shard assignment,
+  * template render) run driver-side.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], seedNo: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seedNo))
+
+  private def cases[A](g: Gen[A], n: Int)(check: A => Unit): Unit =
+    (1 to n).foreach(i => check(sample(g, 42L + i)))
+
+  // ---- shard partition: exactly-one owner, union = all, both hash modes ----
+
+  test("every key is owned by exactly one shard (FNV parity mode)") {
+    cases(Gen.zip(Gen.long, Gen.choose(1, 16)), 200) { case (pos, count) =>
+      val owners = (0 until count).filter(i =>
+        Sharding.fnvShardOfPosition(pos, count) == i)
+      assert(owners.size === 1)
+    }
+  }
+
+  test("FNV shard of sequential even-step positions stays balanced (ref regression)") {
+    // Port of blsenderwork_test.go:90-121: raw pos % count would collapse
+    // even-step positions onto a few shards; FNV must spread them.
+    val count = 3
+    val positions = (0 until 3000).map(i => 4L + i * 150L)
+    val byShard = positions.groupBy(p => Sharding.fnvShardOfPosition(p, count))
+    assert(byShard.keySet === (0 until count).toSet)
+    val ideal = positions.size.toDouble / count
+    byShard.values.foreach { g =>
+      assert(math.abs(g.size - ideal) / ideal <= 0.2,
+        s"skew over 20%: ${byShard.view.mapValues(_.size).toMap}")
+    }
+  }
+
+  test("murmur3 shard filter partitions a batch: exactly-one & union = all") {
+    import spark.implicits._
+    val count = 4
+    val df = (1 to 500).map(i => (i.toLong, "mysql-bin.000001", 4L + i * 40L))
+      .toDF("itemID", "binlogFile", "binlogPosition")
+      .select(col("itemID"),
+        struct(col("binlogFile"), col("binlogPosition")).as("log"))
+    val owned = (0 until count).map { idx =>
+      df.filter(Sharding.shardFilter(count, idx, None)).count()
+    }
+    assert(owned.sum === 500L) // union = all, no row double-owned
+    val withId = df.select(Sharding.shardId(count, None, Sharding.Murmur3).as("sid"))
+    assert(withId.filter(col("sid") < 0 || col("sid") >= count).count() === 0L)
+  }
+
+  // ---- template render is total over arbitrary row maps ----
+
+  private val scalarGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.long, Gen.double, Gen.const(null),
+    Gen.oneOf(true, false))
+
+  private val rowGen: Gen[Map[String, Any]] =
+    Gen.mapOf(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), scalarGen))
+
+  test("template render never throws on arbitrary rows (total function)") {
+    val nodes = TemplateEngine.parse(
+      """{"op":"{{ .Data.Operation }}","rows":{{ .Data.Rows | toJson }},"x":{{ .Data.Missing | toJson }}}""")
+    cases(Gen.zip(Gen.listOf(rowGen), Gen.alphaNumStr), 100) { case (rows, op) =>
+      val root: Any = Map(
+        "ItemID" -> 1L,
+        "Data" -> Map("Operation" -> op, "Rows" -> rows))
+      val out = TemplateEngine.render(nodes, root)
+      assert(out.nonEmpty)
+    }
+  }
+
+  test("toJson round-trips through a strict parser for arbitrary rows") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    cases(Gen.listOf(rowGen), 100) { rows =>
+      val json = TemplateEngine.toJson(rows)
+      mapper.readTree(json) // throws on malformed output
+    }
+  }
+
+  // ---- dedup idempotence & explode/collect identity ----
+
+  test("dropDuplicates is idempotent on generated batches") {
+    import spark.implicits._
+    cases(Gen.listOfN(200, Gen.zip(Gen.choose(1, 20), Gen.choose(1, 5))), 3) { pairs =>
+      val df = pairs.toDF("k", "v")
+      val once = df.dropDuplicates(Seq("k", "v"))
+      val twice = once.dropDuplicates(Seq("k", "v"))
+      assert(once.count() === twice.count())
+      assert(once.exceptAll(twice).count() === 0L)
+    }
+  }
+
+  test("explode then collect_list rebuilds the original multiset per key") {
+    import spark.implicits._
+    val data = Seq((1L, Seq("a", "b", "b")), (2L, Seq("x")), (3L, Seq.empty[String]))
+    val df = data.toDF("k", "xs")
+    val rebuilt = df.select(col("k"), explode(col("xs")).as("x"))
+      .groupBy(col("k")).agg(sort_array(collect_list(col("x"))).as("xs"))
+      .as[(Long, Seq[String])].collect().toMap
+    data.filter(_._2.nonEmpty).foreach { case (k, xs) =>
+      assert(rebuilt(k) === xs.sorted)
+    }
+    assert(!rebuilt.contains(3L)) // explode drops empty arrays (inner semantics)
+  }
+}
