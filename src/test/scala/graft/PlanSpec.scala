@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan shape assertions for the headline queries — the
+  * properties that make these plans scale (SURVEY.md §4): filters reach
+  * the parquet scan, projections prune the read schema, small dims
+  * broadcast instead of shuffling, top-k avoids a global sort, and
+  * aggregations run partial+final. A regression in any of these would
+  * still pass the value-level oracle at test scale while quietly
+  * becoming a bottleneck at 100 TB, so they are pinned here.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  test("q02 filter+projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // read schema pruned to the 3 referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q04 small-dim join broadcasts (no shuffle join)") {
+    val p = plan("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06 anti join on a key-only projection") {
+    val p = plan("q06_join_anti")
+    assert(p.contains("LeftAnti"), p)
+    // lineitem side read prunes to the join key only
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint>"), p)
+  }
+
+  test("q11 aggregation is partial+final with pushed date filter") {
+    val p = plan("q11_agg_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q15 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q30 similarity is a broadcast single-pass with native kernels") {
+    val p = plan("q30_similarity_topk")
+    // native codegen expression in the projection — not a UDF invocation
+    assert(p.contains("vector_dot"), p)
+    assert(!p.contains("UDF"), p)
+    // the query vector is broadcast — the base side must not shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,1000)"), p)
+    // top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q33 LSH candidates come from an equality join, not a cross product") {
+    val p = plan("q33_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    // minhash signatures: single hash aggregate pass over shingles
+    assert(p.contains("partial_min") || p.contains("min("), p)
+  }
+}
