@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import Canon._
+
+/** Training-data pipeline operators (north-star): the dataset-assembly
+  * steps between raw corpus and training shards — deterministic
+  * train/val/test splitting, sequence packing against a token budget,
+  * and PII detection. All per-row narrow work except the packing
+  * window; every hash is engine-portable BIGINT math.
+  */
+object PipelineQueries extends QueryGroup {
+
+  private val P = 1000000007L
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), x => x =!= "")
+
+  /** Portable split hash: ((doc_id mod P) * 40503 + 17) mod P, bucketed
+    * to 1/1000ths. Stays in BIGINT range for any doc_id (no overflow at
+    * 1e12 ids, unlike a raw Knuth multiply). */
+  private def splitBucket(c: Column): Column =
+    (((c % P) * 40503L + 17L) % P) % 1000L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 80/10/10 split: pure per-row hash — no sampling RNG,
+    // no shuffle, reproducible across engines/runs/cluster sizes, and a
+    // document keeps its split when the corpus grows (stable assignment).
+    "q46_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("b", splitBucket(col("doc_id")))
+        .withColumn("split",
+          when(col("b") < 800, "train").when(col("b") < 900, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("split"))),
+
+    // Sequence packing: assign docs (in doc_id order) to fixed
+    // token-budget bins of 512 by cumulative token count — the window
+    // formulation of streaming greedy packing. Declared query packs the
+    // whole corpus in one window for oracle determinism; at 100 TB the
+    // identical window runs per hash-shard (Window.partitionBy(shard)),
+    // which is how the packing job is sharded in production.
+    "q47_sequence_packing" -> ((s, d) => {
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum_before") / 512L).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tok"))
+        .orderBy(col("bin"))
+        .limit(200)
+    }),
+
+    // PII detection: per-source counts of docs containing email / phone /
+    // URL patterns (regex subset valid in both Java regex and RE2).
+    "q48_pii_scan" -> ((s, d) => {
+      val t = lower(col("text"))
+      def flag(pat: String): Column =
+        when(t.rlike(pat), 1L).otherwise(0L)
+      Tables.documents(s, d)
+        .select(col("source"),
+          flag("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+").as("f_email"),
+          flag("[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]").as("f_phone"),
+          flag("https?://").as("f_url"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_email")).cast("long").as("n_email"),
+          sum(col("f_phone")).cast("long").as("n_phone"),
+          sum(col("f_url")).cast("long").as("n_url"))
+        .orderBy(col("source"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q46_split_assign" ->
+      """WITH b AS (SELECT ((doc_id % 1000000007) * 40503 + 17) % 1000000007 % 1000 AS b, n_chars
+        |           FROM documents)
+        |SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM t)
+        |SELECT CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM c GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin,
+
+    "q48_pii_scan" ->
+      """WITH f AS (SELECT source,
+        |  CASE WHEN regexp_matches(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+') THEN 1 ELSE 0 END AS f_email,
+        |  CASE WHEN regexp_matches(lower(text), '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]') THEN 1 ELSE 0 END AS f_phone,
+        |  CASE WHEN regexp_matches(lower(text), 'https?://') THEN 1 ELSE 0 END AS f_url
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(f_email) AS BIGINT) AS n_email,
+        |       CAST(SUM(f_phone) AS BIGINT) AS n_phone,
+        |       CAST(SUM(f_url) AS BIGINT) AS n_url
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
