@@ -1,0 +1,70 @@
+package graft.cdc
+
+import java.time.Duration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Config-to-pipeline assembly — the `binwatch sync --config` analog
+  * (/root/reference/internal/cmd/sync/sync.go:56-69 →
+  * internal/binwatch/binwatch.go:118-144): a GraftConfig becomes one
+  * running Structured Streaming query wiring source → decode → shard
+  * filter → routes/templates → connector sinks, checkpointed for resume.
+  *
+  * Sharding runs in FNV parity mode here so N config-sharded jobs agree
+  * with live binwatch replicas about event ownership (Sharding.Fnv1aParity);
+  * a single unsharded job should instead use Sharding.repartitionByShard
+  * (the Spark-native form).
+  */
+object CdcPipeline {
+
+  /** Connector factory from config (A15 — connectors.go:17-33). */
+  def buildConnectors(cfg: GraftConfig): Map[String, Connector] =
+    cfg.connectors.map { c =>
+      c.name -> (c.connType match {
+        case "webhook" =>
+          new WebhookConnector(c.name, c.url, c.method, c.headers,
+            for (u <- c.basicAuthUser; p <- c.basicAuthPass) yield (u, p),
+            Duration.ofSeconds(10), c.maxInFlight): Connector
+        case "collect" => new CollectingConnector(c.name): Connector
+        case other => sys.error(s"unknown connector type '$other' (connectors.go:17-33 parity: webhook|google_pubsub)")
+      })
+    }.toMap
+
+  /** Assemble and start the sync pipeline over a replay source directory.
+    * `startPosition` maps to the replay source's line offset (the replay
+    * analog of a binlog byte position; a production binlog source would
+    * pass it through as-is). */
+  def sync(spark: SparkSession, cfg: GraftConfig, sourcePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+
+    var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
+    cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
+    cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
+
+    var envelope = Decode.decode(
+      reader.load(),
+      cfg.dbTables,
+      itemByRow = cfg.itemByRow,
+      drift = if (cfg.stopInError) Decode.FailOnDrift else Decode.DropOnDrift)
+
+    if (cfg.shardingEnabled && cfg.shardCount > 1)
+      envelope = envelope.filter(Sharding.shardFilter(
+        cfg.shardCount, cfg.shardIndex, cfg.shardKeyTemplate, Sharding.Fnv1aParity))
+
+    envelope.writeStream
+      .queryName(s"graft-sync-${cfg.serverId}")
+      .foreachBatch(Connectors.forEachBatch(
+        cfg.routes, buildConnectors(cfg), cfg.strictRouteCompat))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Run under the restart supervisor (A19): stopInError=false restarts
+    * from the checkpoint indefinitely, parity with restartSyncerOnError. */
+  def syncSupervised(spark: SparkSession, cfg: GraftConfig, sourcePath: String,
+      checkpointDir: String, maxRestarts: Int = -1): Unit =
+    RestartSupervisor.run(if (cfg.stopInError) 0 else maxRestarts)(() =>
+      sync(spark, cfg, sourcePath, checkpointDir, Trigger.AvailableNow()))
+}

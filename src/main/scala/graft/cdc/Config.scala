@@ -27,8 +27,23 @@ final case class GraftConfig(
     shardKeyTemplate: Option[String] = None,
     // routes (config.go:161-167)
     routes: Seq[Route] = Seq.empty,
+    // connectors (config.go:129-155)
+    connectors: Seq[ConnectorConfig] = Seq.empty,
     // strict reference compat for the empty-dbTable quirk (SURVEY §2.A)
     strictRouteCompat: Boolean = false)
+
+/** Connector definition — reference `ConnectorT` (config.go:129-155).
+  * type: "webhook" (url/method/headers/basic auth) or "collect" (in-JVM
+  * test sink standing in for Pub/Sub, SURVEY §2.A A14). */
+final case class ConnectorConfig(
+    name: String,
+    connType: String,
+    url: String = "",
+    method: String = "POST",
+    headers: Map[String, String] = Map.empty,
+    basicAuthUser: Option[String] = None,
+    basicAuthPass: Option[String] = None,
+    maxInFlight: Int = 64)
 
 object Config {
 
@@ -70,6 +85,24 @@ object Config {
             template = if (r.hasNonNull("template")) r.get("template").asText() else "")
         }.toSeq
       else Seq.empty
+    val connectors: Seq[ConnectorConfig] =
+      if (n.hasNonNull("connectors"))
+        n.get("connectors").elements().asScala.map { c =>
+          ConnectorConfig(
+            name = c.get("name").asText(),
+            connType = c.get("type").asText(),
+            url = if (c.hasNonNull("url")) c.get("url").asText() else "",
+            method = if (c.hasNonNull("method")) c.get("method").asText() else "POST",
+            headers =
+              if (c.hasNonNull("headers"))
+                c.get("headers").properties().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
+              else Map.empty,
+            basicAuthUser = Option.when(c.hasNonNull("basicAuthUser"))(c.get("basicAuthUser").asText()),
+            basicAuthPass = Option.when(c.hasNonNull("basicAuthPass"))(c.get("basicAuthPass").asText()),
+            maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64)
+        }.toSeq
+      else Seq.empty
     GraftConfig(
       serverId = str("serverId", "graft"),
       itemByRow = bool("itemByRow", dflt = true),
@@ -82,6 +115,7 @@ object Config {
       shardIndex = if (n.hasNonNull("shardIndex")) n.get("shardIndex").asInt() else 0,
       shardKeyTemplate = Option.when(n.hasNonNull("shardKeyTemplate"))(n.get("shardKeyTemplate").asText()),
       routes = routes,
+      connectors = connectors,
       strictRouteCompat = bool("strictRouteCompat", dflt = false))
   }
 }
