@@ -1,0 +1,96 @@
+package graft.cdc
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** HTTP-level contract of the webhook connector, mirrored from the
+  * reference (connectors.webhook.go:24-76): configured method, custom
+  * headers, basic auth, any non-2xx status is an error — plus the
+  * engine-side additions: idempotency key header, bounded async
+  * pipelining with flush-before-commit, and one sync retry on a
+  * connection-level failure. */
+class WebhookConnectorSpec extends AnyFunSuite {
+
+  private case class Recorded(method: String, headers: Map[String, String], body: String)
+
+  private def withServer(status: Int = 200)(f: (String, ConcurrentLinkedQueue[Recorded]) => Unit): Unit = {
+    val got = new ConcurrentLinkedQueue[Recorded]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (x: HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      got.add(Recorded(x.getRequestMethod,
+        x.getRequestHeaders.entrySet().asScala
+          .map(e => e.getKey -> e.getValue.get(0)).toMap, body))
+      x.sendResponseHeaders(status, 2)
+      x.getResponseBody.write("ok".getBytes); x.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/hook", got)
+    finally server.stop(0)
+  }
+
+  test("configured method, headers, basic auth, and idempotency key are sent") {
+    withServer() { (url, got) =>
+      val c = new WebhookConnector("w", url, method = "PUT",
+        headers = Map("Content-Type" -> "application/json", "X-Custom" -> "v1"),
+        basicAuth = Some(("user", "pass")))
+      c.send("""{"a":1}""".getBytes("UTF-8"), "file/120/0")
+      c.flush()
+      val r = got.poll()
+      assert(r.method === "PUT")
+      assert(r.headers("Content-type") === "application/json")
+      assert(r.headers("X-custom") === "v1")
+      // base64("user:pass")
+      assert(r.headers("Authorization") === "Basic dXNlcjpwYXNz")
+      assert(r.headers("X-idempotency-key") === "file/120/0")
+      assert(r.body === """{"a":1}""")
+    }
+  }
+
+  test("non-2xx response is an error (connectors.webhook.go:71-73 parity)") {
+    withServer(status = 500) { (url, _) =>
+      val c = new WebhookConnector("w", url)
+      c.send("x".getBytes, "k0")
+      val e = intercept[RuntimeException](c.flush())
+      assert(e.getMessage.contains("500"))
+    }
+  }
+
+  test("pipelined sends all arrive and flush blocks until delivered") {
+    withServer() { (url, got) =>
+      val c = new WebhookConnector("w", url, maxInFlight = 8)
+      (1 to 100).foreach(i => c.send(s"payload-$i".getBytes, s"k$i"))
+      c.flush()
+      assert(got.size === 100)
+      assert(got.asScala.map(_.body).toSet === (1 to 100).map(i => s"payload-$i").toSet)
+    }
+  }
+
+  test("connection-level failure retries once synchronously (at-least-once)") {
+    // a server that hard-closes the first connection attempt per request
+    val failures = new AtomicInteger(0)
+    val got = new ConcurrentLinkedQueue[Recorded]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (x: HttpExchange) => {
+      if (failures.getAndIncrement() == 0) {
+        x.close() // drop without responding -> client sees connection error
+      } else {
+        got.add(Recorded(x.getRequestMethod, Map.empty,
+          new String(x.getRequestBody.readAllBytes(), "UTF-8")))
+        x.sendResponseHeaders(200, 2)
+        x.getResponseBody.write("ok".getBytes); x.close()
+      }
+    })
+    server.start()
+    try {
+      val c = new WebhookConnector("w", s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+      c.send("once".getBytes, "k")
+      c.flush() // first attempt dropped; retry must deliver
+      assert(got.size === 1 && got.poll().body === "once")
+    } finally server.stop(0)
+  }
+}
