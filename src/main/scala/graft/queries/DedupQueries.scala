@@ -150,16 +150,17 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"),
           (((col("id") * 48271L) % 2147483647L) * 2147483648L +
             ((col("id") * 69621L) % 2147483647L)).as("h62"))
-      val bits = th.select(col("doc_id"), col("h62"),
-          explode(sequence(lit(0), lit(61))).as("b"))
-        .withColumn("vote",
-          when(expr("(shiftright(h62, cast(b as int)) & 1) = 1"), 1L).otherwise(-1L))
-      bits.groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("vote")).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0,
-          expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L))
-          .cast("long").as("simhash"))
+      // All 62 per-bit vote sums in ONE groupBy(doc_id) pass (62 long
+      // aggregate columns) instead of exploding every token hash into 62
+      // rows and shuffling the 62x stream twice. Votes and the final
+      // fingerprint are bit-identical to the exploded formulation, so
+      // the oracle twin (which keeps the readable explode form) holds.
+      val bitSums = (0 until 62).map(b =>
+        sum(when(expr(s"(shiftright(h62, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$b"))
+      val votes = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val fingerprint = (0 until 62).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+      votes.select(col("doc_id"), fingerprint.cast("long").as("simhash"))
         .orderBy(col("doc_id"))
     })
   )
