@@ -78,7 +78,13 @@ object TemplateEngine {
   sealed trait Expr
   final case class Path(segs: Seq[String]) extends Expr
   final case class IndexOf(base: Expr, idx: Int, rest: Seq[String]) extends Expr
-  final case class Pipe(base: Expr, funcs: Seq[String]) extends Expr
+  /** Function application; in pipe position the piped value is appended
+    * as the LAST argument (Go/sprig semantics: `.s | trunc 5` ≙
+    * `trunc 5 .s`). */
+  final case class Call(name: String, args: Seq[Expr]) extends Expr
+  final case class Pipe(base: Expr, funcs: Seq[Call]) extends Expr
+  final case class StrLit(s: String) extends Expr
+  final case class NumLit(n: Long) extends Expr
 
   // ---------- parse ----------
   private val ActionRe = raw"\{\{(-?)\s*(.*?)\s*(-?)\}\}".r
@@ -111,11 +117,51 @@ object TemplateEngine {
       case (n, _) => n
     }
 
+  /** Split on a delimiter outside double-quoted strings (so
+    * `.x | replace "|" "-"` pipelines correctly). */
+  private def splitOutsideQuotes(s: String, delim: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) { inQ = !inQ; cur.append(c) }
+      else if (c == delim && !inQ) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Tokenize a call stage: bare words, numbers, paths, quoted strings. */
+  private def tokenize(s: String): Seq[String] = {
+    val TokRe = raw""""((?:[^"\\]|\\.)*)"|(\S+)""".r
+    TokRe.findAllMatchIn(s).map(m =>
+      if (m.group(1) != null) "\"" + m.group(1) + "\"" else m.group(2)).toSeq
+  }
+
+  private def parseArg(t: String): Expr =
+    if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      StrLit(t.substring(1, t.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\t", "\t"))
+    else if (t.matches("-?[0-9]+")) NumLit(t.toLong)
+    else if (t.startsWith(".")) Path(splitPath(t))
+    else if (t.startsWith("(")) parseStage(t)
+    else sys.error(s"unsupported template argument: $t")
+
   private[cdc] def parseExpr(s: String): Expr = {
-    // pipeline: stage ( '|' func )*
-    val stages = s.split('|').map(_.trim).toSeq
+    // pipeline: stage ( '|' func [args] )*
+    val stages = splitOutsideQuotes(s, '|').map(_.trim)
     val base = parseStage(stages.head)
-    if (stages.size > 1) Pipe(base, stages.tail) else base
+    if (stages.size > 1)
+      Pipe(base, stages.tail.map { st =>
+        val toks = tokenize(st)
+        Call(toks.head, toks.tail.map(parseArg))
+      })
+    else base
   }
 
   private def parseStage(s: String): Expr = {
@@ -135,9 +181,9 @@ object TemplateEngine {
     } else if (s.startsWith(".")) {
       Path(splitPath(s))
     } else {
-      // prefix call form: "func .path"
-      val parts = s.split("\\s+", 2)
-      if (parts.length == 2) Pipe(parseStage(parts(1).trim), Seq(parts(0)))
+      // prefix call form: "func arg... arg" (Go: all args are expressions)
+      val toks = tokenize(s)
+      if (toks.size >= 2) Call(toks.head, toks.tail.map(parseArg))
       else sys.error(s"unsupported template expression: $s")
     }
   }
@@ -179,7 +225,14 @@ object TemplateEngine {
         case s: Seq[_] if i >= 0 && i < s.size => rest.foldLeft(s(i): Any)(step)
         case _ => null
       }
-    case Pipe(base, funcs) => funcs.foldLeft(evalExpr(base, root))(applyFunc)
+    case StrLit(s) => s
+    case NumLit(n) => n
+    case Call(name, args) => applyFunc(name, args.map(evalExpr(_, root)))
+    case Pipe(base, funcs) =>
+      // piped value flows in as the LAST argument of each stage (Go).
+      funcs.foldLeft(evalExpr(base, root)) { (v, c) =>
+        applyFunc(c.name, c.args.map(evalExpr(_, root)) :+ v)
+      }
   }
 
   private def step(v: Any, field: String): Any = v match {
@@ -191,11 +244,61 @@ object TemplateEngine {
     case _ => null
   }
 
-  private def applyFunc(v: Any, f: String): Any = f match {
-    case "toJson" => toJson(v)
-    case "upper" => Option(v).map(x => show(x).toUpperCase).orNull
-    case "lower" => Option(v).map(x => show(x).toLowerCase).orNull
-    case "trim" => Option(v).map(x => show(x).trim).orNull
+  /** sprig "empty": null, "", 0, false, empty collection. */
+  private def isEmpty(v: Any): Boolean = v match {
+    case null => true
+    case s: String => s.isEmpty
+    case n: Number => n.longValue() == 0 && n.doubleValue() == 0.0
+    case b: Boolean => !b
+    case s: Seq[_] => s.isEmpty
+    case m: Map[_, _] => m.isEmpty
+    case _ => false
+  }
+
+  private def str1(args: Seq[Any])(f: String => Any): Any =
+    args.last match { case null => null; case v => f(show(v)) }
+
+  /** The sprig-subset funcmap (reference loads full sprig minus expandenv
+    * plus JSON/YAML helpers, tmpl.go:29-51; this covers the functions a
+    * route template plausibly uses — string ops, encoding, default). In
+    * pipe position the piped value arrives as the last element of `args`. */
+  private def applyFunc(f: String, args: Seq[Any]): Any = f match {
+    case "toJson" => toJson(args.last)
+    case "upper" => str1(args)(_.toUpperCase)
+    case "lower" => str1(args)(_.toLowerCase)
+    case "trim" => str1(args)(_.trim)
+    case "title" => str1(args)(_.split(' ').map(w =>
+      if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1)).mkString(" "))
+    case "nospace" => str1(args)(_.replaceAll("\\s", ""))
+    case "quote" => "\"" + show(args.last) + "\""
+    case "squote" => "'" + show(args.last) + "'"
+    case "b64enc" => str1(args)(s =>
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
+    case "b64dec" => str1(args)(s =>
+      new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
+    case "default" => // default d v: d when v is empty
+      if (isEmpty(args.last)) args.head else args.last
+    case "trunc" => // trunc n s (negative n = last n chars, sprig)
+      val n = args.head.asInstanceOf[Number].intValue()
+      val s = show(args.last)
+      if (n >= 0) s.substring(0, math.min(n, s.length))
+      else s.substring(math.max(0, s.length + n))
+    case "abbrev" => // abbrev maxlen s: ellipsis beyond maxlen
+      val n = args.head.asInstanceOf[Number].intValue()
+      val s = show(args.last)
+      if (s.length <= n || n < 4) s else s.substring(0, n - 3) + "..."
+    case "replace" => // replace old new s
+      show(args(2)).replace(show(args(0)), show(args(1)))
+    case "repeat" => // repeat count s
+      show(args.last) * args.head.asInstanceOf[Number].intValue()
+    case "add" => args.map { case n: Number => n.longValue(); case _ => 0L }.sum
+    case "len" => args.last match {
+      case s: String => s.length.toLong
+      case s: Seq[_] => s.size.toLong
+      case m: Map[_, _] => m.size.toLong
+      case null => 0L
+      case other => show(other).length.toLong
+    }
     case other => sys.error(s"unsupported template function: $other")
   }
 

@@ -62,6 +62,25 @@ class TemplateSpec extends SparkTestBase {
     assert(render("{{ .Data.Operation -}}   b") == "INSERTb")
   }
 
+  test("sprig-subset functions with pipe arguments (piped value last)") {
+    assert(render("""{{ .Data.Table | title }}""") == "Users")
+    assert(render("""{{ .Data.Missing | default "none" }}""") == "none")
+    assert(render("""{{ .Data.Table | default "none" }}""") == "users")
+    assert(render("""{{ .Data.Table | trunc 3 }}""") == "use")
+    assert(render("""{{ .Data.Table | trunc -3 }}""") == "ers")
+    assert(render("""{{ .Data.Table | replace "s" "z" }}""") == "uzerz")
+    assert(render("""{{ .Data.Table | b64enc }}""") == "dXNlcnM=")
+    assert(render("""{{ .Data.Table | b64enc | b64dec }}""") == "users")
+    assert(render("""{{ .Data.Table | quote }}""") == "\"users\"")
+    assert(render("""{{ .Data.Rows | len }}""") == "1")
+    assert(render("""{{ .Data.Operation | lower | repeat 2 }}""") == "insertinsert")
+    // quoted pipe character must not split the pipeline
+    assert(render("""{{ .Data.Table | replace "s" "|" }}""") == "u|er|")
+    // prefix form with literal args
+    assert(render("""{{ default "none" .Data.Missing }}""") == "none")
+    assert(render("""{{ abbrev 5 .Data.Database }}""") == "te...")
+  }
+
   test("renders as a Catalyst expression over a real DataFrame") {
     val s = spark
     import s.implicits._
