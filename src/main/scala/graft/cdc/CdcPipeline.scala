@@ -61,6 +61,40 @@ object CdcPipeline {
       .start()
   }
 
+  /** Lake landing: decode the watched stream and append it to parquet
+    * partitioned by (database, table) — the capture layer a large-scale
+    * pipeline batches analytics from. Unlike the connector path this is
+    * EXACTLY-once end-to-end: the file sink's commit log only publishes
+    * files for committed batches. Partition columns are promoted out of
+    * the data struct (nested fields can't be partition keys); row payload
+    * is kept as JSON so the landing schema is stable under source-table
+    * schema drift (typed lift happens downstream via from_json per table).
+    */
+  def land(spark: SparkSession, cfg: GraftConfig, sourcePath: String,
+      checkpointDir: String, outDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
+    cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
+    cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
+    Decode.decode(reader.load(), cfg.dbTables, itemByRow = cfg.itemByRow,
+        drift = if (cfg.stopInError) Decode.FailOnDrift else Decode.DropOnDrift)
+      .select(
+        col("data.database").as("database"), col("data.table").as("table"),
+        col("data.operation").as("operation"),
+        col("log.binlogFile").as("binlog_file"),
+        col("log.binlogPosition").as("binlog_position"), col("rowIdx").as("row_idx"),
+        to_json(col("data.rows")).as("rows_json"))
+      .writeStream
+      .queryName(s"graft-land-${cfg.serverId}")
+      .format("parquet")
+      .partitionBy("database", "table")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run under the restart supervisor (A19): stopInError=false restarts
     * from the checkpoint indefinitely, parity with restartSyncerOnError. */
   def syncSupervised(spark: SparkSession, cfg: GraftConfig, sourcePath: String,

@@ -53,6 +53,30 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(got.forall(_._1.startsWith("mysql-bin.000001/")))
   }
 
+  test("lake landing writes (database, table)-partitioned parquet exactly once") {
+    val cfg = Config.parse(
+      """{"serverId": "land1", "dbTables": {"testdb": ["users"]}}""")
+    val out = Files.createTempDirectory("cdc-land-out").toString
+    val ckpt = Files.createTempDirectory("cdc-land-ckpt").toString
+    val src = writeFixtures()
+    CdcPipeline.land(spark, cfg, src, ckpt, out).awaitTermination(60000)
+    // re-running against the same checkpoint must not duplicate rows
+    CdcPipeline.land(spark, cfg, src, ckpt, out).awaitTermination(60000)
+
+    val landed = spark.read.parquet(out)
+    // 2 INSERT items + 1 UPDATE after-image + 1 DELETE = 4 watched items
+    assert(landed.count() === 4)
+    assert(landed.select("database").distinct().collect().map(_.getString(0)).toSeq === Seq("testdb"))
+    val ops = landed.groupBy("operation").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops === Map("INSERT" -> 2L, "UPDATE" -> 1L, "DELETE" -> 1L))
+    // partition layout on disk: database=testdb/table=users
+    assert(Files.exists(java.nio.file.Paths.get(out, "database=testdb", "table=users")))
+    // payload is JSON-lifted downstream
+    val row = landed.filter("operation = 'UPDATE'").select("rows_json").head().getString(0)
+    assert(row.contains("ada2"))
+  }
+
   test("sharded configs partition deliveries exactly (FNV parity mode)") {
     CollectingConnector.clear()
     val base =
