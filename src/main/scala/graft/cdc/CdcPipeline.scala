@@ -95,6 +95,26 @@ object CdcPipeline {
       .start()
   }
 
+  /** Typed lift of a landed table: rows_json → one row per change row
+    * with typed columns per the declared table schema (the downstream
+    * half of `land`'s schema-stability bargain — the lake stores
+    * schema-less JSON, analytics declare the schema at read time, so a
+    * source-table migration never breaks the capture layer). */
+  def liftLanded(landed: org.apache.spark.sql.DataFrame,
+      database: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val rowsType = ArrayType(MapType(StringType, StringType))
+    val base = landed
+      .filter(col("database") === database && col("table") === table)
+      .withColumn("row", explode(from_json(col("rows_json"), rowsType)))
+    val typed = schema.fields.map(f =>
+      element_at(col("row"), f.name).cast(f.dataType).as(f.name))
+    base.select(
+      (Seq(col("operation"), col("binlog_file"), col("binlog_position")) ++ typed): _*)
+  }
+
   /** Run under the restart supervisor (A19): stopInError=false restarts
     * from the checkpoint indefinitely, parity with restartSyncerOnError. */
   def syncSupervised(spark: SparkSession, cfg: GraftConfig, sourcePath: String,

@@ -75,6 +75,15 @@ class CdcPipelineSpec extends SparkTestBase {
     // payload is JSON-lifted downstream
     val row = landed.filter("operation = 'UPDATE'").select("rows_json").head().getString(0)
     assert(row.contains("ada2"))
+
+    // typed lift: declare the table schema at read time
+    import org.apache.spark.sql.types._
+    val users = CdcPipeline.liftLanded(landed, "testdb", "users",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    assert(users.schema.fieldNames.toSeq ===
+      Seq("operation", "binlog_file", "binlog_position", "id", "name"))
+    val upd = users.filter("operation = 'UPDATE'").head()
+    assert(upd.getAs[Long]("id") === 1L && upd.getAs[String]("name") === "ada2")
   }
 
   test("sharded configs partition deliveries exactly (FNV parity mode)") {
