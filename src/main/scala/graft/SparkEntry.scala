@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
   private val groups: Seq[QueryGroup] =
     Seq(BatchQueries, StreamTwins, TextQueries, VectorQueries, DedupQueries,
-      MultimodalQueries, FunctionQueries, PipelineQueries)
+      MultimodalQueries, FunctionQueries, PipelineQueries, StatQueries)
 
   /** Flagship query (TPC-H Q1 analog) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import Canon._
+
+/** Statistical operators (catalog extension): discrete percentiles and
+  * correlation. Both are formulated to be bit-stable across engines:
+  * percentiles use the nearest-rank (ceil(p·n)) window formulation —
+  * pure integer logic, no interpolation ulps — and correlation is
+  * assembled from EXACT integer/decimal moment sums (values are scaled
+  * 2-dp money/integers), with one double formula at the end evaluated
+  * from identical exact integers in both engines. At 100 TB both are
+  * single hash-shuffle aggregations (the percentile window partitions
+  * by group key).
+  */
+object StatQueries extends QueryGroup {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Discrete percentiles per group: value whose rank = ceil(p * n).
+    "q49_percentile_disc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      val ranked = li
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+      def pick(p: Double, name: String) =
+        max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
+          col("l_quantity"))).as(name)
+      ranked.groupBy(col("l_returnflag"))
+        .agg(dec(pick(0.5, "p50d")).as("p50"),
+          dec(pick(0.9, "p90d")).as("p90"),
+          dec(pick(0.99, "p99d")).as("p99"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Pearson correlation of quantity vs extendedprice per returnflag,
+    // from exact scaled-integer moments: qty (integral), price*100
+    // (integral 2-dp money). Σx, Σy, Σxy fit BIGINT; Σx², Σy² go through
+    // DECIMAL(38,0) (exact in Spark decimal and DuckDB hugeint alike).
+    // The closing formula converts each exact integer to double once —
+    // identical inputs → identical IEEE result in both engines.
+    "q50_corr_moments" -> ((s, d) => {
+      // floor(x+0.5), not a bare cast: DuckDB's double->BIGINT cast
+      // rounds while Spark's truncates; floor is identical in both.
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("y"))
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      agg.select(col("l_returnflag"), col("n"),
+        ratio1e4(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))).as("corr_1e4"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q49_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p50,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p90,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p99,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_corr_moments" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |         SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(floor(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * 10000 + 0.5) AS BIGINT) AS corr_1e4
+        |FROM m ORDER BY 1""".stripMargin
+  )
+}
