@@ -61,6 +61,33 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.toSeq == Seq(1L, 3L))
   }
 
+  test("stream-stream interval join: purchases matched to prior clicks within 30 min") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    // interval condition bounds state retention on both sides — the
+    // watermark can expire click state once b_ts range has passed.
+    val joined = b.join(c,
+      col("b_user") === col("c_user") &&
+        col("c_ts") <= col("b_ts") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    clicks.addData((ts(0), 1L), (ts(5), 2L), (ts(10), 1L))
+    buys.addData((ts(20), 1L), (ts(50), 2L)) // user2 buys 45min after click: no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj")
+      .select(col("b_user"), col("c_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    // user1's purchase at 10:20 matches BOTH clicks (10:00, 10:10); user2's none
+    assert(rows.toSet === Set((1L, ts(0)), (1L, ts(10))))
+  }
+
   test("B27: dropDuplicatesWithinWatermark dedups replayed event ids") {
     val s = spark
     import s.implicits._
