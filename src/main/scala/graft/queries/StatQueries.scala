@@ -47,6 +47,21 @@ object StatQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Pivot: order counts per status, priorities as columns. The Spark
+    // side uses the native pivot operator (single pass, map-side partial
+    // agg per (status, priority) then column transpose); the declared
+    // SQL twin is the engine-stable conditional-aggregation form.
+    "q51_pivot" -> ((s, d) => {
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot(col("o_orderpriority"), pr)
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +: pr.zipWithIndex.map { case (p, i) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s"n_p${i + 1}") }: _*)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Pearson correlation of quantity vs extendedprice per returnflag,
     // from exact scaled-integer moments: qty (integral), price*100
     // (integral 2-dp money). Σx, Σy, Σxy fit BIGINT; Σx², Σy² go through
@@ -91,6 +106,15 @@ object StatQueries extends QueryGroup {
         |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p99,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_p1,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS n_p2,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS n_p3,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS n_p4,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS n_p5
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q50_corr_moments" ->
       """WITH b AS (

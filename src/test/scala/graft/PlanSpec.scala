@@ -64,4 +64,28 @@ class PlanSpec extends SparkTestBase {
     // minhash signatures: single hash aggregate pass over shingles
     assert(p.contains("partial_min") || p.contains("min("), p)
   }
+
+  test("bucketed tables join without a shuffle (co-located join at scale)") {
+    // The 100 TB join strategy: both sides bucketed on the join key at
+    // write time -> SortMergeJoin reads buckets directly, zero Exchange.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(s, sf001).write.mode("overwrite")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables.customer(s, sf001).write.mode("overwrite")
+        .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val j = s.table("b_orders").join(s.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
