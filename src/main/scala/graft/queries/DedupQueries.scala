@@ -21,68 +21,8 @@ import Canon._
   */
 object DedupQueries extends QueryGroup {
 
-  private val P = 1000000007L
-  // 8 minhash permutations → 4 bands × 2 rows.
-  private val HashParams: Seq[(Int, Long, Long)] = Seq(
-    (0, 1299721L, 7L), (1, 15485863L, 11L), (2, 32452843L, 13L),
-    (3, 49979687L, 17L), (4, 67867967L, 19L), (5, 86028121L, 23L),
-    (6, 104395301L, 29L), (7, 122949823L, 31L))
-
-  private def toks(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), x => x =!= "")
-
-  /** 2-gram word shingles as strings, distinct per doc. */
-  private def shingleStrings(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", toks(col("text")))
-      .select(col("doc_id"), explode(
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(0), size(col("toks")) - 2),
-            i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
-
-  /** Global token vocabulary: token → dense id by sorted order. The vocab
-    * is tiny relative to the corpus (Zipf) — broadcastable; at 100 TB a
-    * salted two-level dense-rank would replace the single window. */
-  private def vocab(docs: DataFrame): DataFrame =
-    docs.select(explode(toks(col("text"))).as("token")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("token"))).cast("long"))
-
-  /** Distinct 2-gram shingle hashes per doc from consecutive token-id
-    * pairs: h = (id1*8191 + id2) mod P — portable across engines.
-    * One broadcast vocab join + one groupBy(doc_id) shuffle; consecutive
-    * pairs are formed narrowly inside the reassembled id array (the
-    * positional self-join formulation shuffles the token stream twice). */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
-    val v = vocab(docs)
-    val tp = docs.withColumn("toks", toks(col("text")))
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
-    val pid = tp.join(broadcast(v), "token")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("pid"))
-    pid.select(col("doc_id"), explode(
-        when(size(col("pid")) >= 2,
-          transform(sequence(lit(0), size(col("pid")) - 2),
-            i => (get(col("pid"), i).getField("id") * 8191L +
-              get(col("pid"), i + 1).getField("id")) % P))
-          .otherwise(array().cast("array<bigint>"))).as("h"))
-      .distinct()
-  }
-
-  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val s1 = sh.select(col("doc_id").as("sd1"), col("h").as("h1"))
-    val s2 = sh.select(col("doc_id").as("sd2"), col("h").as("h2"))
-    pairs
-      .join(s1, col("d1") === col("sd1"))
-      .join(s2, col("d2") === col("sd2") && col("h1") === col("h2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
-      .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
-      .select(col("d1"), col("d2"),
-        ratio1e4(col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))
-  }
+  import graft.operators.TextDedup
+  import TextDedup.{HashParams, toks, shingleStrings, vocab}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content hash (sha2 — at 100 TB you never
@@ -113,31 +53,13 @@ object DedupQueries extends QueryGroup {
     }),
 
     // MinHash + LSH: 8 permutations, 4 bands × 2 rows; candidates from
-    // band-signature equality, then exact-Jaccard verification.
-    "q33_dedup_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
-      val sh = shingleHashes(docs)
-      // All 8 permutation minima in ONE groupBy pass (8 agg columns) —
-      // no x8 row blowup through a shuffle, no second groupBy, no
-      // per-band window. Band signature strings are byte-identical to
-      // the per-k formulation, so the oracle twin is unchanged.
-      val mhAggs = HashParams.map { case (k, a, b) =>
-        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
-      }
-      val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      val bands = mh.select(col("doc_id"), explode(array(
-          (0 until 4).map(bd => struct(lit(bd).as("band"),
-            concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val ba = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
-      val bb = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
-      val cand = ba.join(bb,
-          col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-      jaccardOf(cand, sh)
-        .filter(col("jacc_1e4") >= 3000)
-        .orderBy(col("d1"), col("d2"))
-    }),
+    // band-signature equality, then exact-Jaccard verification. The
+    // whole pipeline is the library operator TextDedup.nearDupPairs —
+    // this oracle query hash-verifies the library path each round.
+    "q33_dedup_minhash_lsh" -> ((s, d) =>
+      TextDedup.nearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 2000), 3000L)
+        .orderBy(col("d1"), col("d2"))),
 
     // SimHash: 62-bit fingerprint from two 31-bit LCG token hashes;
     // bit b of the fingerprint is set iff the ±1 vote sum over the doc's

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Library-facade dedup operators. The LSH pipeline itself is
+  * hash-verified against DuckDB via q33 each round; these cover the
+  * facade-only paths. */
+class TextDedupSpec extends SparkTestBase {
+
+  test("exact dedup keeps one min-id representative per content") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (3L, "same text"), (1L, "same text"), (2L, "same text"),
+      (5L, "other"), (4L, "third")).toDF("doc_id", "text")
+    val kept = TextDedup.exact(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+    // idempotent
+    val twice = TextDedup.exact(TextDedup.exact(df, "doc_id", "text"), "doc_id", "text")
+    assert(twice.count() === 3L)
+  }
+
+  test("nearDupPairs finds injected near-duplicates and skips unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different content about spark catalyst execution plans"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDupPairs(df, 3000L)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+}
