@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps.{vectorDot, vectorNorm}
+
+/** Similarity-search operators over an (id, vector) DataFrame — the
+  * library form of the ANN suite (SURVEY.md 2.C q30/q35/q36), built on
+  * the codegen vector kernels. The oracle queries delegate here, so the
+  * library paths are hash-verified against DuckDB each round.
+  *
+  * Scale shape: the query side is always broadcast (one row or a small
+  * probe set); the base side streams through a single narrow pass. The
+  * IVF variant prunes that pass to the probed clusters — the 100 TB
+  * path, where brute force means reading every vector.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column =
+    vectorDot(a, b) / (vectorNorm(a) * vectorNorm(b))
+
+  /** Exact brute-force cosine top-k of `queryVec` (a 1-row DataFrame
+    * with column `qv`) against base (idCol, vecCol).
+    * @param scoreT transform applied to the raw cosine BEFORE ranking
+    *   (e.g. a decimal rendering) — ordering follows the transformed
+    *   score so rendered ties rank deterministically. */
+  def cosineTopK(base: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, k: Int,
+      scoreT: Column => Column = identity): DataFrame =
+    base.crossJoin(broadcast(queryVec))
+      .select(col(idCol), scoreT(cosine(col(vecCol), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Near-duplicate pairs by cosine >= minCosine: norms computed once per
+    * vector BEFORE the pair join (O(n·d)), one dot product per pair. The
+    * pair join is the scale guard's job — callers bound the id domain or
+    * pre-bucket (LSH/IVF) before calling. */
+  def nearDupPairs(base: DataFrame, idCol: String, vecCol: String,
+      minCosine: Column,
+      scoreT: Column => Column = identity): DataFrame = {
+    val e = base.select(col(idCol), col(vecCol).as("v"),
+      vectorNorm(col(vecCol)).as("nrm"))
+    val a = e.select(col(idCol).as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col(idCol).as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("i") < col("j"))
+      .select(col("i"), col("j"),
+        scoreT(vectorDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
+  /** IVF-pruned ANN: assign base vectors to their nearest centroid,
+    * probe the nprobe centroids closest to the query, brute-force only
+    * inside the probed clusters. Centroids are a small broadcast dim
+    * (trained offline — any deterministic selection works for the
+    * assignment algebra). */
+  def ivfTopK(base: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryVec: DataFrame, k: Int, nprobe: Int,
+      scoreT: Column => Column = identity): DataFrame = {
+    val wAsg = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cid"))
+    val asg = base.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col(vecCol), col("cv")))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col(idCol).as("bid"), col("cid").as("acid"))
+    val probe = centroids.crossJoin(broadcast(queryVec))
+      .select(col("cid"), cosine(col("cv"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("pcid"))
+    base.join(asg, col(idCol) === col("bid"))
+      .join(broadcast(probe), col("acid") === col("pcid"))
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), scoreT(cosine(col(vecCol), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -47,56 +47,35 @@ object VectorQueries extends QueryGroup {
     "q30_similarity_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
-      e.filter(col("vec_id") < 1000 && col("vec_id") =!= 1)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), dec(cosine(col("v"), col("qv"))).as("score"))
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(5)
+      graft.operators.Similarity.cosineTopK(
+        e.filter(col("vec_id") < 1000 && col("vec_id") =!= 1), "vec_id", "v",
+        q, 5, dec)
     }),
 
     // Near-duplicate detection by embedding cosine (threshold on the
-    // DECIMAL-rendered score so the cut is engine-stable). Norms are
-    // computed once per vector BEFORE the pair join — O(n·d) instead of
-    // O(n²·d) — and each pair evaluates only one dot product.
-    "q35_dedup_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(broadcast(b), col("i") < col("j"))
-        .select(col("i"), col("j"),
-          dec(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
-        .filter(col("score") >= 0.3)
-        .orderBy(col("i"), col("j"))
-    }),
+    // DECIMAL-rendered score so the cut is engine-stable). Library
+    // operator: norms computed once per vector before the pair join.
+    "q35_dedup_embedding_neardup" -> ((s, d) =>
+      graft.operators.Similarity.nearDupPairs(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", lit(0.3), dec)
+        .orderBy(col("i"), col("j"))),
 
     // IVF-pruned ANN: deterministic "trained" centroids (vec_id % 100 = 0),
     // assign every base vector to its nearest centroid, probe the top-2
     // centroids for the query, brute-force only inside those clusters.
+    // Library operator; excluding the query vector from `base` up front
+    // is assignment-equivalent to assigning then excluding (per-vector
+    // independence), so the oracle twin is unchanged.
     "q36_similarity_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val cent = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val base = e.filter(col("vec_id") < 500)
-      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      val asg = base.crossJoin(broadcast(cent))
-        .withColumn("cos", cosine(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("bid"), col("cid").as("acid"))
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
-      val probe = cent.crossJoin(broadcast(q))
-        .select(col("cid"), cosine(col("cv"), col("qv")).as("cos"))
-        .orderBy(col("cos").desc, col("cid"))
-        .limit(2)
-        .select(col("cid").as("pcid"))
-      base.join(asg, col("vec_id") === col("bid"))
-        .join(broadcast(probe), col("acid") === col("pcid"))
-        .filter(col("vec_id") =!= 1)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), dec(cosine(col("v"), col("qv"))).as("score"))
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(5)
+      graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 500 && col("vec_id") =!= 1), "vec_id", "v",
+        cent, q, 5, 2, dec)
     })
   )
 
