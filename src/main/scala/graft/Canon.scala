@@ -49,6 +49,16 @@ object Canon {
     Bridge.column(MakeDecimal(Bridge.expression(scaled), 18, scale))
   }
 
+  /** Decimal-rounded DOUBLE — the canonical rendering for fractional
+    * output columns. The value is stabilized by the DECIMAL(18,4) round
+    * (so aggregation-order ulps can't leak out), then converted back to
+    * double for the on-disk schema: decimal→double is the correctly-
+    * rounded conversion in both engines, and a double column reads back
+    * identically through any client (a DECIMAL column does not — column
+    * readers differ on scale-preserving vs float rendering).
+    * DuckDB twin: CAST(CAST(x AS DECIMAL(18,4)) AS DOUBLE). */
+  def decD(c: Column): Column = dec(c).cast("double")
+
   /** Exact-rational ratios (k/n) can land exactly on a 4th-decimal tie,
     * where Spark's and DuckDB's double→decimal casts round differently.
     * Render them as floor(x*1e4 + 0.5) BIGINT instead — floor over an

@@ -76,18 +76,40 @@ object TextDedup {
   /** Exact Jaccard (scaled 1e4) for given candidate pairs over a shingle
     * set (doc_id, h). */
   def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val s1 = sh.select(col("doc_id").as("sd1"), col("h").as("h1"))
-    val s2 = sh.select(col("doc_id").as("sd2"), col("h").as("h2"))
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
+    jaccardOfPerDoc(pairs, perDoc)
+  }
+
+  /** Jaccard verification against a per-doc profile (doc_id, hs, n):
+    * two per-doc joins (one row per doc — orders of magnitude smaller
+    * than the shingle stream) and a narrow array-intersection, instead
+    * of re-exploding every shingle through a candidate×shingle join. */
+  private def jaccardOfPerDoc(pairs: DataFrame, perDoc: DataFrame): DataFrame =
     pairs
-      .join(s1, col("d1") === col("sd1"))
-      .join(s2, col("d2") === col("sd2") && col("h1") === col("h2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
-      .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+      .join(perDoc.select(col("doc_id").as("zd1"), col("hs").as("hs1"), col("n").as("n1")),
+        col("d1") === col("zd1"))
+      .join(perDoc.select(col("doc_id").as("zd2"), col("hs").as("hs2"), col("n").as("n2")),
+        col("d2") === col("zd2"))
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .select(col("d1"), col("d2"),
         ratio1e4(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))
+
+  /** Band signatures from a per-doc minhash profile (doc_id, mh0..mh7). */
+  private def bandSignatures(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(bd => struct(lit(bd).as("band"),
+          concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** LSH candidate pairs from band-signature equality. */
+  private def candidatesOf(bands: DataFrame): DataFrame = {
+    val ba = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val bb = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
+    ba.join(bb,
+        col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
   }
 
   /** LSH candidate pairs: all 8 permutation minima in one groupBy pass,
@@ -96,23 +118,29 @@ object TextDedup {
     val mhAggs = HashParams.map { case (k, a, b) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
     }
-    val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = mh.select(col("doc_id"), explode(array(
-        (0 until 4).map(bd => struct(lit(bd).as("band"),
-          concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val ba = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
-    val bb = bands.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
-    ba.join(bb,
-        col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    candidatesOf(bandSignatures(sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)))
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidate pairs with verified
-    * exact Jaccard ≥ threshold (scaled 1e4). */
+    * exact Jaccard ≥ threshold (scaled 1e4).
+    *
+    * ONE groupBy(doc_id) pass produces the whole per-doc profile — all 8
+    * permutation minima, the shingle-hash array, and the set size — and is
+    * cached, so the expensive shingling subtree (vocab + broadcast join +
+    * position reassembly) runs exactly once per action instead of once per
+    * downstream consumer. Candidates come from the band self-join;
+    * verification is two joins against the cached per-doc profile. */
   def nearDupPairs(docs: DataFrame, threshold1e4: Long): DataFrame = {
-    val sh = shingleHashes(docs)
-    jaccardOf(minhashCandidates(sh), sh)
+    val mhAggs = HashParams.map { case (k, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
+    }
+    val aggs = mhAggs :+ collect_list(col("h")).as("hs") :+ count(lit(1)).as("n")
+    val perDoc = shingleHashes(docs).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesOf(bandSignatures(
+      perDoc.select(col("doc_id") +: HashParams.map { case (k, _, _) => col(s"mh$k") }: _*)))
+    jaccardOfPerDoc(cand, perDoc.select(col("doc_id"), col("hs"), col("n")))
       .filter(col("jacc_1e4") >= threshold1e4)
   }
 }

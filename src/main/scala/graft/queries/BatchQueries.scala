@@ -97,7 +97,8 @@ object BatchQueries extends QueryGroup {
       o.join(broadcast(buckets),
           col("o_orderdate") >= col("y_start") && col("o_orderdate") < col("y_end"))
         .groupBy(col("y_start"))
-        .agg(count(lit(1)).as("n_orders"), dec(sum(decFix(col("o_totalprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(decFix(col("o_totalprice")))).cast("double").as("sum_price"))
         .select(tss(col("y_start")).as("y"), col("n_orders"), col("sum_price"))
         .orderBy(col("y"))
     }),
@@ -119,20 +120,21 @@ object BatchQueries extends QueryGroup {
 
     // B11: TPC-H Q1 pricing summary. Per-row arithmetic in DOUBLE (bit-
     // identical across engines), cast to DECIMAL(18,4) BEFORE the sum so
-    // aggregation order can't flip a ulp (partial/final agg at scale).
+    // aggregation order can't flip a ulp (partial/final agg at scale);
+    // the exact decimal totals render as DOUBLE (Canon.decD rationale).
     "q11_agg_pricing_summary" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp_ntz"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(decFix(col("l_quantity")))).as("sum_qty"),
-          dec(sum(decFix(col("l_extendedprice")))).as("sum_base_price"),
-          dec(sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
-          // charge = 2dp*2dp*2dp is an exact 6-decimal real: render at scale
+          dec(sum(decFix(col("l_quantity")))).cast("double").as("sum_qty"),
+          dec(sum(decFix(col("l_extendedprice")))).cast("double").as("sum_base_price"),
+          dec(sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount"))))).cast("double").as("sum_disc_price"),
+          // charge = 2dp*2dp*2dp is an exact 6-decimal real: sum at scale
           // 6 so no rounding happens (engines' double→decimal tie-rounding
           // differs at scale 4).
           sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("sum_charge"),
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -186,7 +188,7 @@ object BatchQueries extends QueryGroup {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.events(s, d)
-        .withColumn("running_value", dec(sum(dec(col("value"))).over(w)))
+        .withColumn("running_value", dec(sum(dec(col("value"))).over(w)).cast("double"))
         .select(col("user_id"), col("event_id"), nsToStr(col("ts")).as("ts_s"), col("running_value"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
@@ -230,10 +232,10 @@ object BatchQueries extends QueryGroup {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          dec(sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+          dec(sum(decFix(col("l_extendedprice") * (lit(1) - col("l_discount"))))).cast("double").as("revenue"),
           sum(floor(col("l_quantity") / 7).cast("long")).as("sum_floor7"),
           sum(ceil(col("l_tax") * 100).cast("long")).as("sum_ceil_tax"),
-          dec(sum(decFix(abs(col("l_discount") - 0.05)))).as("sum_absdev"))
+          dec(sum(decFix(abs(col("l_discount") - 0.05)))).cast("double").as("sum_absdev"))
         .orderBy(col("l_returnflag"))),
 
     // B22: array higher-order functions over embeddings. The fold starts at
@@ -242,10 +244,10 @@ object BatchQueries extends QueryGroup {
       Tables.embeddings(s, d).select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          dec(element_at(col("embedding"), 1).cast("double")).as("e1"),
-          dec(element_at(col("embedding"), 2).cast("double")).as("e2"),
-          dec(element_at(col("embedding"), 3).cast("double")).as("e3"),
-          dec(aggregate(col("embedding"), lit(0.0),
+          decD(element_at(col("embedding"), 1).cast("double")).as("e1"),
+          decD(element_at(col("embedding"), 2).cast("double")).as("e2"),
+          decD(element_at(col("embedding"), 3).cast("double")).as("e3"),
+          decD(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double"))).as("vec_sum"))
         .orderBy(col("vec_id"))
         .limit(100)),
@@ -265,7 +267,7 @@ object BatchQueries extends QueryGroup {
     "q24_json_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).cast("double").as("sum_value"))
         .orderBy(col("k")))
   )
 
@@ -311,7 +313,7 @@ object BatchQueries extends QueryGroup {
       s"""WITH b AS (SELECT DISTINCT date_trunc('year', o_orderdate) AS y_start FROM orders),
          |     b2 AS (SELECT y_start, y_start + INTERVAL 12 MONTH AS y_end FROM b)
          |SELECT strftime(y_start, $TS) AS y, COUNT(*) AS n_orders,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+         |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
          |FROM orders JOIN b2 ON o_orderdate >= y_start AND o_orderdate < y_end
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -329,10 +331,10 @@ object BatchQueries extends QueryGroup {
 
     "q11_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -367,9 +369,9 @@ object BatchQueries extends QueryGroup {
 
     "q17_window_running" ->
       s"""SELECT user_id, event_id, strftime(ts, $TS) AS ts_s,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
          |    (PARTITION BY user_id ORDER BY ts, event_id
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_value
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS running_value
          |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q18_set_ops" ->
@@ -399,19 +401,19 @@ object BatchQueries extends QueryGroup {
 
     "q21_math_decimal" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  CAST(SUM(CAST(floor(l_quantity / 7) AS BIGINT)) AS BIGINT) AS sum_floor7,
         |  CAST(SUM(CAST(ceil(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_ceil_tax,
-        |  CAST(SUM(CAST(abs(l_discount - 0.05) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_absdev
+        |  CAST(CAST(SUM(CAST(abs(l_discount - 0.05) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_absdev
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q22_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |  CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,4)) AS e1,
-        |  CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,4)) AS e2,
-        |  CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(18,4)) AS e3,
-        |  CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-        |                   (a, b) -> a + b) AS DECIMAL(18,4)) AS vec_sum
+        |  CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS e1,
+        |  CAST(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS e2,
+        |  CAST(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS e3,
+        |  CAST(CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                   (a, b) -> a + b) AS DECIMAL(18,4)) AS DOUBLE) AS vec_sum
         |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
 
     "q23_map_funcs" ->
@@ -421,7 +423,7 @@ object BatchQueries extends QueryGroup {
     "q24_json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

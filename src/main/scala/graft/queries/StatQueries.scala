@@ -40,9 +40,9 @@ object StatQueries extends QueryGroup {
         min(when(col("hi") >= ceil(lit(p) * col("n")).cast("long"),
           col("l_quantity")))
       cum.groupBy(col("l_returnflag"))
-        .agg(dec(pick(0.5)).as("p50"),
-          dec(pick(0.9)).as("p90"),
-          dec(pick(0.99)).as("p99"),
+        .agg(dec(pick(0.5)).cast("double").as("p50"),
+          dec(pick(0.9)).cast("double").as("p90"),
+          dec(pick(0.99)).cast("double").as("p99"),
           max(col("n")).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
@@ -101,9 +101,9 @@ object StatQueries extends QueryGroup {
         |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem)
         |SELECT l_returnflag,
-        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p50,
-        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p90,
-        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS p99,
+        |  CAST(CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+        |  CAST(CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+        |  CAST(CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS DECIMAL(18,4)) AS DOUBLE) AS p99,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 

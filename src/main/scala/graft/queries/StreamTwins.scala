@@ -24,7 +24,7 @@ object StreamTwins extends QueryGroup {
     "q25_tumbling_window" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).cast("double").as("sum_value"))
         .select(tss(col("w.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))),
 
@@ -79,7 +79,7 @@ object StreamTwins extends QueryGroup {
     "q25_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), $TS) AS win_start, event_type,
          |       COUNT(*) AS n,
-         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q26_session_window" ->

@@ -49,7 +49,7 @@ object VectorQueries extends QueryGroup {
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
       graft.operators.Similarity.cosineTopK(
         e.filter(col("vec_id") < 1000 && col("vec_id") =!= 1), "vec_id", "v",
-        q, 5, dec)
+        q, 5, decD)
     }),
 
     // Near-duplicate detection by embedding cosine (threshold on the
@@ -59,7 +59,7 @@ object VectorQueries extends QueryGroup {
       graft.operators.Similarity.nearDupPairs(
           Tables.embeddings(s, d).filter(col("vec_id") < 300)
             .select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", lit(0.3), dec)
+          "vec_id", "embedding", lit(0.3), decD)
         .orderBy(col("i"), col("j"))),
 
     // IVF-pruned ANN: deterministic "trained" centroids (vec_id % 100 = 0),
@@ -75,7 +75,7 @@ object VectorQueries extends QueryGroup {
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
       graft.operators.Similarity.ivfTopK(
         e.filter(col("vec_id") < 500 && col("vec_id") =!= 1), "vec_id", "v",
-        cent, q, 5, 2, dec)
+        cent, q, 5, 2, decD)
     })
   )
 
@@ -84,7 +84,7 @@ object VectorQueries extends QueryGroup {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
-         |SELECT vec_id, CAST(${duckCos("v", "qv")} AS DECIMAL(18,4)) AS score
+         |SELECT vec_id, CAST(CAST(${duckCos("v", "qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
          |FROM e, q WHERE vec_id < 1000 AND vec_id <> 1
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
 
@@ -92,7 +92,7 @@ object VectorQueries extends QueryGroup {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings WHERE vec_id < 300)
          |SELECT a.vec_id AS i, b.vec_id AS j,
-         |       CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) AS score
+         |       CAST(CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) AS DOUBLE) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) >= 0.3
          |ORDER BY i, j""".stripMargin,
@@ -110,7 +110,7 @@ object VectorQueries extends QueryGroup {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
          |probe AS (SELECT cid AS pcid FROM cent, q
          |          ORDER BY ${duckCos("cent.cv", "q.qv")} DESC, cid LIMIT 2)
-         |SELECT base.vec_id, CAST(${duckCos("base.v", "q.qv")} AS DECIMAL(18,4)) AS score
+         |SELECT base.vec_id, CAST(CAST(${duckCos("base.v", "q.qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
          |FROM base JOIN asg ON base.vec_id = asg.bid
          |          JOIN probe ON asg.acid = probe.pcid, q
          |WHERE base.vec_id <> 1
