@@ -7,11 +7,19 @@ import graft.functions.{Aggregators, Fnv1aHash, NGrams}
 
 /** Custom-function surface (SURVEY.md B13 approx / B31 UDF/UDAF/UDTF):
   * every extension mechanism exercised inside a declared query —
-  * approx sketch (bench-only accuracy), custom Generator (oracle-exact),
-  * typed Aggregator (oracle-exact), codegen'd custom Expression
-  * (unit-tested for parity; FNV is not portably expressible in DuckDB's
-  * overflow-checked BIGINT arithmetic, so its query is rows-only). */
+  * approx sketches (HLL bench-only; KMV oracle-exact), custom Generator
+  * (oracle-exact), typed Aggregator (oracle-exact), codegen'd custom
+  * Expression (oracle-exact — FNV-1a folds portably in DuckDB HUGEINT
+  * arithmetic mod 2^64). */
 object FunctionQueries extends QueryGroup {
+
+  /** DuckDB twin of Fnv1aHash.hashUtf8 for an ASCII expression `e`:
+    * byte-fold in HUGEINT, mod 2^64 — yields the UNSIGNED 64-bit hash. */
+  private def duckFnv(e: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    list_transform(range(1, strlen($e)+1), i -> CAST(ascii(($e)[i]) AS HUGEINT))),
+       |  (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)""".stripMargin
 
   private def toks(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "[^a-z]+"), x => x =!= "")
@@ -42,14 +50,39 @@ object FunctionQueries extends QueryGroup {
     }),
 
     // Codegen'd custom Expression in a real plan: FNV-1a shard buckets
-    // over a composite key (rows-only; value parity covered by
-    // FunctionsSpec against the scalar implementation).
+    // over a composite key. pmod of the signed Java long equals the
+    // unsigned hash mod 8 (2^64 ≡ 0 mod 8), so the DuckDB HUGEINT twin
+    // hash-matches exactly.
     "q45_fnv_shard" -> ((s, d) =>
       Tables.orders(s, d)
         .select(pmod(Fnv1aHash.fnv1a64(concat_ws("-", col("o_custkey"), col("o_orderkey"))), lit(8))
           .cast("long").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // KMV (k-minimum-values) distinct-count sketch — the oracle-exact
+    // approx-distinct path (the HLL variant q42 is bench-only). The
+    // sketch state is the k smallest distinct portable hash values: it
+    // is tiny, exactly mergeable across partitions/splits (union + top-k
+    // — at 100 TB each executor keeps its local k minima, one reduce
+    // merges them), and the estimator (k-1)·2^64/h_k is one double
+    // division from identical exact integers in both engines.
+    "q52_kmv_distinct" -> ((s, d) => {
+      val k = 256
+      val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+      val h = Tables.lineitem(s, d)
+        .select(Fnv1aHash.fnv1a64(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      // unsigned view of the signed 64-bit hash, exact in DECIMAL(21,0)
+      val uh = when(col("h") < 0, col("h").cast("decimal(21,0)") + lit(two64))
+        .otherwise(col("h").cast("decimal(21,0)"))
+      val kth = h.select(uh.as("uh")).orderBy(col("uh")).limit(k)
+        .agg(max(col("uh")).as("hk"), count(lit(1)).as("n_kept"))
+      kth.select(
+        col("n_kept"),
+        floor(lit((k - 1).toDouble * math.pow(2, 64)) / col("hk").cast("double"))
+          .cast("long").as("kmv_est"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -64,6 +97,21 @@ object FunctionQueries extends QueryGroup {
     "q44_udaf_sumsq" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_fnv_shard" ->
+      s"""WITH k AS (SELECT CAST(o_custkey AS VARCHAR) || '-' || CAST(o_orderkey AS VARCHAR) AS key
+         |           FROM orders),
+         |h AS (SELECT ${duckFnv("key")} AS hv FROM k)
+         |SELECT CAST(hv % 8 AS BIGINT) AS bucket, COUNT(*) AS n
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${duckFnv("CAST(l_partkey AS VARCHAR)")} AS hv
+         |           FROM lineitem),
+         |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(floor(255.0 * 18446744073709551616.0 / CAST(MAX(hv) AS DOUBLE)) AS BIGINT) AS kmv_est
+         |FROM k""".stripMargin
   )
 }
