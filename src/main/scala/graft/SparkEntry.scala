@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
   private val groups: Seq[QueryGroup] =
     Seq(BatchQueries, StreamTwins, TextQueries, VectorQueries, DedupQueries,
-      MultimodalQueries, FunctionQueries, PipelineQueries, StatQueries)
+      MultimodalQueries, FunctionQueries, PipelineQueries, StatQueries,
+      AdvancedQueries)
 
   /** Flagship query (TPC-H Q1 analog) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

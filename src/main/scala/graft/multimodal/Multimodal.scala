@@ -55,4 +55,30 @@ object Multimodal {
       }
       .toDF()
   }
+
+  case class FrameFeature(doc_id: Long, frame_idx: Long, fsum: Long)
+
+  /** Frame-sampling plumbing: split the binary into fixed 64-byte
+    * "frames" (standing in for video frame boundaries) and emit one
+    * feature row per frame — a narrow flatMap, the 1:N shape a real
+    * frame sampler (ffmpeg keyframe walk) produces. The per-frame
+    * feature is the byte sum mod 1e9+7 (deterministic stub for the
+    * per-frame embed/resize step). */
+  def frameFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val P = 1000000007L
+    media.as[MediaRecord]
+      .flatMap { r =>
+        val n = r.content.length
+        val nf = (n + 63) / 64
+        (0 until nf).iterator.map { k =>
+          var s = 0L
+          var i = k * 64
+          val lim = math.min(n, k * 64 + 64)
+          while (i < lim) { s = (s + (r.content(i) & 0xff)) % P; i += 1 }
+          FrameFeature(r.doc_id, k.toLong, s)
+        }
+      }
+      .toDF()
+  }
 }

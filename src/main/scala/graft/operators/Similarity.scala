@@ -50,6 +50,21 @@ object Similarity {
       .filter(col("score") >= minCosine)
   }
 
+  /** Random-hyperplane LSH bucket (sign-bit sketch over deterministic
+    * integer hyperplanes): bit i is the sign of <v, w_{seedOffset+i}>,
+    * with w_b[t] = ((b·131 + t·137) mod 19) − 9. Integer weights widen
+    * exactly to double, and the dot is the same left-to-right fold as
+    * the other kernels, so buckets are bit-portable across engines.
+    * Multi-table ANN uses several calls with different seedOffsets and
+    * unions the bucket matches — the standard recall lever. */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int, seedOffset: Int = 0): Column =
+    (0 until nBits).map { i =>
+      val b = seedOffset + i
+      val w = array((0 until dim).map(t =>
+        lit((((b * 131 + t * 137) % 19) - 9).toDouble)): _*)
+      when(vectorDot(vec, w) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF-pruned ANN: assign base vectors to their nearest centroid,
     * probe the nprobe centroids closest to the query, brute-force only
     * inside the probed clusters. Centroids are a small broadcast dim

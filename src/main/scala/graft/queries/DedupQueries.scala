@@ -61,6 +61,19 @@ object DedupQueries extends QueryGroup {
           Tables.documents(s, d).filter(col("doc_id") < 2000), 3000L)
         .orderBy(col("d1"), col("d2"))),
 
+    // Duplicate-cluster resolution: connected components over the
+    // verified MinHash+LSH near-dup pairs (transitive closure — A~B~C
+    // collapses to one cluster even though A,C never compared). Library
+    // operator GraphDedup: iterative min-label propagation, one
+    // join+groupBy shuffle per round, O(diameter) rounds.
+    "q56_dedup_components" -> ((s, d) => {
+      val pairs = TextDedup.nearDupPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 2000), 3000L)
+      graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
+        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("component"))
+    }),
+
     // SimHash: 62-bit fingerprint from two 31-bit LCG token hashes;
     // bit b of the fingerprint is set iff the ±1 vote sum over the doc's
     // distinct tokens is positive.
@@ -98,6 +111,35 @@ object DedupQueries extends QueryGroup {
       |sh AS (SELECT DISTINCT doc_id, (v1.id * 8191 + v2.id) % 1000000007 AS h
       |       FROM tp JOIN v v1 ON w1 = v1.token JOIN v v2 ON w2 = v2.token)""".stripMargin
 
+  /** Shared CTE chain for the MinHash+LSH pipeline (q33/q56): shingle
+    * hashes → per-permutation minima → band signatures → candidate
+    * pairs → exact-Jaccard sizes. */
+  private def lshCtes: String = {
+    val hkValues = HashParams.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
+    s"""$shingleHashSql,
+       |hk(k, a, b) AS (VALUES $hkValues),
+       |mh AS (SELECT doc_id, k, MIN((a * h + b) % 1000000007) AS mh
+       |       FROM sh, hk GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, k // 2 AS band,
+       |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
+       |          FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+       |          FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+       |                      JOIN sh s2 ON s2.doc_id = c.d2 AND s1.h = s2.h
+       |          GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Verified near-dup pairs (threshold 0.3, scaled 1e4) over `lshCtes`. */
+  private val lshPairsSelect: String =
+    """SELECT d1, d2,
+      |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
+      |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+      |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q31_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -119,29 +161,27 @@ object DedupQueries extends QueryGroup {
         |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
         |ORDER BY d1, d2""".stripMargin,
 
-    "q33_dedup_minhash_lsh" -> {
-      val hkValues = HashParams.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
-      s"""WITH $shingleHashSql,
-         |hk(k, a, b) AS (VALUES $hkValues),
-         |mh AS (SELECT doc_id, k, MIN((a * h + b) % 1000000007) AS mh
-         |       FROM sh, hk GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, k // 2 AS band,
-         |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
-         |          FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
-         |          FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
-         |                      JOIN sh s2 ON s2.doc_id = c.d2 AND s1.h = s2.h
-         |          GROUP BY 1, 2)
-         |SELECT d1, d2,
-         |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
-         |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
-         |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
-         |ORDER BY d1, d2""".stripMargin
-    },
+    "q33_dedup_minhash_lsh" ->
+      s"""WITH $lshCtes
+         |$lshPairsSelect
+         |ORDER BY d1, d2""".stripMargin,
+
+    // Transitive closure of the LSH pair list via a recursive CTE, then
+    // min-reachable-id per node = the component label (identical to the
+    // Spark min-label-propagation fixpoint).
+    "q56_dedup_components" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |pairs AS ($lshPairsSelect),
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |       UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM e2
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+         |          WHERE e.b <> r.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),

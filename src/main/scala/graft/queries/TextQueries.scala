@@ -100,6 +100,36 @@ object TextQueries extends QueryGroup {
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))),
 
+    // Repetition quality (boilerplate detector): duplicate-bigram ratio
+    // and top-token frequency ratio per doc — the classic repetition
+    // filters for training corpora. All narrow in-array work (nested
+    // HOFs), no shuffle: per-doc cost is O(tokens · distinct-tokens) on
+    // ~short docs, embarrassingly parallel at 100 TB.
+    "q57_text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("bg",
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(0), size(col("t")) - 2),
+              i => concat_ws(" ", get(col("t"), i), get(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .withColumn("n_2g", size(col("bg")).cast("long"))
+        .withColumn("n_dist_2g", size(array_distinct(col("bg"))).cast("long"))
+        .withColumn("top_tok",
+          when(col("n_tok") > 0,
+            array_max(transform(array_distinct(col("t")),
+              x => size(filter(col("t"), y => y === x)).cast("long"))))
+            .otherwise(lit(0L)))
+        .select(col("doc_id"), col("n_tok"),
+          when(col("n_2g") > 0,
+            ratio1e4(lit(1.0) - col("n_dist_2g").cast("double") / col("n_2g").cast("double")))
+            .otherwise(lit(0L)).as("dup_2g_1e4"),
+          when(col("n_tok") > 0,
+            ratio1e4(col("top_tok").cast("double") / col("n_tok").cast("double")))
+            .otherwise(lit(0L)).as("top_tok_1e4"))
+        .orderBy(col("doc_id"))),
+
     // Document fingerprint: 31-base rolling hash mod 1e9+7 over the first
     // 256 chars. Fold starts at 0 which matches DuckDB's init-less
     // list_reduce (0*31 + c1 = c1).
@@ -170,6 +200,34 @@ object TextQueries extends QueryGroup {
         |  CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT) AS n_other,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q57_text_repetition" ->
+      """WITH b AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                         x -> x <> '') AS t
+        |           FROM documents),
+        |g AS (SELECT doc_id, t,
+        |        CASE WHEN len(t) >= 2
+        |             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |             ELSE CAST([] AS VARCHAR[]) END AS bg
+        |      FROM b),
+        |m AS (SELECT doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_tok,
+        |        CAST(len(bg) AS BIGINT) AS n_2g,
+        |        CAST(len(list_distinct(bg)) AS BIGINT) AS n_dist_2g,
+        |        CASE WHEN len(t) > 0
+        |             THEN list_max(list_transform(list_distinct(t),
+        |                    x -> len(list_filter(t, y -> y = x))))
+        |             ELSE 0 END AS top_tok
+        |      FROM g)
+        |SELECT doc_id, n_tok,
+        |  CASE WHEN n_2g > 0
+        |       THEN CAST(floor((1.0 - CAST(n_dist_2g AS DOUBLE) / CAST(n_2g AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+        |       ELSE 0 END AS dup_2g_1e4,
+        |  CASE WHEN n_tok > 0
+        |       THEN CAST(floor(CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |       ELSE 0 END AS top_tok_1e4
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q40_text_fingerprint" ->
       """SELECT doc_id,

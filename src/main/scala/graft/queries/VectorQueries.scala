@@ -62,6 +62,26 @@ object VectorQueries extends QueryGroup {
           "vec_id", "embedding", lit(0.3), decD)
         .orderBy(col("i"), col("j"))),
 
+    // Hyperplane-LSH ANN (the other scale path next to IVF): two 6-bit
+    // sign-sketch tables; candidates = vectors sharing the query's
+    // bucket in either table, ranked by exact cosine. At 100 TB the
+    // bucket columns are precomputed at ingest and the candidate fetch
+    // is a bucket-equality join, never a full scan.
+    "q59_ann_lsh" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("b0", Similarity.hyperplaneBucket(col("v"), 6, 64, 0))
+        .withColumn("b1", Similarity.hyperplaneBucket(col("v"), 6, 64, 6))
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("v").as("qv"), col("b0").as("qb0"), col("b1").as("qb1"))
+      e.filter(col("vec_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .filter(col("b0") === col("qb0") || col("b1") === col("qb1"))
+        .select(col("vec_id"), decD(Similarity.cosine(col("v"), col("qv"))).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // IVF-pruned ANN: deterministic "trained" centroids (vec_id % 100 = 0),
     // assign every base vector to its nearest centroid, probe the top-2
     // centroids for the query, brute-force only inside those clusters.
@@ -79,7 +99,28 @@ object VectorQueries extends QueryGroup {
     })
   )
 
+  /** DuckDB twin of Similarity.hyperplaneBucket: nBits sign bits over
+    * the deterministic hyperplane family starting at seedOffset. */
+  private def duckBucket(v: String, nBits: Int, seedOffset: Int): String =
+    (0 until nBits).map { i =>
+      val b = seedOffset + i
+      val w = s"list_transform(range(0, 64), t -> CAST((($b * 131 + t * 137) % 19) - 9 AS DOUBLE))"
+      s"(CASE WHEN ${duckDot.format(v, w)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   override def oracle: Map[String, String] = Map(
+    "q59_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |             ${duckBucket("v", 6, 0)} AS b0,
+         |             ${duckBucket("v", 6, 6)} AS b1
+         |      FROM e),
+         |q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM b WHERE vec_id = 1)
+         |SELECT b.vec_id, CAST(CAST(${duckCos("b.v", "q.qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |FROM b, q
+         |WHERE b.vec_id <> 1 AND (b.b0 = q.qb0 OR b.b1 = q.qb1)
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "q30_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
