@@ -39,9 +39,15 @@ object GraphDedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // localCheckpoint (eager) rather than persist: it truncates the
+    // lineage each round, so the logical plan stays one-join deep
+    // instead of growing with the iteration count (the analyzer cost of
+    // an N-round persisted chain is superlinear in N). On a cluster
+    // with a checkpoint dir, `checkpoint()` gives the same truncation
+    // with fault tolerance.
     var labels = e.select(col("e_src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -52,13 +58,12 @@ object GraphDedup {
         .join(nbrMin, col("id") === col("e_src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.select(col("id"), col("label").as("n_label"))
         .join(labels.select(col("id").as("p_id"), col("label").as("p_label")),
           col("id") === col("p_id"))
         .filter(col("n_label") =!= col("p_label"))
         .count()
-      labels.unpersist()
       labels = next
       iter += 1
     }

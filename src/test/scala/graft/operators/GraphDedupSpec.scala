@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphDedupSpec extends SparkTestBase {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphDedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two disjoint components resolve to their min ids") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("a chain longer than one hop converges (diameter > 1)") {
+    val got = components(Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L)))
+    assert(got.values.toSet == Set(10L))
+    assert(got.keySet == Set(10L, 20L, 30L, 40L, 50L))
+  }
+
+  test("cycles and duplicate/reversed edges are harmless") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labels match the transitive closure on a random graph") {
+    // deterministic pseudo-random edges over 40 nodes
+    val edges = (0 until 60).map { i =>
+      val a = (i * 7919L) % 40
+      val b = (i * 104729L + 13L) % 40
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val got = components(edges)
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+  }
+}

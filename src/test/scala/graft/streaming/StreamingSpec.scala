@@ -88,6 +88,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet === Set((1L, ts(0)), (1L, ts(10))))
   }
 
+  test("custom state: flatMapGroupsWithState sessionizer emits closed sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[StatefulOps.Event]
+    val sessions = StatefulOps.sessionize(
+      spark, in.toDS(), gapMs = 30L * 60 * 1000, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fmgws").start()
+    // user 1: 10:00,10:20 (one session), then 11:30 (new session)
+    in.addData(StatefulOps.Event(1L, ts(0)), StatefulOps.Event(1L, ts(20)))
+    q.processAllAvailable()
+    in.addData(StatefulOps.Event(1L, Timestamp.valueOf("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    // advance the watermark far enough to time out the open session
+    in.addData(StatefulOps.Event(9L, Timestamp.valueOf("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    in.addData(StatefulOps.Event(9L, Timestamp.valueOf("2024-01-01 16:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fmgws").filter(col("user_id") === 1L)
+      .select("start", "end", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got.contains((ts(0), ts(20), 2L)), s"first session must close on gap: $got")
+    assert(got.contains((Timestamp.valueOf("2024-01-01 11:30:00"),
+      Timestamp.valueOf("2024-01-01 11:30:00"), 1L)),
+      s"second session must close on event-time timeout: $got")
+  }
+
   test("B27: dropDuplicatesWithinWatermark dedups replayed event ids") {
     val s = spark
     import s.implicits._
