@@ -35,16 +35,25 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))),
 
     // Exact pairwise n-gram Jaccard over shared-shingle candidates.
+    // The shingle set feeds three consumers (both join sides + the
+    // per-doc sizes); persisting it runs the tokenize/explode/distinct
+    // subtree once instead of three times, and the tiny per-doc size
+    // dim is broadcast so only the pair stream ever shuffles.
     "q32_dedup_ngram_jaccard" -> ((s, d) => {
+      // One-row-group fixture parquet = one scan task; spread the
+      // CPU-heavy shingling across cores first (at 100 TB the scan has
+      // thousands of splits and this repartition disappears).
       val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+        .repartition(32)
       val sh = shingleStrings(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("d1"), col("shingle"))
       val b = sh.select(col("doc_id").as("d2"), col("shingle").as("shingle2"))
       a.join(b, col("shingle") === col("shingle2") && col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
-        .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+        .join(broadcast(sizes.select(col("doc_id").as("zd1"), col("n").as("n1"))), col("d1") === col("zd1"))
+        .join(broadcast(sizes.select(col("doc_id").as("zd2"), col("n").as("n2"))), col("d2") === col("zd2"))
         .select(col("d1"), col("d2"),
           ratio1e4(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))

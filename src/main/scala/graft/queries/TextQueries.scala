@@ -106,7 +106,10 @@ object TextQueries extends QueryGroup {
     // HOFs), no shuffle: per-doc cost is O(tokens · distinct-tokens) on
     // ~short docs, embarrassingly parallel at 100 TB.
     "q57_text_repetition" -> ((s, d) =>
+      // repartition first: the fixture parquet is one row group (one
+      // scan task) and the per-doc HOF work is the query's whole cost.
       Tables.documents(s, d)
+        .repartition(32)
         .withColumn("t", toks(col("text")))
         .withColumn("bg",
           when(size(col("t")) >= 2,
@@ -116,10 +119,21 @@ object TextQueries extends QueryGroup {
         .withColumn("n_tok", size(col("t")).cast("long"))
         .withColumn("n_2g", size(col("bg")).cast("long"))
         .withColumn("n_dist_2g", size(array_distinct(col("bg"))).cast("long"))
+        // max token frequency == longest equal-run in the sorted array:
+        // one O(n) fold per doc instead of the O(n·distinct) nested
+        // filter-per-distinct-token formulation (HOF lambdas are
+        // interpreted, so the quadratic form was the query's hot spot).
         .withColumn("top_tok",
           when(col("n_tok") > 0,
-            array_max(transform(array_distinct(col("t")),
-              x => size(filter(col("t"), y => y === x)).cast("long"))))
+            aggregate(array_sort(col("t")),
+              struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+              (acc, x) => {
+                val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+                  .otherwise(lit(1L))
+                struct(x.as("prev"), run.as("run"),
+                  greatest(acc.getField("best"), run).as("best"))
+              },
+              acc => acc.getField("best")))
             .otherwise(lit(0L)))
         .select(col("doc_id"), col("n_tok"),
           when(col("n_2g") > 0,
