@@ -16,20 +16,43 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolved-relation cache, keyed per session instance: repeated reads
+  // of the same table reuse the listed FileIndex + parquet schema instead
+  // of re-listing and re-reading footers per query — exactly what a
+  // catalog/metastore table provides. DataFrames are immutable plans, so
+  // sharing is safe; keying on the session identity keeps plans from a
+  // stopped session from leaking into a new one.
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark only reads as a
     * raw long via the legacy nanosAsLong conf. We keep the long (`ts` —
     * exact, used for ordering/grouping/gap arithmetic) and derive `ts_t`,
     * a micro-truncated timestamp for event-time windowing.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    t(spark, dir, "events")
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    relationCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, "events+ts_t"),
+      _ => {
+        try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: Throwable => () }
+        t(spark, dir, "events")
+          .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      })
+
+  /** Spread a CPU-heavy per-row pipeline across all cores. The fixture
+    * parquet files are single-row-group (scan = ONE task), so without
+    * this every downstream regex/HOF runs single-threaded; at 100 TB the
+    * scan has thousands of row-group splits and this round-robin
+    * repartition is a cheap no-op-sized shuffle relative to the per-row
+    * work it parallelizes (only use it in front of compute-bound maps).
+    */
+  def spread(df: DataFrame): DataFrame = df.repartition(32)
 
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")

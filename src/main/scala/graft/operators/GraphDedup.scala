@@ -54,17 +54,18 @@ object GraphDedup {
       // min label over the neighborhood, then min with the own label
       val nbrMin = e.join(labels, col("e_dst") === col("id"))
         .groupBy(col("e_src")).agg(min(col("label")).as("nbr_min"))
+      // The changed flag rides along in the propagation select, so the
+      // convergence check is a filter+count over the just-materialized
+      // checkpoint instead of an extra join+shuffle against the previous
+      // labels.
       val next = labels
         .join(nbrMin, col("id") === col("e_src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
-      changed = next.select(col("id"), col("label").as("n_label"))
-        .join(labels.select(col("id").as("p_id"), col("label").as("p_label")),
-          col("id") === col("p_id"))
-        .filter(col("n_label") =!= col("p_label"))
-        .count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     e.unpersist()

@@ -86,6 +86,25 @@ object AdvancedQueries extends QueryGroup {
           decD(sum(decFix(col("o_totalprice"), 2))).as("sum_price"),
           min(col("h")).as("min_h"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Salted skew join as a declared query: orders⋈customer through
+    // SkewJoin.saltedInner (left rows scatter across 4 salt buckets by a
+    // deterministic per-row hash, the dim side replicates 4×), then a
+    // mktsegment rollup. Result is provably identical to the plain
+    // equi-join — the oracle twin IS the plain join, so the gate
+    // hash-verifies the salting's correctness each round. This is the
+    // explicit pre-split path for keys KNOWN hot at 100 TB (null-key /
+    // celebrity-entity skew); AQE skew-join covers the detected-at-
+    // runtime case.
+    "q65_skew_salted" -> ((s, d) => {
+      val j = graft.operators.SkewJoin.saltedInner(
+        Tables.orders(s, d), "o_custkey", col("o_orderkey"),
+        Tables.customer(s, d), "c_custkey", 4)
+      j.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          decD(sum(decFix(col("o_totalprice"), 2))).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -133,6 +152,12 @@ object AdvancedQueries extends QueryGroup {
         |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
         |       CAST(MIN(h) AS BIGINT) AS min_h
         |FROM r WHERE rn <= 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_skew_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

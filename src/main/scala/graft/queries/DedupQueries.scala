@@ -40,12 +40,16 @@ object DedupQueries extends QueryGroup {
     // subtree once instead of three times, and the tiny per-doc size
     // dim is broadcast so only the pair stream ever shuffles.
     "q32_dedup_ngram_jaccard" -> ((s, d) => {
-      // One-row-group fixture parquet = one scan task; spread the
-      // CPU-heavy shingling across cores first (at 100 TB the scan has
-      // thousands of splits and this repartition disappears).
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
-        .repartition(32)
+      val docs = Tables.spread(
+        Tables.documents(s, d).filter(col("doc_id") < 2000))
+      // The persisted shingle set is hash-partitioned on the join key at
+      // full width ONCE: both self-join sides read the same cached
+      // HashPartitioning(shingle, 32) (alias-tracked through the d2/
+      // shingle2 rename), so the O(candidate-pairs) probe runs on every
+      // core with no further exchange whatever the session's
+      // shuffle.partitions.
       val sh = shingleStrings(docs)
+        .repartition(32, col("shingle"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("d1"), col("shingle"))
@@ -67,7 +71,7 @@ object DedupQueries extends QueryGroup {
     // this oracle query hash-verifies the library path each round.
     "q33_dedup_minhash_lsh" -> ((s, d) =>
       TextDedup.nearDupPairs(
-          Tables.documents(s, d).filter(col("doc_id") < 2000), 3000L)
+          Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
         .orderBy(col("d1"), col("d2"))),
 
     // Duplicate-cluster resolution: connected components over the
@@ -77,7 +81,7 @@ object DedupQueries extends QueryGroup {
     // join+groupBy shuffle per round, O(diameter) rounds.
     "q56_dedup_components" -> ((s, d) => {
       val pairs = TextDedup.nearDupPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 2000), 3000L)
+        Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
       graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("component"))
@@ -87,10 +91,14 @@ object DedupQueries extends QueryGroup {
     // bit b of the fingerprint is set iff the ±1 vote sum over the doc's
     // distinct tokens is positive.
     "q34_dedup_simhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.spread(Tables.documents(s, d))
       val v = vocab(docs)
       val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token")).distinct()
+      // Keyed repartition: the 62-column vote agg below is the query's
+      // CPU; HashPartitioning(doc_id, 32) runs it on every core and
+      // doubles as the groupBy distribution (no further exchange).
       val th = tok.join(broadcast(v), "token")
+        .repartition(32, col("doc_id"))
         .select(col("doc_id"),
           (((col("id") * 48271L) % 2147483647L) * 2147483648L +
             ((col("id") * 69621L) % 2147483647L)).as("h62"))

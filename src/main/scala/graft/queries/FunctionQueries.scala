@@ -34,7 +34,7 @@ object FunctionQueries extends QueryGroup {
 
     // Custom Generator (UDTF): one-pass word trigrams.
     "q43_udtf_ngrams" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(NGrams.ngrams(toks(col("text")), 3).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))

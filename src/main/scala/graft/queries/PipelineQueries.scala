@@ -47,7 +47,7 @@ object PipelineQueries extends QueryGroup {
     "q47_sequence_packing" -> ((s, d) => {
       val w = Window.orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
         .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
         .withColumn("bin", floor(col("cum_before") / 512L).cast("long"))
@@ -63,7 +63,7 @@ object PipelineQueries extends QueryGroup {
       val t = lower(col("text"))
       def flag(pat: String): Column =
         when(t.rlike(pat), 1L).otherwise(0L)
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("source"),
           flag("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+").as("f_email"),
           flag("[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]").as("f_phone"),

@@ -72,6 +72,28 @@ object StreamTwins extends QueryGroup {
         .groupBy(col("operation"), pmod(col("pk"), lit(3)).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("operation"), col("bucket"))
+    }),
+
+    // Stream-stream interval join, batch twin (the streaming form — two
+    // watermarked streams joined on key + time range — is
+    // StreamingSpec's interval-join test): per purchase, clicks of the
+    // same user in the preceding 30 minutes. One shuffle on user_id;
+    // the range predicate evaluates inside the sort-merge join, so the
+    // per-user merge never materializes the cross product. At 100 TB
+    // both sides partition by user_id and the join stays co-located.
+    "q61_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("p_event"), col("ts").as("pts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      p.join(c, col("pu") === col("cu") &&
+          col("cts") >= col("pts") - lit(GapNs) && col("cts") < col("pts"), "left")
+        .groupBy(col("pu"), col("p_event"), col("pts"))
+        .agg(count(col("cts")).as("n_clicks"))
+        .select(col("pu").as("user_id"), col("p_event").as("event_id"),
+          nsToStr(col("pts")).as("ts_s"), col("n_clicks"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -115,6 +137,16 @@ object StreamTwins extends QueryGroup {
         |SELECT operation, CAST(pk % 3 AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM changes
         |WHERE operation IN ('INSERT','UPDATE') AND concat_ws('.', db, tbl) = 'shop.orders'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q61_interval_join" ->
+      s"""SELECT p.user_id, p.event_id, strftime(p.ts, $TS) AS ts_s,
+         |       CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+         |FROM events p LEFT JOIN events c
+         |  ON c.user_id = p.user_id AND c.event_type = 'click'
+         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY p.user_id, p.event_id, p.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin
   )
 }

@@ -46,7 +46,7 @@ object TextQueries extends QueryGroup {
     // broadcast). Output is the (truth-lang × predicted-lang) confusion
     // matrix — small and stable at any corpus size.
     "q37_text_langid" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.spread(Tables.documents(s, d))
       val lw = s.createDataFrame(langWords).toDF("lang_c", "word")
       val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
       val hits = tok.join(broadcast(lw), col("token") === col("word"))
@@ -64,7 +64,7 @@ object TextQueries extends QueryGroup {
     // composite score — all double math (IEEE-identical), decimal-rendered.
     "q38_text_quality" -> ((s, d) => {
       val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
-      val base = Tables.documents(s, d)
+      val base = Tables.spread(Tables.documents(s, d))
         .withColumn("t", toks(col("text")))
         .withColumn("n_tokens", size(col("t")).cast("long"))
         .withColumn("tok_chars",
@@ -91,7 +91,7 @@ object TextQueries extends QueryGroup {
     // Token counting: whitespace tokens + regex token classes (BPE-ish
     // pre-tokenizer: alpha runs | digit runs | single non-space symbols).
     "q39_text_tokencount" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      Tables.spread(Tables.documents(s, d)).select(
           col("doc_id"),
           size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_ws"),
           size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
@@ -106,10 +106,8 @@ object TextQueries extends QueryGroup {
     // HOFs), no shuffle: per-doc cost is O(tokens · distinct-tokens) on
     // ~short docs, embarrassingly parallel at 100 TB.
     "q57_text_repetition" -> ((s, d) =>
-      // repartition first: the fixture parquet is one row group (one
-      // scan task) and the per-doc HOF work is the query's whole cost.
-      Tables.documents(s, d)
-        .repartition(32)
+      // spread first: the per-doc HOF work is the query's whole cost.
+      Tables.spread(Tables.documents(s, d))
         .withColumn("t", toks(col("text")))
         .withColumn("bg",
           when(size(col("t")) >= 2,
@@ -148,7 +146,7 @@ object TextQueries extends QueryGroup {
     // 256 chars. Fold starts at 0 which matches DuckDB's init-less
     // list_reduce (0*31 + c1 = c1).
     "q40_text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .withColumn("s", substring(col("text"), 1, 256))
         .withColumn("fp",
           when(length(col("s")) > 0,
@@ -156,10 +154,55 @@ object TextQueries extends QueryGroup {
               lit(0L), (h, c) => (h * 31L + c) % P))
             .otherwise(lit(0L)))
         .select(col("doc_id"), col("fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df).
+    // Corpus stats (df, N) computed over ALL docs; only the output is
+    // restricted (doc_id < 200) so the declared result stays small. The
+    // df dim is vocabulary-sized (Zipf — tiny next to the corpus) and
+    // broadcast; N rides along as a broadcast 1-row aggregate, so the
+    // per-doc scoring needs no extra wide op beyond the tf groupBy.
+    // ln() of the same exact integers is the same libm-grade double in
+    // both engines; tfidf is irrational so the 1e4 render is tie-safe.
+    "q63_text_tfidf" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfDim = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_1e4").desc, col("token"))
+      tf.filter(col("doc_id") < 200)
+        .join(broadcast(dfDim), "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf_1e4", ratio1e4(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+          col("tfidf_1e4"))
+        .orderBy(col("doc_id"), col("rn"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q63_text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                x -> x <> '')) AS token
+        |           FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |              CAST(floor(tf.tf * ln(n.n_docs * 1.0 / df.df) * 10000 + 0.5) AS BIGINT) AS tfidf_1e4
+        |       FROM tf JOIN df USING (token), n
+        |       WHERE tf.doc_id < 200),
+        |r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf_1e4 DESC, token) AS rn
+        |      FROM sc)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, tf, df, tfidf_1e4
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
     "q29_text_top_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

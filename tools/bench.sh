@@ -1,0 +1,27 @@
+#!/bin/bash
+# Driver-style bench run outside sbt: same JVM flags as build.sbt's forked
+# run. Usage: tools/bench.sh [outJson] (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_BENCH_ONLY, SPARK_GRAFT_BENCH_RUNS)
+set -e
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/bench_local.json}"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench > "$OUT".raw 2> "$OUT".log
+tail -1 "$OUT".raw > "$OUT"
+python3 -c "
+import json,sys
+d=json.load(open('$OUT'))
+qs=d['queries']
+print('total', d['value'])
+for k in sorted(qs, key=lambda k:-qs[k])[:12]: print(f'{k:28s} {qs[k]:7.3f}')
+"
