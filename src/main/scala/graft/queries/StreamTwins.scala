@@ -94,6 +94,27 @@ object StreamTwins extends QueryGroup {
         .select(col("pu").as("user_id"), col("p_event").as("event_id"),
           nsToStr(col("pts")).as("ts_s"), col("n_clicks"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // CDC state materialization (the step after routing in a CDC engine:
+    // change stream → current-state table). Synthetic per-key change
+    // sequence from orders (pk = custkey, version = orderkey); the
+    // latest version wins, a last-op DELETE removes the key. One window
+    // shuffle on pk — at 100 TB this is the standard merge-on-read
+    // compaction shape (foreachBatch MERGE in the streaming form).
+    "q62_cdc_latest" -> ((s, d) => {
+      val changes = Tables.orders(s, d).select(
+        col("o_custkey").as("pk"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 < 6, "INSERT")
+          .when(col("o_orderkey") % 10 < 9, "UPDATE")
+          .otherwise("DELETE").as("operation"),
+        col("o_totalprice").as("val"))
+      val w = Window.partitionBy(col("pk")).orderBy(col("seq").desc)
+      changes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+        .select(col("pk"), col("seq").as("last_seq"), col("operation"),
+          decD(decFix(col("val"), 2)).as("val"))
+        .orderBy(col("pk"))
     })
   )
 
@@ -147,6 +168,21 @@ object StreamTwins extends QueryGroup {
          | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
          |WHERE p.event_type = 'purchase'
          |GROUP BY p.user_id, p.event_id, p.ts
-         |ORDER BY p.user_id, p.event_id""".stripMargin
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q62_cdc_latest" ->
+      """WITH changes AS (
+        |  SELECT o_custkey AS pk, o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 10 < 6 THEN 'INSERT'
+        |              WHEN o_orderkey % 10 < 9 THEN 'UPDATE'
+        |              ELSE 'DELETE' END AS operation,
+        |         o_totalprice AS val
+        |  FROM orders),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        |      FROM changes)
+        |SELECT pk, seq AS last_seq, operation,
+        |       CAST(CAST(CAST(val AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DOUBLE) AS val
+        |FROM r WHERE rn = 1 AND operation <> 'DELETE'
+        |ORDER BY pk""".stripMargin
   )
 }

@@ -96,6 +96,35 @@ object VectorQueries extends QueryGroup {
       graft.operators.Similarity.ivfTopK(
         e.filter(col("vec_id") < 500 && col("vec_id") =!= 1), "vec_id", "v",
         cent, q, 5, 2, decD)
+    }),
+
+    // Symmetric int8 scalar quantization of embeddings + exact
+    // reconstruction error — the compression step in front of a
+    // billion-vector ANN index (quantized vectors are 4× smaller; the
+    // index stores int8, rerank dequantizes). Pure per-row HOF work, no
+    // shuffle; every arithmetic step is the identical IEEE op sequence
+    // in both engines (floor(x*scale+0.5) is the portable round-half-up,
+    // fold order is left-to-right from 0.0).
+    "q64_embed_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      e.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("amax", array_max(transform(col("vd"), x => abs(x))))
+        .filter(col("amax") > 0)
+        .withColumn("scale", lit(127.0) / col("amax"))
+        .withColumn("q",
+          transform(col("vd"), x => floor(x * col("scale") + 0.5).cast("long")))
+        .withColumn("se",
+          aggregate(
+            zip_with(col("vd"), col("q"), (x, qi) =>
+              (x - qi.cast("double") / col("scale")) *
+                (x - qi.cast("double") / col("scale"))),
+            lit(0.0), (a, x) => a + x))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          ratio1e4(col("scale")).as("scale_1e4"),
+          floor(col("se") / size(col("vd")).cast("double") * 1e8 + 0.5)
+            .cast("long").as("mse_1e8"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -109,6 +138,24 @@ object VectorQueries extends QueryGroup {
     }.mkString("(", " + ", ")")
 
   override def oracle: Map[String, String] = Map(
+    "q64_embed_quantize" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |           FROM embeddings WHERE vec_id < 500),
+        |a AS (SELECT vec_id, vd,
+        |             list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax
+        |      FROM b),
+        |s AS (SELECT vec_id, vd, 127.0 / amax AS scale FROM a WHERE amax > 0),
+        |q AS (SELECT vec_id, vd, scale,
+        |             list_transform(vd, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |      FROM s)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(floor(scale * 10000 + 0.5) AS BIGINT) AS scale_1e4,
+        |  CAST(floor(list_reduce(list_transform(list_zip(vd, qv),
+        |         p -> (p[1] - p[2] / scale) * (p[1] - p[2] / scale)), (x, y) -> x + y)
+        |       / len(vd) * 100000000 + 0.5) AS BIGINT) AS mse_1e8
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q59_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
