@@ -43,7 +43,8 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.graftbridge.Bridge.renderSort(fn(spark, sfDir))
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Project, Repartition, Sort}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column ⇄ Expression bridge. Spark 4 removed the public
@@ -14,6 +15,30 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rewrite a result-rendering global sort (the determinism protocol's
+    * trailing ORDER BY) into shuffle-to-one-partition + local sort: the
+    * same total order without RangePartitioning's extra row-sampling
+    * job per execution. Declared results are small (bounded row counts
+    * by construction), so the single output partition is free; a sort
+    * feeding a LIMIT keeps its shape (root is Limit, not Sort) and still
+    * becomes TakeOrderedAndProject. Harness-side only — library callers
+    * keep the plain global sort, which scales out. */
+  def renderSort(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classic.sparkSession
+    val rewritten = classic.queryExecution.logical match {
+      case Sort(order, true, child, hint) =>
+        Some(Sort(order, global = false, Repartition(1, shuffle = true, child), hint))
+      case Project(list, Sort(order, true, child, hint)) =>
+        Some(Project(list,
+          Sort(order, global = false, Repartition(1, shuffle = true, child), hint)))
+      case _ => None
+    }
+    rewritten
+      .map(p => org.apache.spark.sql.classic.Dataset.ofRows(spark, p): DataFrame)
+      .getOrElse(df)
+  }
 
   /** Register a function builder on an ALREADY-RUNNING session's
     * registry — the post-hoc twin of SparkSessionExtensions
