@@ -65,6 +65,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("min("), p)
   }
 
+  test("renderSort: root sort loses RangePartitioning, limit keeps TakeOrdered") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // A result-rendering sort becomes shuffle-to-1 + local sort (no
+    // range-partitioning sample pass) and the row sequence is unchanged.
+    val sorted = SparkEntry.queries("q12_count_distinct")(spark, sf001)
+    val rendered = Bridge.renderSort(sorted)
+    val p = rendered.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("SinglePartition") || p.contains("Sort"), p)
+    assert(rendered.collect().toSeq == sorted.collect().toSeq)
+    // A sort feeding a LIMIT is not rewritten — still TakeOrderedAndProject.
+    val topk = Bridge.renderSort(SparkEntry.queries("q15_topk")(spark, sf001))
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("bucketed tables join without a shuffle (co-located join at scale)") {
     // The 100 TB join strategy: both sides bucketed on the join key at
     // write time -> SortMergeJoin reads buckets directly, zero Exchange.
