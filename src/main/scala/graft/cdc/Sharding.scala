@@ -58,12 +58,21 @@ object Sharding {
   def fnvShardOfKey(key: String, count: Int): Int =
     fnvShardOfBytes(key.getBytes(StandardCharsets.UTF_8), count)
 
-  private val fnvPosUdf = udf((pos: Long, count: Int) => fnvShardOfPosition(pos, count))
-  private val fnvKeyUdf = udf((key: String, count: Int) => fnvShardOfKey(key, count))
+  /** Go `uint64 % count` over a signed-long hash column, in pure long
+    * arithmetic (u = 2·(h >>> 1) + (h & 1), all intermediates < 2^63):
+    * codegen-friendly, no UDF. */
+  private def unsignedMod(h: Column, count: Int): Column = {
+    val c = lit(count.toLong)
+    ((shiftrightunsigned(h, 1) % c) * 2L + h.bitwiseAND(lit(1L))) % c
+  }
 
   /** Shard id column for an envelope DataFrame.
     * @param keyTemplate optional template (row-affinity key, e.g.
-    *   "{{ (index .Data.Rows 0).id }}"); None = binlog position. */
+    *   "{{ (index .Data.Rows 0).id }}"); None = binlog position.
+    *
+    * Both modes stay inside whole-stage codegen: Murmur3 via Spark's own
+    * `hash`, parity mode via the native [[graft.functions.Fnv1aHash]]
+    * expressions (no Scala UDF anywhere in the shard path). */
   def shardId(count: Int, keyTemplate: Option[String], mode: HashMode): Column = mode match {
     case Murmur3 =>
       keyTemplate match {
@@ -73,9 +82,11 @@ object Sharding {
       }
     case Fnv1aParity =>
       keyTemplate match {
-        case Some(t) => fnvKeyUdf(Template.render(t,
-          struct(col("itemID"), col("log"), col("data"))), lit(count))
-        case None => fnvPosUdf(col("log.binlogPosition"), lit(count))
+        case Some(t) => unsignedMod(graft.functions.Fnv1aHash.fnv1a64(
+          Template.render(t, struct(col("itemID"), col("log"), col("data")))), count)
+          .cast("int")
+        case None => unsignedMod(graft.functions.Fnv1aHash.fnv1a64LongLE(
+          col("log.binlogPosition")), count).cast("int")
       }
   }
 

@@ -28,6 +28,24 @@ case class Fnv1aHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** FNV-1a 64 over a long's 8 little-endian bytes — the reference's
+  * default shard key form (uint64 position via binary.Write LittleEndian,
+  * blsenderwork.go:139-147), codegen'd like [[Fnv1aHash]]. */
+case class Fnv1aHashLongLE(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64_long_le"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1aHash.hashLongLE(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv1aHash.hashLongLE($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1aHashLongLE =
+    copy(child = newChild)
+}
+
 object Fnv1aHash {
   /** Static entry shared by interpreted eval and generated code. */
   def hashUtf8(s: UTF8String): Long = {
@@ -42,5 +60,18 @@ object Fnv1aHash {
     h
   }
 
+  /** FNV-1a 64 over the value's 8 LE bytes (Go uint64 layout). */
+  def hashLongLE(v: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < 8) {
+      h ^= ((v >>> (8 * i)) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   def fnv1a64(c: Column): Column = Bridge.column(Fnv1aHash(Bridge.expression(c)))
+  def fnv1a64LongLE(c: Column): Column = Bridge.column(Fnv1aHashLongLE(Bridge.expression(c)))
 }

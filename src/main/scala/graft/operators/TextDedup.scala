@@ -10,9 +10,11 @@ import graft.Canon.ratio1e4
   * query catalog delegates here, so every primitive below is
   * hash-verified against DuckDB at sf0.01 each round.
   *
-  * Scale shape: shingling/minhashing is narrow per-row work; wide ops
-  * are the broadcast vocab join, groupBys on doc_id/shingle, and the
-  * LSH band-bucket equality self-join (never an O(n²) comparison).
+  * Scale shape: shingling/minhashing is narrow per-row work — token and
+  * shingle identities are direct polynomial string hashes (no vocabulary
+  * structure of any kind, so nothing global exists to build or
+  * broadcast); the only wide ops are the groupBy(doc_id) profile pass and
+  * the LSH band-bucket equality self-join (never an O(n²) comparison).
   */
 object TextDedup {
 
@@ -46,35 +48,37 @@ object TextDedup {
           .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
 
-  /** Global token vocabulary: token → dense id by sorted order. The vocab
-    * is tiny relative to the corpus (Zipf) — broadcastable; at 100 TB a
-    * salted two-level dense-rank would replace the single window. */
-  def vocab(docs: DataFrame): DataFrame =
-    docs.select(explode(toks(col("text"))).as("token")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("token"))).cast("long"))
+  /** Portable polynomial string hash: fold (h·31 + ascii(c)) mod P over
+    * the characters — the q40 rolling-hash pattern, bit-identical to
+    * DuckDB's `list_reduce` twin. Token/shingle identity comes straight
+    * from the string, so no vocabulary, window, or broadcast dim exists
+    * anywhere in the dedup path: at 100 TB there is NO global structure
+    * to build — everything up to the per-doc profile groupBy is narrow. */
+  def strHash(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (h, x) => (h * 31L + x) % P)
 
-  /** Distinct 2-gram shingle hashes per doc from consecutive token-id
-    * pairs: h = (id1*8191 + id2) mod P — portable across engines.
-    * One broadcast vocab join + one groupBy(doc_id) shuffle; consecutive
-    * pairs are formed narrowly inside the reassembled id array. */
-  def shingleHashes(docs: DataFrame): DataFrame = {
-    val v = vocab(docs)
-    val tp = docs.withColumn("toks", toks(col("text")))
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
-    val pid = tp.join(broadcast(v), "token")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("pid"))
-    pid.select(col("doc_id"), explode(
-        when(size(col("pid")) >= 2,
-          transform(sequence(lit(0), size(col("pid")) - 2),
-            i => (get(col("pid"), i).getField("id") * 8191L +
-              get(col("pid"), i + 1).getField("id")) % P))
+  /** Per-token polynomial hashes for a text column, in token order. */
+  def tokenHashes(c: Column): Column = transform(toks(c), t => strHash(t))
+
+  /** Distinct 2-gram shingle hashes per doc from consecutive token-hash
+    * pairs: h = (th1·8191 + th2) mod P — portable across engines (th <
+    * P ≈ 2^30, so th·8191 + th ≈ 2^43 stays far inside BIGINT). Entirely
+    * narrow ZERO-shuffle work: a doc's shingles all live in its own row,
+    * so the in-row `array_distinct` IS the (doc_id, h) distinct — no
+    * cross-row dedup exchange exists at any scale. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("th", tokenHashes(col("text")))
+      .select(col("doc_id"), explode(
+        when(size(col("th")) >= 2,
+          array_distinct(transform(sequence(lit(0), size(col("th")) - 2),
+            i => (get(col("th"), i) * 8191L + get(col("th"), i + 1)) % P)))
           .otherwise(array().cast("array<bigint>"))).as("h"))
-      .distinct()
-  }
 
   /** Exact Jaccard (scaled 1e4) for given candidate pairs over a shingle
-    * set (doc_id, h). */
+    * set (doc_id, h). Keep-all-pairs semantics: every candidate pair is
+    * emitted, including zero-intersection pairs (jacc_1e4 = 0) — callers
+    * wanting only overlapping pairs filter on `jacc_1e4 > 0`. */
   def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val perDoc = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
@@ -126,10 +130,14 @@ object TextDedup {
     *
     * ONE groupBy(doc_id) pass produces the whole per-doc profile — all 8
     * permutation minima, the shingle-hash array, and the set size — and is
-    * cached, so the expensive shingling subtree (vocab + broadcast join +
-    * position reassembly) runs exactly once per action instead of once per
-    * downstream consumer. Candidates come from the band self-join;
-    * verification is two joins against the cached per-doc profile. */
+    * materialized once via eager `localCheckpoint` (MEMORY_AND_DISK
+    * blocks, lineage-truncated), so the shingling subtree runs exactly
+    * once and serves all three consumers (band self-join + both
+    * verification sides). Unlike `persist`, checkpoint blocks are NOT
+    * registered in the CacheManager: the ContextCleaner frees them as
+    * soon as the returned DataFrame is unreachable, so repeated calls in
+    * a long-lived session hold flat storage memory. Candidates come from
+    * the band self-join; verification is two joins against the profile. */
   def nearDupPairs(docs: DataFrame, threshold1e4: Long): DataFrame = {
     val mhAggs = HashParams.map { case (k, a, b) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
@@ -137,7 +145,7 @@ object TextDedup {
     val aggs = mhAggs :+ collect_list(col("h")).as("hs") :+ count(lit(1)).as("n")
     val perDoc = shingleHashes(docs).groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val cand = candidatesOf(bandSignatures(
       perDoc.select(col("doc_id") +: HashParams.map { case (k, _, _) => col(s"mh$k") }: _*)))
     jaccardOfPerDoc(cand, perDoc.select(col("doc_id"), col("hs"), col("n")))

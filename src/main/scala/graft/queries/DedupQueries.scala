@@ -11,9 +11,11 @@ import Canon._
   * polynomial hashes mod 1e9+7 / LCGs mod 2^31-1 in BIGINT range) so the
   * DuckDB oracle reproduces results bit-for-bit.
   *
-  * Scale design: shingling/minhashing is per-row narrow work; the only
-  * wide ops are (a) the tiny vocab dim (broadcast), (b) hash-partitioned
-  * groupBys on doc_id/shingle, (c) the LSH band-bucket self-join — which is
+  * Scale design: shingling/minhashing is per-row narrow work (token and
+  * shingle identity are direct polynomial string hashes — NO vocabulary
+  * or global structure exists anywhere); the only wide ops are (a)
+  * hash-partitioned groupBys on doc_id/shingle, (b) the LSH band-bucket
+  * self-join — which is
   * exactly the point: candidates come from equality on (band, signature),
   * never from an O(n²) comparison. The exact n-gram query carries an
   * explicit doc_id bound as its scale guard; MinHash+LSH is the 100 TB
@@ -22,7 +24,7 @@ import Canon._
 object DedupQueries extends QueryGroup {
 
   import graft.operators.TextDedup
-  import TextDedup.{HashParams, toks, shingleStrings, vocab}
+  import TextDedup.{HashParams, toks, shingleStrings, tokenHashes}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content hash (sha2 — at 100 TB you never
@@ -36,21 +38,24 @@ object DedupQueries extends QueryGroup {
 
     // Exact pairwise n-gram Jaccard over shared-shingle candidates.
     // The shingle set feeds three consumers (both join sides + the
-    // per-doc sizes); persisting it runs the tokenize/explode/distinct
-    // subtree once instead of three times, and the tiny per-doc size
-    // dim is broadcast so only the pair stream ever shuffles.
+    // per-doc sizes); the eager localCheckpoint runs the tokenize/
+    // explode/distinct subtree once for all three, WITHOUT registering
+    // in the CacheManager — blocks are ContextCleaner-freed when the
+    // result goes unreachable, so repeated runs hold flat storage
+    // memory (persist here leaked a cached relation per execution).
     "q32_dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.spread(
         Tables.documents(s, d).filter(col("doc_id") < 2000))
-      // The persisted shingle set is hash-partitioned on the join key at
-      // full width ONCE: both self-join sides read the same cached
+      // The checkpointed shingle set is hash-partitioned on the join key
+      // at full width ONCE (localCheckpoint preserves the physical
+      // partitioning): both self-join sides read the same
       // HashPartitioning(shingle, 32) (alias-tracked through the d2/
       // shingle2 rename), so the O(candidate-pairs) probe runs on every
       // core with no further exchange whatever the session's
       // shuffle.partitions.
       val sh = shingleStrings(docs)
         .repartition(32, col("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("d1"), col("shingle"))
       val b = sh.select(col("doc_id").as("d2"), col("shingle").as("shingle2"))
@@ -87,21 +92,21 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("component"))
     }),
 
-    // SimHash: 62-bit fingerprint from two 31-bit LCG token hashes;
-    // bit b of the fingerprint is set iff the ±1 vote sum over the doc's
-    // distinct tokens is positive.
+    // SimHash: 62-bit fingerprint from two 31-bit LCGs over the token's
+    // portable polynomial string hash; bit b of the fingerprint is set
+    // iff the ±1 vote sum over the doc's distinct tokens is positive.
+    // No vocabulary exists: token identity is hashed in-row and the
+    // in-row array_distinct IS the per-doc distinct-token set, so the
+    // ONLY shuffle in the whole query is the groupBy(doc_id) vote agg
+    // (map-side partial over the spread scan's 32 partitions).
     "q34_dedup_simhash" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
-      val v = vocab(docs)
-      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token")).distinct()
-      // Keyed repartition: the 62-column vote agg below is the query's
-      // CPU; HashPartitioning(doc_id, 32) runs it on every core and
-      // doubles as the groupBy distribution (no further exchange).
-      val th = tok.join(broadcast(v), "token")
-        .repartition(32, col("doc_id"))
+      val th = docs
         .select(col("doc_id"),
-          (((col("id") * 48271L) % 2147483647L) * 2147483648L +
-            ((col("id") * 69621L) % 2147483647L)).as("h62"))
+          explode(array_distinct(tokenHashes(col("text")))).as("hv"))
+        .select(col("doc_id"),
+          (((col("hv") * 48271L) % 2147483647L) * 2147483648L +
+            ((col("hv") * 69621L) % 2147483647L)).as("h62"))
       // All 62 per-bit vote sums in ONE groupBy(doc_id) pass (62 long
       // aggregate columns) instead of exploding every token hash into 62
       // rows and shuffling the 62x stream twice. Votes and the final
@@ -117,16 +122,21 @@ object DedupQueries extends QueryGroup {
     })
   )
 
+  /** Portable polynomial string hash of `w` as a DuckDB lambda body —
+    * the q40 rolling-hash pattern, bit-identical to TextDedup.strHash. */
+  private val strHashSql: String =
+    """list_reduce(list_transform(range(1, length(w) + 1),
+      |                           i -> CAST(ascii(w[i]) AS BIGINT)),
+      |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
   private val shingleHashSql: String =
-    """t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
-      |                                 x -> x <> '') AS toks
-      |      FROM documents WHERE doc_id < 2000),
-      |tp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-      |       FROM t, unnest(range(1, greatest(len(toks), 1))) u(i)),
-      |v AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
-      |      FROM (SELECT DISTINCT unnest(toks) AS token FROM t) x),
-      |sh AS (SELECT DISTINCT doc_id, (v1.id * 8191 + v2.id) % 1000000007 AS h
-      |       FROM tp JOIN v v1 ON w1 = v1.token JOIN v v2 ON w2 = v2.token)""".stripMargin
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                                 x -> x <> '') AS toks
+       |      FROM documents WHERE doc_id < 2000),
+       |hh AS (SELECT doc_id, list_transform(toks, w -> $strHashSql) AS th
+       |       FROM t),
+       |sh AS (SELECT DISTINCT doc_id, (th[i] * 8191 + th[i + 1]) % 1000000007 AS h
+       |       FROM hh, unnest(range(1, greatest(len(th), 1))) u(i))""".stripMargin
 
   /** Shared CTE chain for the MinHash+LSH pipeline (q33/q56): shingle
     * hashes → per-permutation minima → band signatures → candidate
@@ -201,15 +211,15 @@ object DedupQueries extends QueryGroup {
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_dedup_simhash" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                                      x -> x <> '') AS toks
-        |           FROM documents),
-        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
-        |v AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
-        |      FROM (SELECT DISTINCT unnest(toks) AS token FROM t) x),
-        |th AS (SELECT doc_id,
-        |         ((id * 48271) % 2147483647) * 2147483648 + ((id * 69621) % 2147483647) AS h62
-        |       FROM tok JOIN v USING (token)),
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                      x -> x <> '') AS toks
+         |           FROM documents),
+         |tok AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(toks, w -> $strHashSql)) AS hv
+         |        FROM t),
+         |th AS (SELECT doc_id,
+         |         ((hv * 48271) % 2147483647) * 2147483648 + ((hv * 69621) % 2147483647) AS h62
+         |       FROM tok),
         |bb AS (SELECT doc_id, r.range AS b,
         |         SUM(CASE WHEN (h62 >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
         |       FROM th, range(0, 62) r GROUP BY 1, 2)

@@ -42,20 +42,29 @@ object TextQueries extends QueryGroup {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
-    // Language ID by stopword-hit argmax (n-gram heuristic, wordlist dim
-    // broadcast). Output is the (truth-lang × predicted-lang) confusion
-    // matrix — small and stable at any corpus size.
+    // Language ID by stopword-hit argmax (n-gram heuristic). The
+    // wordlists are tiny literals, so scoring is pure per-row narrow
+    // work: one size(filter(...)) per language + a greatest/CASE argmax
+    // (ties → lexicographically smallest code, matching the oracle's
+    // ORDER BY hits DESC, lang_c row_number). No explode, no join, no
+    // window — the only shuffle is the tiny confusion-matrix groupBy.
     "q37_text_langid" -> ((s, d) => {
-      val docs = Tables.spread(Tables.documents(s, d))
-      val lw = s.createDataFrame(langWords).toDF("lang_c", "word")
-      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
-      val hits = tok.join(broadcast(lw), col("token") === col("word"))
-        .groupBy(col("doc_id"), col("lang_c")).agg(count(lit(1)).as("hits"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("lang_c"))
-      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id").as("b_doc"), col("lang_c"))
-      docs.join(best, col("doc_id") === col("b_doc"), "left")
-        .select(col("lang"), coalesce(col("lang_c"), lit("und")).as("pred_lang"))
+      val byLang = langWords.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val langs = byLang.keys.toSeq.sorted
+      val t = Tables.spread(Tables.documents(s, d))
+        .withColumn("t", toks(col("text")))
+      val withHits = langs.foldLeft(t) { (df, l) =>
+        df.withColumn(s"h_$l",
+          size(filter(col("t"), x => x.isin(byLang(l): _*))).cast("long"))
+      }
+      val m = greatest(langs.map(l => col(s"h_$l")): _*)
+      val caseChain = langs.tail.foldLeft(
+        when(col(s"h_${langs.head}") === m, lit(langs.head))) { (c, l) =>
+        c.when(col(s"h_$l") === m, lit(l))
+      }
+      withHits
+        .select(col("lang"),
+          when(m > 0, caseChain).otherwise(lit("und")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred_lang"))
     }),

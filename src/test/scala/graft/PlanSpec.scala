@@ -61,8 +61,22 @@ class PlanSpec extends SparkTestBase {
   test("q33 LSH candidates come from an equality join, not a cross product") {
     val p = plan("q33_dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
-    // minhash signatures: single hash aggregate pass over shingles
-    assert(p.contains("partial_min") || p.contains("min("), p)
+    // the per-doc profile (minhash minima + shingle set) is materialized
+    // ONCE by the eager localCheckpoint and read back as an RDD scan by
+    // all three consumers — band self-join plus both verification sides.
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("dedup path has no partition-less window (the 100 TB scale-killer)") {
+    // Token/shingle identity is a direct polynomial string hash — there
+    // is no global vocabulary, so no Window.orderBy-without-partitionBy
+    // (= all rows to ONE task) may appear anywhere in the dedup plans.
+    for (q <- Seq("q32_dedup_ngram_jaccard", "q33_dedup_minhash_lsh",
+        "q34_dedup_simhash", "q56_dedup_components")) {
+      val hasWindow = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.exists(_.nodeName.contains("Window"))
+      assert(!hasWindow, s"$q: dedup plan must contain no WindowExec at all")
+    }
   }
 
   test("renderSort: root sort loses RangePartitioning, limit keeps TakeOrdered") {
