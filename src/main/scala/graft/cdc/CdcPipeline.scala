@@ -25,8 +25,12 @@ object CdcPipeline {
           new WebhookConnector(c.name, c.url, c.method, c.headers,
             for (u <- c.basicAuthUser; p <- c.basicAuthPass) yield (u, p),
             Duration.ofSeconds(10), c.maxInFlight): Connector
+        case "google_pubsub" =>
+          new PubSubConnector(c.name, c.projectId, c.topicId,
+            endpoint = if (c.url.nonEmpty) c.url else "https://pubsub.googleapis.com",
+            authToken = c.authToken): Connector
         case "collect" => new CollectingConnector(c.name): Connector
-        case other => sys.error(s"unknown connector type '$other' (connectors.go:17-33 parity: webhook|google_pubsub)")
+        case other => sys.error(s"unsupported '$other' connector type (connectors.go:29-31 parity)")
       })
     }.toMap
 
@@ -118,7 +122,8 @@ object CdcPipeline {
   /** Run under the restart supervisor (A19): stopInError=false restarts
     * from the checkpoint indefinitely, parity with restartSyncerOnError. */
   def syncSupervised(spark: SparkSession, cfg: GraftConfig, sourcePath: String,
-      checkpointDir: String, maxRestarts: Int = -1): Unit =
+      checkpointDir: String, maxRestarts: Int = -1,
+      trigger: Trigger = Trigger.AvailableNow()): Unit =
     RestartSupervisor.run(if (cfg.stopInError) 0 else maxRestarts)(() =>
-      sync(spark, cfg, sourcePath, checkpointDir, Trigger.AvailableNow()))
+      sync(spark, cfg, sourcePath, checkpointDir, trigger))
 }

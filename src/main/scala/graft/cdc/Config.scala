@@ -30,11 +30,21 @@ final case class GraftConfig(
     // connectors (config.go:129-155)
     connectors: Seq[ConnectorConfig] = Seq.empty,
     // strict reference compat for the empty-dbTable quirk (SURVEY §2.A)
-    strictRouteCompat: Boolean = false)
+    strictRouteCompat: Boolean = false,
+    // runtime wiring for the CLI entry point (the reference reads the
+    // MySQL endpoint from source.*, config.go:103-116; the replay twin
+    // reads a directory) + server.api host/port (config.go:56-60)
+    sourcePath: String = "",
+    checkpointDir: String = "",
+    apiHost: String = "0.0.0.0",
+    apiPort: Int = 0,
+    // continuous tail (reference behavior) vs drain-and-exit
+    follow: Boolean = false)
 
 /** Connector definition — reference `ConnectorT` (config.go:129-155).
-  * type: "webhook" (url/method/headers/basic auth) or "collect" (in-JVM
-  * test sink standing in for Pub/Sub, SURVEY §2.A A14). */
+  * type: "webhook" (url/method/headers/basic auth), "google_pubsub"
+  * (projectId/topicId, `url` doubles as the endpoint override for
+  * emulators), or "collect" (in-JVM test sink). */
 final case class ConnectorConfig(
     name: String,
     connType: String,
@@ -43,7 +53,11 @@ final case class ConnectorConfig(
     headers: Map[String, String] = Map.empty,
     basicAuthUser: Option[String] = None,
     basicAuthPass: Option[String] = None,
-    maxInFlight: Int = 64)
+    maxInFlight: Int = 64,
+    // google_pubsub (config.go:135-139: Pubsub.ProjectID / Pubsub.TopicID)
+    projectId: String = "",
+    topicId: String = "",
+    authToken: Option[String] = None)
 
 object Config {
 
@@ -100,7 +114,10 @@ object Config {
               else Map.empty,
             basicAuthUser = Option.when(c.hasNonNull("basicAuthUser"))(c.get("basicAuthUser").asText()),
             basicAuthPass = Option.when(c.hasNonNull("basicAuthPass"))(c.get("basicAuthPass").asText()),
-            maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64)
+            maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64,
+            projectId = if (c.hasNonNull("projectId")) c.get("projectId").asText() else "",
+            topicId = if (c.hasNonNull("topicId")) c.get("topicId").asText() else "",
+            authToken = Option.when(c.hasNonNull("authToken"))(c.get("authToken").asText()))
         }.toSeq
       else Seq.empty
     GraftConfig(
@@ -116,6 +133,11 @@ object Config {
       shardKeyTemplate = Option.when(n.hasNonNull("shardKeyTemplate"))(n.get("shardKeyTemplate").asText()),
       routes = routes,
       connectors = connectors,
-      strictRouteCompat = bool("strictRouteCompat", dflt = false))
+      strictRouteCompat = bool("strictRouteCompat", dflt = false),
+      sourcePath = str("sourcePath", ""),
+      checkpointDir = str("checkpointDir", ""),
+      apiHost = str("apiHost", "0.0.0.0"),
+      apiPort = if (n.hasNonNull("apiPort")) n.get("apiPort").asInt() else 0,
+      follow = bool("follow", dflt = false))
   }
 }

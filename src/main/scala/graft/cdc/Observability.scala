@@ -55,6 +55,9 @@ final class ObservabilityServer(serverId: String, host: String = "0.0.0.0",
 
   def attach(spark: SparkSession): Unit = spark.streams.addListener(listener)
 
+  /** Bound port after start() (0 before). */
+  def boundPort: Int = if (server == null) 0 else server.getAddress.getPort
+
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {

@@ -106,8 +106,53 @@ object WebhookConnector {
     .build()
 }
 
-/** In-JVM collecting connector for tests (stands in for Pub/Sub, whose
-  * client library is intentionally not vendored — the reference's pubsub
+/** GCP Pub/Sub connector (A14) — semantics parity with
+  * connectors.pubsub.go:19-42: Send ≙ Publish + blocking result.Get —
+  * one message per call, delivery confirmed by the returned messageId,
+  * any publish failure surfaced as the Send error. Transport is the
+  * public Pub/Sub REST API (`POST {endpoint}/v1/projects/{p}/topics/{t}
+  * :publish`, base64 data, `{"messageIds":[...]}` ack) rather than a
+  * vendored client library; `endpoint` override points at an emulator
+  * or test stub. The idempotency key rides as a message attribute so
+  * idempotent subscribers observe exactly-once (same contract as the
+  * webhook's X-Idempotency-Key header). */
+final class PubSubConnector(
+    val name: String,
+    projectId: String,
+    topicId: String,
+    endpoint: String = "https://pubsub.googleapis.com",
+    authToken: Option[String] = None,
+    timeout: Duration = Duration.ofSeconds(10)) extends Connector {
+
+  @transient private lazy val client: HttpClient = WebhookConnector.shared
+
+  /** Reference topic path form (pubsub.Client.Topic(topicID) under
+    * project — "projects/{project}/topics/{topic}"). */
+  val topicPath: String = s"projects/$projectId/topics/$topicId"
+
+  override def send(payload: Array[Byte], idempotencyKey: String): Unit = {
+    val body =
+      s"""{"messages":[{"data":"${Base64.getEncoder.encodeToString(payload)}",""" +
+        s""""attributes":{"idempotencyKey":${TemplateEngine.toJson(idempotencyKey)}}}]}"""
+    val b = HttpRequest.newBuilder(URI.create(s"$endpoint/v1/$topicPath:publish"))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    authToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    // result.Get parity: publish is only successful once the service
+    // acks with an assigned message id (connectors.pubsub.go:36-41).
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new RuntimeException(
+        s"error publishing message in google pubsub '$name' ($topicPath): " +
+          s"status ${resp.statusCode()}")
+    if (!resp.body().contains("messageIds"))
+      throw new RuntimeException(
+        s"error publishing message in google pubsub '$name' ($topicPath): no messageIds ack")
+  }
+}
+
+/** In-JVM collecting connector for tests (the reference's pubsub
   * connector, connectors.pubsub.go:19-42, is Send ≙ blocking publish;
   * the seam here is identical). */
 final class CollectingConnector(val name: String) extends Connector {

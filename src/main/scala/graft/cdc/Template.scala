@@ -78,6 +78,8 @@ object TemplateEngine {
   sealed trait Expr
   final case class Path(segs: Seq[String]) extends Expr
   final case class IndexOf(base: Expr, idx: Int, rest: Seq[String]) extends Expr
+  /** Field selection on an arbitrary sub-expression: `(expr).a.b`. */
+  final case class Sel(base: Expr, fields: Seq[String]) extends Expr
   /** Function application; in pipe position the piped value is appended
     * as the LAST argument (Go/sprig semantics: `.s | trunc 5` ≙
     * `trunc 5 .s`). */
@@ -135,11 +137,28 @@ object TemplateEngine {
     out.result()
   }
 
-  /** Tokenize a call stage: bare words, numbers, paths, quoted strings. */
+  /** Tokenize a call stage: bare words, numbers, paths, quoted strings,
+    * and parenthesized sub-expressions (kept whole across nesting, so
+    * `get (dict "a" 1) "a"` yields 3 tokens). */
   private def tokenize(s: String): Seq[String] = {
-    val TokRe = raw""""((?:[^"\\]|\\.)*)"|(\S+)""".r
-    TokRe.findAllMatchIn(s).map(m =>
-      if (m.group(1) != null) "\"" + m.group(1) + "\"" else m.group(2)).toSeq
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) { inQ = !inQ; cur.append(c) }
+      else if (inQ) cur.append(c)
+      else if (c == '(') { depth += 1; cur.append(c) }
+      else if (c == ')') { depth -= 1; cur.append(c) }
+      else if (c.isWhitespace && depth == 0) flush()
+      else cur.append(c)
+      i += 1
+    }
+    flush()
+    out.result()
   }
 
   private def parseArg(t: String): Expr =
@@ -166,14 +185,13 @@ object TemplateEngine {
 
   private def parseStage(s: String): Expr = {
     if (s.startsWith("(")) {
-      // (index .Path N).rest
+      // (expr).rest — inner may be any expression, incl. a pipeline
       val close = s.lastIndexOf(')')
-      val inner = parseStage(s.substring(1, close).trim)
+      val inner = parseExpr(s.substring(1, close).trim)
       val rest = s.substring(close + 1).split('.').map(_.trim).filter(_.nonEmpty).toSeq
       inner match {
         case IndexOf(b, i, Nil) => IndexOf(b, i, rest)
-        case other => if (rest.isEmpty) other
-          else sys.error(s"field access on non-index expression: $s")
+        case other => if (rest.isEmpty) other else Sel(other, rest)
       }
     } else if (s.startsWith("index ")) {
       val parts = s.stripPrefix("index ").trim.split("\\s+")
@@ -181,9 +199,12 @@ object TemplateEngine {
     } else if (s.startsWith(".")) {
       Path(splitPath(s))
     } else {
-      // prefix call form: "func arg... arg" (Go: all args are expressions)
+      // prefix call form: "func [arg...]" (Go: all args are expressions;
+      // zero-arg calls like `now` are a bare identifier)
       val toks = tokenize(s)
       if (toks.size >= 2) Call(toks.head, toks.tail.map(parseArg))
+      else if (toks.size == 1 && toks.head.matches("[A-Za-z][A-Za-z0-9_]*"))
+        Call(toks.head, Nil)
       else sys.error(s"unsupported template expression: $s")
     }
   }
@@ -220,6 +241,7 @@ object TemplateEngine {
 
   private def evalExpr(e: Expr, root: Any): Any = e match {
     case Path(segs) => segs.foldLeft(root)(step)
+    case Sel(base, fields) => fields.foldLeft(evalExpr(base, root))(step)
     case IndexOf(base, i, rest) =>
       evalExpr(base, root) match {
         case s: Seq[_] if i >= 0 && i < s.size => rest.foldLeft(s(i): Any)(step)
@@ -291,7 +313,76 @@ object TemplateEngine {
       show(args(2)).replace(show(args(0)), show(args(1)))
     case "repeat" => // repeat count s
       show(args.last) * args.head.asInstanceOf[Number].intValue()
-    case "add" => args.map { case n: Number => n.longValue(); case _ => 0L }.sum
+    case "add" => args.map(asLong).sum
+    case "sub" => asLong(args(0)) - asLong(args(1)) // sprig: sub a b = a - b
+    case "mul" => args.map(asLong).product
+    case "div" => asLong(args(0)) / asLong(args(1)) // integer division (sprig int64)
+    case "mod" => asLong(args(0)) % asLong(args(1))
+    case "coalesce" => args.find(!isEmpty(_)).orNull
+    case "ternary" => // ternary ifTrue ifFalse cond (cond pipes in last)
+      if (args(2) == true || args(2) == "true") args(0) else args(1)
+    case "join" => // join sep list
+      args.last match {
+        case s: Seq[_] => s.map(show).mkString(show(args.head))
+        case null => ""
+        case v => show(v)
+      }
+    case "splitList" => // splitList sep s -> list
+      show(args.last).split(java.util.regex.Pattern.quote(show(args.head)), -1).toSeq
+    case "split" => // split sep s -> dict {_0: ..., _1: ...} (sprig)
+      show(args.last).split(java.util.regex.Pattern.quote(show(args.head)), -1)
+        .zipWithIndex.map { case (p, i) => s"_$i" -> (p: Any) }.toMap
+    case "dict" => // dict k1 v1 k2 v2 ... (odd trailing key -> "")
+      args.grouped(2).collect {
+        case Seq(k, v) => show(k) -> v
+        case Seq(k) => show(k) -> ("": Any)
+      }.toMap
+    case "get" => // get dict key ("" when absent, sprig)
+      args.head match {
+        case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].getOrElse(show(args.last), "")
+        case _ => ""
+      }
+    case "hasKey" => args.head match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].contains(show(args.last))
+      case _ => false
+    }
+    case "keys" => args.last match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].keys.toSeq.sorted
+      case _ => Seq.empty[Any]
+    }
+    case "first" => args.last match {
+      case s: Seq[_] if s.nonEmpty => s.head
+      case _ => null
+    }
+    case "last" => args.last match {
+      case s: Seq[_] if s.nonEmpty => s.last
+      case _ => null
+    }
+    case "fromJson" => parseJson(show(args.last)) match {
+      case m: Map[_, _] => m
+      case _ => Map("Error" -> "not a JSON object")
+    }
+    case "fromJsonArray" => parseJson(show(args.last)) match {
+      case s: Seq[_] => s
+      case _ => Seq.empty[Any]
+    }
+    case "now" => nowForTest.getOrElse(java.time.Instant.now())
+    case "date" => // date GO_LAYOUT t (t pipes in last); UTC rendering
+      val inst = args.last match {
+        case i: java.time.Instant => i
+        case n: Number => java.time.Instant.ofEpochSecond(n.longValue())
+        case s: String => java.time.Instant.parse(s)
+        case _ => java.time.Instant.EPOCH
+      }
+      java.time.format.DateTimeFormatter
+        .ofPattern(goLayoutToJava(show(args.head)))
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(inst)
+    case "unixEpoch" => args.last match {
+      case i: java.time.Instant => i.getEpochSecond
+      case _ => 0L
+    }
     case "len" => args.last match {
       case s: String => s.length.toLong
       case s: Seq[_] => s.size.toLong
@@ -300,6 +391,129 @@ object TemplateEngine {
       case other => show(other).length.toLong
     }
     case other => sys.error(s"unsupported template function: $other")
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case s: String => try s.trim.toLong catch { case _: Throwable => 0L }
+    case _ => 0L
+  }
+
+  /** Test seam: pin `now` for golden tests. */
+  private[cdc] var nowForTest: Option[java.time.Instant] = None
+
+  /** Go reference-time layout → java DateTimeFormatter pattern, for the
+    * layout tokens route templates plausibly use (Go's magic reference
+    * date is Mon Jan 2 15:04:05 2006 MST). Longest-match replacement. */
+  private[cdc] def goLayoutToJava(layout: String): String = {
+    val subs = Seq(
+      "2006" -> "yyyy", "06" -> "yy",
+      "January" -> "MMMM", "Jan" -> "MMM", "01" -> "MM",
+      "Monday" -> "EEEE", "Mon" -> "EEE", "02" -> "dd", "_2" -> "d",
+      "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+      ".000" -> ".SSS", "PM" -> "a", "-07:00" -> "XXX", "-0700" -> "xx",
+      "Z07:00" -> "XXX", "MST" -> "zzz")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      subs.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, j)) => sb.append(j); i += go.length
+        case None =>
+          val c = layout.charAt(i)
+          // quote literal letters so DateTimeFormatter doesn't eat them
+          if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+          i += 1
+      }
+    }
+    sb.toString
+  }
+
+  // ---------- JSON parse (for fromJson/fromJsonArray) ----------
+  /** Minimal recursive-descent JSON parser over our template value domain
+    * (Map[String,Any] / Seq[Any] / String / Long / Double / Boolean /
+    * null). Errors yield null (sprig swallows template-time errors). */
+  def parseJson(s: String): Any =
+    try { val p = new JsonParser(s); val v = p.value(); p.skipWs(); v }
+    catch { case _: Throwable => null }
+
+  private final class JsonParser(s: String) {
+    private var i = 0
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) sys.error(s"expected $c at $i")
+      i += 1
+    }
+    def value(): Any = {
+      skipWs()
+      s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => string()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _ => number()
+      }
+    }
+    private def lit(word: String, v: Any): Any = {
+      if (!s.startsWith(word, i)) sys.error(s"bad literal at $i")
+      i += word.length; v
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); skipWs()
+      val b = Map.newBuilder[String, Any]
+      if (s.charAt(i) == '}') { i += 1; return b.result() }
+      while (true) {
+        skipWs()
+        val k = string()
+        skipWs(); expect(':')
+        b += k -> value()
+        skipWs()
+        if (s.charAt(i) == ',') i += 1
+        else { expect('}'); return b.result() }
+      }
+      b.result()
+    }
+    private def arr(): Seq[Any] = {
+      expect('['); skipWs()
+      val b = Seq.newBuilder[Any]
+      if (s.charAt(i) == ']') { i += 1; return b.result() }
+      while (true) {
+        b += value()
+        skipWs()
+        if (s.charAt(i) == ',') i += 1
+        else { expect(']'); return b.result() }
+      }
+      b.result()
+    }
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case '/' => sb.append('/')
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case other => sb.append(other)
+          }
+        } else sb.append(s.charAt(i))
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    private def number(): Any = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      val t = s.substring(start, i)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
+    }
   }
 
   private def show(v: Any): String = v match {

@@ -1,12 +1,10 @@
 package graft.cdc.source
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -24,12 +22,11 @@ import graft.cdc.Model
   * 119,140); its essential contract is (a) a totally-ordered stream of
   * events addressed by (binlogFile, binlogPosition), (b) resumable from a
   * checkpointed position, (c) bounded per-pull reads (the reference's
-  * 20-slot pool ≙ maxEventsPerTrigger). This source implements exactly
-  * that contract over a directory of JSONL fixture files (one file per
-  * binlog file, one event per line), so every downstream stage — decode,
-  * route, template, shard, sink, checkpoint/restart — is exercised without
-  * a live MySQL. A production source would swap the line reader for a
-  * replication client and keep the offset/partition machinery unchanged.
+  * 20-slot pool ≙ maxEventsPerTrigger). All offset, admission-control,
+  * checkpoint, and partition-planning machinery here talks only to the
+  * typed [[EventFeed]] seam; [[ReplayFeed]] (JSONL fixture directory) is
+  * the shipped implementation, and a live replication client is a
+  * drop-in second implementation of the same trait.
   *
   * Offsets are (fileIdx, line) — the replay analog of (file, position).
   * `startingFile`/`startingLine` options mirror the reference's
@@ -77,8 +74,8 @@ class BinlogReplayScan(path: String, options: CaseInsensitiveStringMap)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ReplayDir.files(path).zipWithIndex.map { case (f, _) =>
-        FileSlicePartition(f.toString, 0L, Long.MaxValue)
+      new ReplayFeed(path).segments().map { seg =>
+        FeedSlicePartition(path, seg, 0L, Long.MaxValue)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
   }
@@ -94,7 +91,11 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
   private val maxEvents: Long =
     Option(options.get("maxEventsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue)
 
-  private def files: Seq[Path] = ReplayDir.files(path)
+  /** The replication-client seam — every segment/extent decision below
+    * goes through this trait, never the filesystem directly. */
+  private val feed: EventFeed = new ReplayFeed(path)
+
+  private def segs: Seq[String] = feed.segments()
 
   // Trigger.AvailableNow: freeze the end of the stream at prepare time so
   // the bounded micro-batches drain up to exactly this point, then stop.
@@ -107,16 +108,16 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
     val startLine = Option(options.get("startingLine")).map(_.toLong).getOrElse(0L)
     startFile match {
       case Some(f) =>
-        val idx = files.indexWhere(_.getFileName.toString.startsWith(f))
+        val idx = segs.indexWhere(_.startsWith(f))
         BinlogReplayOffset(math.max(idx, 0), startLine)
       case None => BinlogReplayOffset(0, 0L)
     }
   }
 
   override def latestOffset(): Offset = {
-    val fs = files
+    val fs = segs
     if (fs.isEmpty) BinlogReplayOffset(0, 0L)
-    else BinlogReplayOffset(fs.size - 1, ReplayDir.lineCount(fs.last))
+    else BinlogReplayOffset(fs.size - 1, feed.extent(fs.last))
   }
 
   /** Bounded admission — the replay analog of the reference's bounded
@@ -124,10 +125,10 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
     * admitting at most the row limit, never past the AvailableNow cap. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[BinlogReplayOffset]
-    val fs = files
+    val fs = segs
     if (fs.isEmpty) return s
     val cap = availableNowCap.getOrElse(
-      BinlogReplayOffset(fs.size - 1, ReplayDir.lineCount(fs.last)))
+      BinlogReplayOffset(fs.size - 1, feed.extent(fs.last)))
     var remaining = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => maxEvents
@@ -135,7 +136,7 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
     var fi = s.fileIdx
     var line = s.line
     while (remaining > 0 && (fi < cap.fileIdx || (fi == cap.fileIdx && line < cap.line))) {
-      val total = if (fi == cap.fileIdx) cap.line else ReplayDir.lineCount(fs(fi))
+      val total = if (fi == cap.fileIdx) cap.line else feed.extent(fs(fi))
       val avail = total - line
       if (avail <= 0) { fi += 1; line = 0L }
       else {
@@ -155,11 +156,11 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BinlogReplayOffset]
     val e = end.asInstanceOf[BinlogReplayOffset]
-    val fs = files
+    val fs = segs
     (s.fileIdx to math.min(e.fileIdx, fs.size - 1)).flatMap { fi =>
       val from = if (fi == s.fileIdx) s.line else 0L
       val to = if (fi == e.fileIdx) e.line else Long.MaxValue
-      if (to > from) Some(FileSlicePartition(fs(fi).toString, from, to)) else None
+      if (to > from) Some(FeedSlicePartition(path, fs(fi), from, to)) else None
     }.toArray
   }
 
@@ -169,62 +170,40 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
   override def stop(): Unit = ()
 }
 
-object ReplayDir {
-  def files(path: String): Seq[Path] = {
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.toSeq
-      .filter(p => p.getFileName.toString.endsWith(".jsonl"))
-      .sortBy(_.getFileName.toString)
-  }
-  def lineCount(p: Path): Long =
-    Files.lines(p, StandardCharsets.UTF_8).count()
-}
-
-/** One slice of one replay file: lines [fromLine, toLine). */
-case class FileSlicePartition(file: String, fromLine: Long, toLine: Long)
-    extends InputPartition
+/** One slice of one feed segment: events [fromLine, toLine). Carries the
+  * feed path so the executor can re-construct the feed locally. */
+case class FeedSlicePartition(path: String, segment: String,
+    fromLine: Long, toLine: Long) extends InputPartition
 
 class ReplayReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ReplayReader(partition.asInstanceOf[FileSlicePartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FeedSlicePartition]
+    new FeedPartitionReader(new ReplayFeed(p.path).open(p.segment, p.fromLine, p.toLine))
+  }
 }
 
-class ReplayReader(slice: FileSlicePartition) extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
-  private val lines = Files.lines(Paths.get(slice.file), StandardCharsets.UTF_8)
-  private val it = lines.iterator().asScala.zipWithIndex
-    .filter { case (_, i) => i >= slice.fromLine && i < slice.toLine }
-    .map(_._1).filter(_.nonEmpty)
-  private var current: InternalRow = _
+/** Adapts the typed [[FeedEventReader]] to Catalyst rows — the ONLY place
+  * feed events touch Spark types, so alternate feed implementations stay
+  * Spark-free. */
+class FeedPartitionReader(reader: FeedEventReader) extends PartitionReader[InternalRow] {
 
-  override def next(): Boolean =
-    if (it.hasNext) { current = parse(it.next()); true } else false
+  override def next(): Boolean = reader.next()
+  override def get(): InternalRow = toRow(reader.get())
+  override def close(): Unit = reader.close()
 
-  override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
 
-  private def utf8(n: JsonNode, field: String): UTF8String =
-    if (n.hasNonNull(field)) UTF8String.fromString(n.get(field).asText()) else null
-
-  private def parse(line: String): InternalRow = {
-    val n = mapper.readTree(line)
+  private def toRow(e: FeedEvent): InternalRow = {
     val colNames: GenericArrayData =
-      if (n.hasNonNull("colNames"))
-        new GenericArrayData(n.get("colNames").elements().asScala
-          .map(e => UTF8String.fromString(e.asText())).toArray[Any])
-      else null
+      if (e.colNames == null) null
+      else new GenericArrayData(e.colNames.map(utf8).toArray[Any])
     val rows: GenericArrayData =
-      if (n.hasNonNull("rows"))
-        new GenericArrayData(n.get("rows").elements().asScala.map { row =>
-          new GenericArrayData(row.elements().asScala
-            .map(e => if (e.isNull) null else UTF8String.fromString(e.asText()))
-            .toArray[Any])
-        }.toArray[Any])
-      else null
+      if (e.rows == null) null
+      else new GenericArrayData(e.rows.map(r =>
+        new GenericArrayData(r.map(utf8).toArray[Any])).toArray[Any])
     InternalRow(
-      utf8(n, "eventType"), utf8(n, "binlogFile"),
-      if (n.hasNonNull("binlogPosition")) n.get("binlogPosition").asLong() else 0L,
-      utf8(n, "database"), utf8(n, "table"), colNames, rows)
+      utf8(e.eventType), utf8(e.binlogFile), e.binlogPosition,
+      utf8(e.database), utf8(e.table), colNames, rows)
   }
 }

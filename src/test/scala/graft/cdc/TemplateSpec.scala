@@ -81,6 +81,46 @@ class TemplateSpec extends SparkTestBase {
     assert(render("""{{ abbrev 5 .Data.Database }}""") == "te...")
   }
 
+  test("sprig math / logic / collection functions (tmpl.go funcmap breadth)") {
+    assert(render("""{{ add 2 3 }}""") == "5")
+    assert(render("""{{ sub 7 3 }}""") == "4")
+    assert(render("""{{ mul 6 7 }}""") == "42")
+    assert(render("""{{ div 7 2 }}""") == "3") // sprig int64 division
+    assert(render("""{{ mod 7 2 }}""") == "1")
+    assert(render("""{{ coalesce .Data.Missing "" .Data.Table }}""") == "users")
+    assert(render("""{{ len .Data.Rows | ternary "some" "none" }}""") == "none")
+    assert(render("""{{ join "-" (index .Data.Rows 0) }}""") != "") // map renders via show
+    assert(render("""{{ splitList "," "a,b,c" | len }}""") == "3")
+    assert(render("""{{ splitList "," "a,b,c" | first }}""") == "a")
+    assert(render("""{{ splitList "," "a,b,c" | last }}""") == "c")
+    // sprig split returns a dict keyed _0.._n
+    assert(render("""{{ get (split "," "x,y") "_1" }}""") == "y")
+    assert(render("""{{ get (dict "a" 1 "b" 2) "b" }}""") == "2")
+    assert(render("""{{ hasKey (dict "a" 1) "a" }}""") == "true")
+    assert(render("""{{ keys (dict "b" 1 "a" 2) | join "," }}""") == "a,b")
+  }
+
+  test("fromJson / fromJsonArray round-trip with toJson") {
+    assert(render("""{{ get (fromJson "{\"k\":\"v\",\"n\":3}") "k" }}""") == "v")
+    assert(render("""{{ get (fromJson "{\"k\":\"v\",\"n\":3}") "n" }}""") == "3")
+    assert(render("""{{ fromJsonArray "[1,2,3]" | len }}""") == "3")
+    assert(render("""{{ fromJson "{\"b\":2,\"a\":1}" | toJson }}""")
+      == """{"a":1,"b":2}""")
+    // parse errors are swallowed (sprig tolerates template-time errors)
+    assert(render("""{{ fromJsonArray "not json" | len }}""") == "0")
+  }
+
+  test("now / date with Go reference layouts (pinned clock)") {
+    TemplateEngine.nowForTest = Some(java.time.Instant.parse("2026-08-12T09:30:05Z"))
+    try {
+      assert(render("""{{ now | date "2006-01-02" }}""") == "2026-08-12")
+      assert(render("""{{ now | date "2006-01-02 15:04:05" }}""") == "2026-08-12 09:30:05")
+      assert(render("""{{ now | date "Jan 02, 2006" }}""") == "Aug 12, 2026")
+      assert(render("""{{ now | unixEpoch }}""") == "1786527005")
+      assert(render("""{{ date "15:04" "2026-08-12T09:30:05Z" }}""") == "09:30")
+    } finally TemplateEngine.nowForTest = None
+  }
+
   test("renders as a Catalyst expression over a real DataFrame") {
     val s = spark
     import s.implicits._
