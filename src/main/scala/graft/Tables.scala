@@ -16,18 +16,32 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Resolved-relation cache, keyed per session instance: repeated reads
-  // of the same table reuse the listed FileIndex + parquet schema instead
-  // of re-listing and re-reading footers per query — exactly what a
-  // catalog/metastore table provides. DataFrames are immutable plans, so
-  // sharing is safe; keying on the session identity keeps plans from a
-  // stopped session from leaking into a new one.
-  private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // Resolved-relation cache, weak-keyed on the session INSTANCE: repeated
+  // reads of the same table reuse the listed FileIndex + parquet schema
+  // instead of re-listing and re-reading footers per query — exactly what
+  // a catalog/metastore table provides. DataFrames are immutable plans,
+  // so sharing is safe; keying on the instance (not identityHashCode,
+  // which can collide) means two sessions can never see each other's
+  // plans, and the WeakHashMap drops a session's entries when the
+  // session is GC'd — no growth in long-lived session-churning JVMs.
+  private val relationCache: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  private def sessionMap(spark: SparkSession) =
+    relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
+    sessionMap(spark).computeIfAbsent((dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark only reads as a
@@ -35,15 +49,20 @@ object Tables {
     * exact, used for ordering/grouping/gap arithmetic) and derive `ts_t`,
     * a micro-truncated timestamp for event-time windowing.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    relationCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, "events+ts_t"),
-      _ => {
-        try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        catch { case _: Throwable => () }
-        t(spark, dir, "events")
-          .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
-      })
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val m = sessionMap(spark)
+    val key = (dir, "events+ts_t")
+    // get/put rather than computeIfAbsent: the builder below re-enters
+    // the same map via t(), which is illegal inside computeIfAbsent.
+    Option(m.get(key)).getOrElse {
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      val df = t(spark, dir, "events")
+        .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      m.putIfAbsent(key, df)
+      m.get(key)
+    }
+  }
 
   /** Spread a CPU-heavy per-row pipeline across all cores. The fixture
     * parquet files are single-row-group (scan = ONE task), so without

@@ -69,6 +69,14 @@ object GraphDedup {
       iter += 1
     }
     e.unpersist()
+    // diameter > maxIter would silently return wrong (unconverged)
+    // component labels — fail loudly instead; callers with genuinely
+    // deep graphs should raise maxIter or switch to large-star/small-star
+    // rounds (O(log n) convergence), per the docstring.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
 }

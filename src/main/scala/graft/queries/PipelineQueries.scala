@@ -40,22 +40,34 @@ object PipelineQueries extends QueryGroup {
 
     // Sequence packing: assign docs (in doc_id order) to fixed
     // token-budget bins of 512 by cumulative token count — the window
-    // formulation of streaming greedy packing. Declared query packs the
-    // whole corpus in one window for oracle determinism; at 100 TB the
-    // identical window runs per hash-shard (Window.partitionBy(shard)),
-    // which is how the packing job is sharded in production.
-    "q47_sequence_packing" -> ((s, d) => {
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("bin", floor(col("cum_before") / 512L).cast("long"))
+    // formulation of streaming greedy packing (library operator
+    // SequencePacking.pack). Declared query packs the whole corpus in
+    // one window for oracle determinism; q66 exercises the production
+    // per-shard form.
+    "q47_sequence_packing" -> ((s, d) =>
+      graft.operators.SequencePacking.pack(
+          Tables.spread(Tables.documents(s, d))
+            .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", 512L)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tok"))
         .orderBy(col("bin"))
-        .limit(200)
-    }),
+        .limit(200)),
+
+    // Per-shard sequence packing — the 100 TB form: the same cumulative
+    // window runs independently inside each of 8 deterministic hash
+    // shards (Window.partitionBy(shard)), so no global order or
+    // single-task window exists; bins are addressed by (shard, bin).
+    "q66_packing_sharded" -> ((s, d) =>
+      graft.operators.SequencePacking.packSharded(
+          Tables.spread(Tables.documents(s, d))
+            .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", 512L,
+          (((col("doc_id") % P) * 40503L + 17L) % P) % 8L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tok"))
+        .orderBy(col("shard"), col("bin"))
+        .limit(400)),
 
     // PII detection: per-source counts of docs containing email / phone /
     // URL patterns (regex subset valid in both Java regex and RE2).
@@ -99,6 +111,22 @@ object PipelineQueries extends QueryGroup {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
         |FROM c GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin,
+
+    "q66_packing_sharded" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n_tok,
+        |             ((doc_id % 1000000007) * 40503 + 17) % 1000000007 % 8 AS shard
+        |           FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |        COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 400""".stripMargin,
 
     "q48_pii_scan" ->
       """WITH f AS (SELECT source,

@@ -47,7 +47,10 @@ object StatefulOps {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // late out-of-order event may precede the open session's
+                  // start — extend start backward, mirroring last forward
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
