@@ -61,19 +61,42 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    // Noise evidence: machine load around the run + per-query warm-run
+    // spread, so a contended run (like the 10-30x-inflated r02 driver
+    // numbers) is self-evidently invalid from the artifact alone.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg
+    if (loadBefore > 2.0)
+      System.err.println(
+        f"[bench] WARNING: load average $loadBefore%.2f before run — " +
+          "numbers below are likely contended; re-run on an idle machine")
+
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
-      val t = try {
+      val (t, sd) = try {
         timeOnce(fn) // cold: codegen + shuffle warmup
-        (1 to warmRuns).map(_ => timeOnce(fn)).min
-      } catch { case _: Throwable => -1.0 }
-      System.err.println(f"[bench] $name -> $t%.3f s")
-      name -> t
+        val warm = (1 to warmRuns).map(_ => timeOnce(fn))
+        val mean = warm.sum / warm.size
+        val stddev =
+          if (warm.size < 2) 0.0
+          else math.sqrt(warm.map(x => (x - mean) * (x - mean)).sum / (warm.size - 1))
+        (warm.min, stddev)
+      } catch { case _: Throwable => (-1.0, 0.0) }
+      System.err.println(f"[bench] $name -> $t%.3f s (warm stddev $sd%.3f)")
+      (name, t, sd)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val loadAfter = loadAvg
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sds = results.map { case (k, _, sd) => "\"" + k + "\":" + f"$sd%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val contended = loadBefore > 2.0 || loadAfter > cpus.toInt + 2.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""warm_stddev":$sds,"load_avg_before":$loadBefore%.2f,""" +
+      f""""load_avg_after":$loadAfter%.2f,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,14 +88,21 @@ object BatchQueries extends QueryGroup {
     }),
 
     // B9: range (non-equi) join — orders against derived year buckets.
-    // The bucket dim is tiny and broadcast; at 100 TB the fact side streams
-    // through a BroadcastNestedLoopJoin without shuffling.
+    // Equality pre-bucket + range verify: each fact row joins its
+    // date_trunc key to the bucket start via a broadcast HASH join
+    // (codegen O(1) probe), then the general range predicate verifies
+    // membership — result-identical to the pure non-equi join but
+    // without the BroadcastNestedLoopJoin's O(buckets) row-at-a-time
+    // predicate sweep. At 100 TB the fact side still never shuffles;
+    // for ranges that aren't truncation-aligned the same pattern
+    // expands each row to its covering bucket keys first.
     "q09_join_range" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val buckets = o.select(date_trunc("year", col("o_orderdate")).as("y_start")).distinct()
         .withColumn("y_end", add_months(col("y_start"), 12).cast("timestamp_ntz"))
-      o.join(broadcast(buckets),
-          col("o_orderdate") >= col("y_start") && col("o_orderdate") < col("y_end"))
+      o.withColumn("y_key", date_trunc("year", col("o_orderdate")))
+        .join(broadcast(buckets), col("y_key") === col("y_start"))
+        .filter(col("o_orderdate") >= col("y_start") && col("o_orderdate") < col("y_end"))
         .groupBy(col("y_start"))
         .agg(count(lit(1)).as("n_orders"),
           dec(sum(decFix(col("o_totalprice")))).cast("double").as("sum_price"))

@@ -24,7 +24,7 @@ import Canon._
 object DedupQueries extends QueryGroup {
 
   import graft.operators.TextDedup
-  import TextDedup.{HashParams, toks, shingleStrings, tokenHashes}
+  import TextDedup.{HashParams, toks, tokenHashes}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content hash (sha2 — at 100 TB you never
@@ -36,30 +36,29 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), col("n_copies"))
         .orderBy(col("doc_id"))),
 
-    // Exact pairwise n-gram Jaccard over shared-shingle candidates.
-    // The shingle set feeds three consumers (both join sides + the
-    // per-doc sizes); the eager localCheckpoint runs the tokenize/
-    // explode/distinct subtree once for all three, WITHOUT registering
-    // in the CacheManager — blocks are ContextCleaner-freed when the
+    // Exact pairwise n-gram Jaccard over shared-shingle candidates,
+    // computed on the library's hashed shingle set (TextDedup
+    // .shingleHashes — same identities as the MinHash path, so only
+    // 16-byte (doc_id, h) rows ever join or shuffle, never shingle
+    // strings). The shingle set feeds three consumers (both self-join
+    // sides + the per-doc sizes); the eager localCheckpoint runs the
+    // tokenize/hash subtree once for all three WITHOUT registering in
+    // the CacheManager — blocks are ContextCleaner-freed when the
     // result goes unreachable, so repeated runs hold flat storage
-    // memory (persist here leaked a cached relation per execution).
+    // memory. localCheckpoint preserves the physical partitioning, so
+    // both self-join sides read the same HashPartitioning(h, 32)
+    // (alias-tracked through the h2 rename) and the O(candidate-pairs)
+    // probe runs on every core with no further exchange.
     "q32_dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.spread(
         Tables.documents(s, d).filter(col("doc_id") < 2000))
-      // The checkpointed shingle set is hash-partitioned on the join key
-      // at full width ONCE (localCheckpoint preserves the physical
-      // partitioning): both self-join sides read the same
-      // HashPartitioning(shingle, 32) (alias-tracked through the d2/
-      // shingle2 rename), so the O(candidate-pairs) probe runs on every
-      // core with no further exchange whatever the session's
-      // shuffle.partitions.
-      val sh = shingleStrings(docs)
-        .repartition(32, col("shingle"))
+      val sh = TextDedup.shingleHashes(docs)
+        .repartition(32, col("h"))
         .localCheckpoint(eager = true)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("d1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("d2"), col("shingle").as("shingle2"))
-      a.join(b, col("shingle") === col("shingle2") && col("d1") < col("d2"))
+      val a = sh.select(col("doc_id").as("d1"), col("h"))
+      val b = sh.select(col("doc_id").as("d2"), col("h").as("h2"))
+      a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
         .join(broadcast(sizes.select(col("doc_id").as("zd1"), col("n").as("n1"))), col("d1") === col("zd1"))
         .join(broadcast(sizes.select(col("doc_id").as("zd2"), col("n").as("n2"))), col("d2") === col("zd2"))
@@ -173,20 +172,16 @@ object DedupQueries extends QueryGroup {
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q32_dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                                      x -> x <> '') AS toks
-        |           FROM documents WHERE doc_id < 2000),
-        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS shingle
-        |       FROM t, unnest(range(1, greatest(len(toks), 1))) u(i)),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT d1, d2,
-        |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
-        |FROM pairs JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
-        |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $shingleHashSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
+         |FROM pairs JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+         |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
+         |ORDER BY d1, d2""".stripMargin,
 
     "q33_dedup_minhash_lsh" ->
       s"""WITH $lshCtes
