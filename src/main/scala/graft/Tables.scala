@@ -66,12 +66,15 @@ object Tables {
 
   /** Spread a CPU-heavy per-row pipeline across all cores. The fixture
     * parquet files are single-row-group (scan = ONE task), so without
-    * this every downstream regex/HOF runs single-threaded; at 100 TB the
-    * scan has thousands of row-group splits and this round-robin
-    * repartition is a cheap no-op-sized shuffle relative to the per-row
-    * work it parallelizes (only use it in front of compute-bound maps).
-    */
-  def spread(df: DataFrame): DataFrame = df.repartition(32)
+    * this every downstream regex/HOF runs single-threaded. A NO-OP when
+    * the input already has at least defaultParallelism partitions: at
+    * 100 TB the scan's thousands of row-group splits provide the
+    * parallelism and a blind repartition would be a pointless extra
+    * shuffle. Only use in front of compute-bound maps. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")

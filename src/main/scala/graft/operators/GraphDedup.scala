@@ -18,10 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * the convergence check is a driver-side count of changed labels.
   *
   * 100 TB notes: label state is 2 longs/vertex; the edge list dominates.
-  * For graphs with long chains swap the propagation step for the
-  * alternating large-star/small-star rounds (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") — same join/groupBy shape, fewer
-  * rounds; the public contract (vertex → component label) is unchanged.
+  * [[connectedComponents]] (min-label propagation) converges in
+  * O(diameter) rounds — right for the dense quasi-clique components a
+  * near-dup pipeline produces. [[connectedComponentsStar]] (alternating
+  * large-star/small-star rounds, Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") converges in O(log n) rounds regardless of
+  * diameter — the 100 TB path for graphs with long chains. Both return
+  * the same (vertex → min-reachable-id) contract.
   */
 object GraphDedup {
 
@@ -71,12 +74,79 @@ object GraphDedup {
     e.unpersist()
     // diameter > maxIter would silently return wrong (unconverged)
     // component labels — fail loudly instead; callers with genuinely
-    // deep graphs should raise maxIter or switch to large-star/small-star
-    // rounds (O(log n) convergence), per the docstring.
+    // deep graphs should raise maxIter or use connectedComponentsStar
+    // (O(log n) convergence regardless of diameter).
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter")
+          s"($changed labels still changing); raise maxIter or use " +
+          "connectedComponentsStar")
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Large-star round: every node hangs its LARGER neighbors off the
+    * minimum of its closed neighborhood — emits (v, min(N(u) ∪ u)) for
+    * each v ∈ N(u), v > u. One groupBy + join-back shuffle pair. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    nbr.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: orient edges max→min, then every node hangs its
+    * (all smaller) neighbors and itself off the neighborhood minimum —
+    * emits (v, m) for v ∈ N(u) \ {m} plus (u, m). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val joined = or.join(or.groupBy(col("u")).agg(min(col("v")).as("mn")), "u")
+    joined.filter(col("v") =!= col("mn"))
+      .select(col("v").as("u"), col("mn").as("v"))
+      .union(joined.select(col("u"), col("mn").as("v")))
+      .distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al.) — O(log n) rounds regardless of graph diameter,
+    * each round two join+groupBy shuffles over the (shrinking) edge
+    * list. Same contract as [[connectedComponents]]: (id, component =
+    * min reachable vertex id) for every vertex on at least one edge.
+    *
+    * Convergence test is a deterministic edge-set fingerprint
+    * (count + xxhash64 bit-xor: order-insensitive, overflow-free under
+    * ANSI) computed in the same action that materializes the round's
+    * localCheckpoint — no extra pass. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val verts = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    var e = e0.distinct().localCheckpoint(true)
+    var fp = (-1L, -1L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      val next = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      converged = next == fp
+      fp = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge after $maxIter rounds")
+    // converged star edges point (node -> component root); roots and
+    // isolated-within-edge-list vertices label themselves.
+    verts.join(e, col("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
 }

@@ -69,25 +69,33 @@ object Similarity {
     * probe the nprobe centroids closest to the query, brute-force only
     * inside the probed clusters. Centroids are a small broadcast dim
     * (trained offline — any deterministic selection works for the
-    * assignment algebra). */
+    * assignment algebra).
+    *
+    * Assignment is a `max_by` aggregate carrying the vector through —
+    * map-side partial aggregation collapses the broadcast n×C expansion
+    * to one row per vector BEFORE the exchange, so the only shuffle is
+    * n single rows with no window sort and no join-back to base (the
+    * row_number formulation shuffled and sorted the full expansion,
+    * then joined base a second time). Tie-break matches the oracle's
+    * `ORDER BY cos DESC, cid`: max (cos, −cid) = highest cosine, then
+    * smallest centroid id. */
   def ivfTopK(base: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queryVec: DataFrame, k: Int, nprobe: Int,
       scoreT: Column => Column = identity): DataFrame = {
-    val wAsg = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cid"))
     val asg = base.crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col("cv")))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col(idCol).as("bid"), col("cid").as("acid"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("cos"), (-col("cid")).as("ncid"))).as("acid"),
+        first(col(vecCol)).as("__v"))
     val probe = centroids.crossJoin(broadcast(queryVec))
       .select(col("cid"), cosine(col("cv"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("cid"))
       .limit(nprobe)
       .select(col("cid").as("pcid"))
-    base.join(asg, col(idCol) === col("bid"))
-      .join(broadcast(probe), col("acid") === col("pcid"))
+    asg.join(broadcast(probe), col("acid") === col("pcid"))
       .crossJoin(broadcast(queryVec))
-      .select(col(idCol), scoreT(cosine(col(vecCol), col("qv"))).as("score"))
+      .select(col(idCol), scoreT(cosine(col("__v"), col("qv"))).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

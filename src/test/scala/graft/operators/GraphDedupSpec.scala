@@ -28,6 +28,42 @@ class GraphDedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphDedup.connectedComponentsStar(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star variant matches propagation on chains, cycles, and random graphs") {
+    val chain = (0 until 30).map(i => (i * 10L, (i + 1) * 10L)) // diameter 30
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+    val rand = (0 until 80).map { i =>
+      val a = (i * 6007L) % 50
+      val b = (i * 95231L + 7L) % 50
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val s = spark
+    import s.implicits._
+    for (edges <- Seq(chain, cycle, rand)) {
+      val prop = GraphDedup.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst", maxIter = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = starComponents(edges)
+      assert(star == prop, s"star/propagation mismatch on $edges")
+    }
+  }
+
+  test("star variant converges on a deep chain beyond propagation's default maxIter") {
+    // diameter 60 > connectedComponents' default 25 rounds (which throws);
+    // the star variant needs only O(log n) rounds.
+    val deep = (0 until 60).map(i => (i + 1000L, i + 1001L))
+    val star = starComponents(deep)
+    assert(star.values.toSet == Set(1000L))
+    assert(star.size == 61)
+    intercept[IllegalStateException](components(deep))
+  }
+
   test("labels match the transitive closure on a random graph") {
     // deterministic pseudo-random edges over 40 nodes
     val edges = (0 until 60).map { i =>
