@@ -79,15 +79,42 @@ object Similarity {
     * then joined base a second time). Tie-break matches the oracle's
     * `ORDER BY cos DESC, cid`: max (cos, −cid) = highest cosine, then
     * smallest centroid id. */
-  def ivfTopK(base: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, queryVec: DataFrame, k: Int, nprobe: Int,
-      scoreT: Column => Column = identity): DataFrame = {
-    val asg = base.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment carrying the vector through: one
+    * map-side-combining max_by over the broadcast n×C expansion — the
+    * shared kernel of [[ivfTopK]] and [[kmeansStep]]. Tie-break matches
+    * the oracle's `ORDER BY cos DESC, cid`. */
+  private def assignToCentroids(base: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col("cv")))
       .groupBy(col(idCol))
       .agg(
         max_by(col("cid"), struct(col("cos"), (-col("cid")).as("ncid"))).as("acid"),
         first(col(vecCol)).as("__v"))
+
+  /** One Lloyd k-means update step in exact fixed-point arithmetic:
+    * assign each vector to its nearest centroid by cosine, then emit the
+    * per-(cluster, dimension) assigned count and component sum scaled to
+    * 1e-6 fixed point (floor(x·1e6 + 0.5) per component — portable
+    * round-half-up, so the sums are order-independent BIGINTs rather
+    * than engine-order-sensitive double sums). The updated centroid is
+    * sx_1e6 / (n·1e6); a training loop iterates this step, broadcasting
+    * the result back as the next round's centroid dim. Scale shape: the
+    * only shuffles are the n-row assignment exchange and the
+    * (k·dim)-row update groupBy — both tiny next to the narrow scoring
+    * pass. */
+  def kmeansStep(base: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignToCentroids(base, idCol, vecCol, centroids)
+      .select(col("acid").as("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx_1e6"))
+
+  def ivfTopK(base: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryVec: DataFrame, k: Int, nprobe: Int,
+      scoreT: Column => Column = identity): DataFrame = {
+    val asg = assignToCentroids(base, idCol, vecCol, centroids)
     val probe = centroids.crossJoin(broadcast(queryVec))
       .select(col("cid"), cosine(col("cv"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("cid"))

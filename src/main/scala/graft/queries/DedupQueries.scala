@@ -91,6 +91,36 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("component"))
     }),
 
+    // Exact repeated-span detection (the "duplicated 50-token substring"
+    // filter of training-data dedup, scaled to 5-token spans for the
+    // fixture corpus): rolling polynomial hash of every 5-token window,
+    // a span is duplicated when its hash occurs in ≥2 docs. All span
+    // hashing is narrow in-row work; the wide ops shuffle only 16-byte
+    // (doc_id, h) rows — cross-doc span counts groupBy(h), a semi join
+    // back, and the per-doc ratio groupBy.
+    "q68_span_dedup" -> ((s, d) => {
+      val w = 5
+      val docs = Tables.spread(Tables.documents(s, d))
+      val spans = docs.withColumn("th", tokenHashes(col("text")))
+        .select(col("doc_id"), explode(
+          when(size(col("th")) >= w,
+            array_distinct(transform(sequence(lit(0), size(col("th")) - w),
+              i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
+                (a, x) => (a * 8191L + x) % TextDedup.P))))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+      val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("h").as("dh"))
+      val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      val dupPerDoc = spans.join(dupH, col("h") === col("dh"), "leftsemi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          ratio1e4(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_spans").cast("double")).as("dup_1e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash: 62-bit fingerprint from two 31-bit LCGs over the token's
     // portable polynomial string hash; bit b of the fingerprint is set
     // iff the ±1 vote sum over the doc's distinct tokens is positive.
@@ -204,6 +234,25 @@ object DedupQueries extends QueryGroup {
          |         FROM reach GROUP BY a)
          |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                      x -> x <> '') AS toks
+         |           FROM documents),
+         |hh AS (SELECT doc_id, list_transform(toks, w -> $strHashSql) AS th
+         |       FROM t),
+         |sp AS (SELECT DISTINCT doc_id,
+         |         list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |       FROM hh, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY 1),
+         |dd AS (SELECT doc_id, COUNT(*) AS n_dup FROM sp
+         |       WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_spans,
+         |       COALESCE(dd.n_dup, 0) AS n_dup,
+         |       CAST(floor(COALESCE(dd.n_dup, 0) * 1.0 / pd.n_spans * 10000 + 0.5) AS BIGINT) AS dup_1e4
+         |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id
+         |ORDER BY pd.doc_id""".stripMargin,
 
     "q34_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),

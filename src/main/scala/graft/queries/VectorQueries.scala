@@ -98,6 +98,21 @@ object VectorQueries extends QueryGroup {
         cent, q, 5, 2, decD)
     }),
 
+    // One Lloyd k-means update step (the "centroids trained offline"
+    // step the IVF index assumes): nearest-centroid assignment + exact
+    // fixed-point per-(cluster, dim) update sums. Library operator
+    // Similarity.kmeansStep; output IS the updated centroid in 1e-6
+    // fixed point (mean = sx_1e6 / (n·1e6)), so the training loop's
+    // algebra is oracle-verified end to end.
+    "q67_kmeans_step" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      graft.operators.Similarity.kmeansStep(
+          e.filter(col("vec_id") < 500), "vec_id", "v", cent)
+        .orderBy(col("cid"), col("pos"))
+    }),
+
     // Symmetric int8 scalar quantization of embeddings + exact
     // reconstruction error — the compression step in front of a
     // billion-vector ANN index (quantized vectors are 4× smaller; the
@@ -184,6 +199,22 @@ object VectorQueries extends QueryGroup {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) >= 0.3
          |ORDER BY i, j""".stripMargin,
+
+    "q67_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+         |asg AS (SELECT vec_id, cid, v FROM (
+         |  SELECT base.vec_id, cent.cid, base.v,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM base, cent) t WHERE rn = 1),
+         |px AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |              CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |       FROM asg, unnest(range(1, len(v) + 1)) u(i))
+         |SELECT cid, pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xi) AS BIGINT) AS sx_1e6
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q36_similarity_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
