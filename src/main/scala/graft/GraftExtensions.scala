@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{Fnv1aHash, NGrams}
+import graft.functions.{Fnv1aHash, Fnv1aHashLongLE, NGrams}
 import graft.functions.VectorOps.{VectorDot, VectorNormL2}
 import graft.cdc.RenderTemplate
 
@@ -25,6 +25,7 @@ import graft.cdc.RenderTemplate
   *
   * After which plain SQL can use:
   *  - `fnv1a64(str)`               — reference-parity shard hash (A9)
+  *  - `fnv1a64_long_le(n)`         — FNV over 8 LE bytes (position-key form)
   *  - `vector_dot(a, b)`           — codegen dot product (B30)
   *  - `vector_norm_l2(a)`          — codegen L2 norm (B30)
   *  - `ngrams(tokens, n)`          — n-gram generator UDTF (B31)
@@ -58,6 +59,11 @@ object GraftExtensions {
     (FunctionIdentifier("fnv1a64"),
       info("fnv1a64", "fnv1a64(str) - FNV-1a 64-bit hash of str's UTF-8 bytes"),
       one("fnv1a64")(Fnv1aHash(_))),
+
+    (FunctionIdentifier("fnv1a64_long_le"),
+      info("fnv1a64_long_le",
+        "fnv1a64_long_le(n) - FNV-1a 64-bit hash of n's 8 little-endian bytes (reference position-key form)"),
+      one("fnv1a64_long_le")(Fnv1aHashLongLE(_))),
 
     (FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - dot product of float/double arrays"),

@@ -98,10 +98,16 @@ object BatchQueries extends QueryGroup {
     // expands each row to its covering bucket keys first.
     "q09_join_range" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val buckets = o.select(date_trunc("year", col("o_orderdate")).as("y_start")).distinct()
+      // int year as the equality key: constraint propagation then infers
+      // cheap int predicates into the scan instead of re-evaluating
+      // date_trunc per row; y_start is derived ON THE TINY BUCKET SIDE
+      // only (make_date(yr,1,1) ≡ date_trunc(year, ·) for ts in yr).
+      val buckets = o.select(year(col("o_orderdate")).as("yr")).distinct()
+        .select(col("yr"),
+          make_date(col("yr"), lit(1), lit(1)).cast("timestamp_ntz").as("y_start"))
         .withColumn("y_end", add_months(col("y_start"), 12).cast("timestamp_ntz"))
-      o.withColumn("y_key", date_trunc("year", col("o_orderdate")))
-        .join(broadcast(buckets), col("y_key") === col("y_start"))
+      o.withColumn("yr", year(col("o_orderdate")))
+        .join(broadcast(buckets), "yr")
         .filter(col("o_orderdate") >= col("y_start") && col("o_orderdate") < col("y_end"))
         .groupBy(col("y_start"))
         .agg(count(lit(1)).as("n_orders"),

@@ -175,13 +175,22 @@ object TextQueries extends QueryGroup {
     // both engines; tfidf is irrational so the 1e4 render is tie-safe.
     "q63_text_tfidf" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
-      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfDim = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // df straight off per-doc distinct tokens (in-row array_distinct →
+      // explode → map-side-combining groupBy(token)): the corpus-wide
+      // shuffle is vocabulary-sized per partition, NOT one row per
+      // (doc, token). tf is per-doc-local arithmetic, so it is computed
+      // only for the declared output's doc slice — no full-corpus
+      // (doc_id, token) pre-aggregation shuffle exists at any scale.
+      val dfDim = docs
+        .select(explode(array_distinct(toks(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf_1e4").desc, col("token"))
-      tf.filter(col("doc_id") < 200)
+      tf
         .join(broadcast(dfDim), "token")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf_1e4", ratio1e4(col("tf").cast("double") *

@@ -23,6 +23,14 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql === direct)
   }
 
+  test("fnv1a64_long_le from SQL matches the reference position-key hash") {
+    val viaSql = sql("SELECT fnv1a64_long_le(4L)").head().getLong(0)
+    assert(viaSql === graft.functions.Fnv1aHash.hashLongLE(4L))
+    // parity with the byte-array reference form used by Sharding
+    assert(viaSql === graft.cdc.Sharding.fnv1a64(
+      graft.cdc.Sharding.positionKeyBytes(4L)))
+  }
+
   test("vector_dot / vector_norm_l2 from SQL") {
     val r = sql(
       "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)), " +
