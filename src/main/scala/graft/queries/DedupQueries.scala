@@ -121,6 +121,20 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end dedup resolution — the pipeline's final verdict: every
+    // doc in the near-dup graph gets its duplicate-cluster label and a
+    // keep/drop decision (representative = cluster-min doc_id). Composes
+    // nearDupPairs → connectedComponents; docs outside the graph are
+    // implicitly kept and never shuffle.
+    "q69_dedup_resolution" -> ((s, d) => {
+      val pairs = TextDedup.nearDupPairs(
+        Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
+      graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash: 62-bit fingerprint from two 31-bit LCGs over the token's
     // portable polynomial string hash; bit b of the fingerprint is set
     // iff the ±1 vote sum over the doc's distinct tokens is positive.
@@ -217,6 +231,20 @@ object DedupQueries extends QueryGroup {
       s"""WITH $lshCtes
          |$lshPairsSelect
          |ORDER BY d1, d2""".stripMargin,
+
+    "q69_dedup_resolution" ->
+      s"""WITH RECURSIVE $lshCtes,
+         |pairs AS ($lshPairsSelect),
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |       UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM e2
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+         |          WHERE e.b <> r.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT id AS doc_id, component, id = component AS keep
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     // Transitive closure of the LSH pair list via a recursive CTE, then
     // min-reachable-id per node = the component label (identical to the
