@@ -34,6 +34,16 @@ object CdcPipeline {
       })
     }.toMap
 
+  /** Offset-mirror factory (A16/A17 ops parity — cache.go:17-33 analog):
+    * cacheType local|redis, "" = none. */
+  def buildMirror(cfg: GraftConfig): Option[OffsetMirror] = cfg.cacheType match {
+    case "" => None
+    case "local" => Some(new LocalOffsetMirror(cfg.cachePath, cfg.serverId))
+    case "redis" => Some(new RedisOffsetMirror(
+      new RespClient(cfg.redisHost, cfg.redisPort, cfg.redisPassword), cfg.serverId))
+    case other => sys.error(s"unsupported '$other' cache type (cache.go parity: local|redis)")
+  }
+
   /** Assemble and start the sync pipeline over a replay source directory.
     * `startPosition` maps to the replay source's line offset (the replay
     * analog of a binlog byte position; a production binlog source would
@@ -56,10 +66,29 @@ object CdcPipeline {
       envelope = envelope.filter(Sharding.shardFilter(
         cfg.shardCount, cfg.shardIndex, cfg.shardKeyTemplate, Sharding.Fnv1aParity))
 
+    // Mirror the batch-max (file, position) AFTER delivery — the
+    // reference's store-after-send ordering (blsenderwork.go:204-213):
+    // a crash between send and store replays, never skips.
+    val dispatch = Connectors.forEachBatch(
+      cfg.routes, buildConnectors(cfg), cfg.strictRouteCompat)
+    val mirror = buildMirror(cfg)
+    val deliverAndMirror: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batch, id) => {
+        dispatch(batch, id)
+        mirror.foreach { m =>
+          import org.apache.spark.sql.functions._
+          val r = batch.agg(max(struct(
+            col("log.binlogFile"), col("log.binlogPosition")))).head()
+          if (!r.isNullAt(0)) {
+            val st = r.getStruct(0)
+            m.store(st.getString(0), st.getLong(1))
+          }
+        }
+      }
+
     envelope.writeStream
       .queryName(s"graft-sync-${cfg.serverId}")
-      .foreachBatch(Connectors.forEachBatch(
-        cfg.routes, buildConnectors(cfg), cfg.strictRouteCompat))
+      .foreachBatch(deliverAndMirror)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

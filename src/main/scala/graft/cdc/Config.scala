@@ -39,7 +39,14 @@ final case class GraftConfig(
     apiHost: String = "0.0.0.0",
     apiPort: Int = 0,
     // continuous tail (reference behavior) vs drain-and-exit
-    follow: Boolean = false)
+    follow: Boolean = false,
+    // offset mirror (A16/A17 ops parity — cache.local.go / cache.redis.go);
+    // "" = no mirror (SS checkpoints remain the resume source of truth)
+    cacheType: String = "",
+    cachePath: String = "",
+    redisHost: String = "localhost",
+    redisPort: Int = 6379,
+    redisPassword: Option[String] = None)
 
 /** Connector definition — reference `ConnectorT` (config.go:129-155).
   * type: "webhook" (url/method/headers/basic auth), "google_pubsub"
@@ -138,6 +145,11 @@ object Config {
       checkpointDir = str("checkpointDir", ""),
       apiHost = str("apiHost", "0.0.0.0"),
       apiPort = if (n.hasNonNull("apiPort")) n.get("apiPort").asInt() else 0,
-      follow = bool("follow", dflt = false))
+      follow = bool("follow", dflt = false),
+      cacheType = str("cacheType", ""),
+      cachePath = str("cachePath", ""),
+      redisHost = str("redisHost", "localhost"),
+      redisPort = if (n.hasNonNull("redisPort")) n.get("redisPort").asInt() else 6379,
+      redisPassword = Option.when(n.hasNonNull("redisPassword"))(n.get("redisPassword").asText()))
   }
 }

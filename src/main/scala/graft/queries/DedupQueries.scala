@@ -101,6 +101,10 @@ object DedupQueries extends QueryGroup {
     "q68_span_dedup" -> ((s, d) => {
       val w = 5
       val docs = Tables.spread(Tables.documents(s, d))
+      // eager localCheckpoint: the tokenize/hash subtree (the query's
+      // narrow CPU) runs once for all three consumers (cross-doc span
+      // counts, per-doc totals, per-doc dup counts) and is
+      // ContextCleaner-freed when the result goes unreachable.
       val spans = docs.withColumn("th", tokenHashes(col("text")))
         .select(col("doc_id"), explode(
           when(size(col("th")) >= w,
@@ -108,6 +112,7 @@ object DedupQueries extends QueryGroup {
               i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
                 (a, x) => (a * 8191L + x) % TextDedup.P))))
             .otherwise(array().cast("array<bigint>"))).as("h"))
+        .localCheckpoint(eager = true)
       val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select(col("h").as("dh"))
       val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
