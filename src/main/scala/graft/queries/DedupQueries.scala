@@ -126,6 +126,38 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination — the training-side contamination check:
+    // for each eval-set document (doc_id ≡ 7 mod 10 stands in for a
+    // held-out benchmark at any corpus size), the share of its 5-token
+    // spans that appear anywhere in the train split (all other docs). Same narrow span hashing as q68;
+    // the wide ops are one distinct on train span hashes and a semi join
+    // of eval spans against it — 16-byte rows only, both sides
+    // hash-partitioned on the span hash.
+    "q70_decontamination" -> ((s, d) => {
+      val w = 5
+      val spanHashes = (df: DataFrame) => df
+        .withColumn("th", tokenHashes(col("text")))
+        .select(col("doc_id"), explode(
+          when(size(col("th")) >= w,
+            array_distinct(transform(sequence(lit(0), size(col("th")) - w),
+              i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
+                (a, x) => (a * 8191L + x) % TextDedup.P))))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+      val docs = Tables.spread(Tables.documents(s, d))
+      val trainH = spanHashes(docs.filter(col("doc_id") % 10 =!= 7))
+        .select(col("h").as("th_")).distinct()
+      val evalSpans = spanHashes(docs.filter(col("doc_id") % 10 === 7))
+      val hits = evalSpans.join(trainH, col("h") === col("th_"), "leftsemi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      evalSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          ratio1e4(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_spans").cast("double")).as("contam_1e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end dedup resolution — the pipeline's final verdict: every
     // doc in the near-dup graph gets its duplicate-cluster label and a
     // keep/drop decision (representative = cluster-min doc_id). Composes
@@ -236,6 +268,26 @@ object DedupQueries extends QueryGroup {
       s"""WITH $lshCtes
          |$lshPairsSelect
          |ORDER BY d1, d2""".stripMargin,
+
+    "q70_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                      x -> x <> '') AS toks
+         |           FROM documents),
+         |hh AS (SELECT doc_id, list_transform(toks, w -> $strHashSql) AS th
+         |       FROM t),
+         |sp AS (SELECT DISTINCT doc_id,
+         |         list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |       FROM hh, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |train AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 <> 7),
+         |ev AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 = 7),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM ev
+         |         WHERE h IN (SELECT h FROM train) GROUP BY 1),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_spans FROM ev GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_spans,
+         |       COALESCE(hits.n_contaminated, 0) AS n_contaminated,
+         |       CAST(floor(COALESCE(hits.n_contaminated, 0) * 1.0 / pd.n_spans * 10000 + 0.5) AS BIGINT) AS contam_1e4
+         |FROM pd LEFT JOIN hits ON pd.doc_id = hits.doc_id
+         |ORDER BY pd.doc_id""".stripMargin,
 
     "q69_dedup_resolution" ->
       s"""WITH RECURSIVE $lshCtes,

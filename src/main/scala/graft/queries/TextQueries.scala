@@ -151,6 +151,64 @@ object TextQueries extends QueryGroup {
             .otherwise(lit(0L)).as("top_tok_1e4"))
         .orderBy(col("doc_id"))),
 
+    // Composite quality-filter verdict — the C4-style cleaning decision a
+    // training pipeline actually executes: per source, how many docs
+    // survive (quality score ≥ 0.5 AND duplicate-bigram ratio ≤ 0.3 AND
+    // predicted language = en). Entirely per-row narrow work (the q38
+    // score, q57 repetition, and q37 lang argmax fused into ONE pass over
+    // the token array) + one tiny per-source groupBy — no join, no
+    // window, no explode at any corpus size.
+    "q71_quality_filter" -> ((s, d) => {
+      val byLang = langWords.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val langs = byLang.keys.toSeq.sorted
+      val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val base = Tables.spread(Tables.documents(s, d))
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("tok_chars",
+          aggregate(transform(col("t"), x => length(x).cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(col("t"), x => x.isin(enStops: _*))).cast("long"))
+        .withColumn("avg_tok_len",
+          coalesce(col("tok_chars") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("stop_ratio",
+          coalesce(col("n_stop").cast("double") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("score",
+          lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * col("stop_ratio") +
+            lit(0.3) * least(col("avg_tok_len") / 10.0, lit(1.0)))
+        .withColumn("bg",
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(0), size(col("t")) - 2),
+              i => concat_ws(" ", get(col("t"), i), get(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("dup2g",
+          when(size(col("bg")) > 0,
+            lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+              size(col("bg")).cast("double"))
+            .otherwise(lit(0.0)))
+      val withHits = langs.foldLeft(base) { (df, l) =>
+        df.withColumn(s"h_$l",
+          size(filter(col("t"), x => x.isin(byLang(l): _*))).cast("long"))
+      }
+      val m = greatest(langs.map(l => col(s"h_$l")): _*)
+      val caseChain = langs.tail.foldLeft(
+        when(col(s"h_${langs.head}") === m, lit(langs.head))) { (c, l) =>
+        c.when(col(s"h_$l") === m, lit(l))
+      }
+      withHits
+        .withColumn("keep",
+          col("score") >= 0.5 && col("dup2g") <= 0.3 &&
+            when(m > 0, caseChain).otherwise(lit("und")) === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          ratio1e4(col("n_keep").cast("double") / col("n_docs").cast("double")).as("keep_1e4"))
+        .orderBy(col("source"))
+    }),
+
     // Document fingerprint: 31-base rolling hash mod 1e9+7 over the first
     // 256 chars. Fold starts at 0 which matches DuckDB's init-less
     // list_reduce (0*31 + c1 = c1).
@@ -240,6 +298,49 @@ object TextQueries extends QueryGroup {
          |SELECT d.lang, COALESCE(b.lang_c, 'und') AS pred_lang, COUNT(*) AS n_docs
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q71_quality_filter" -> {
+      val byLang = langWords.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val langs = byLang.keys.toSeq.sorted
+      val langCols = langs.map(l =>
+        s"CAST(len(list_filter(t, x -> x IN (${byLang(l).map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS h_$l")
+        .mkString(",\n|    ")
+      val mExpr = s"GREATEST(${langs.map(l => s"h_$l").mkString(", ")})"
+      val predCase = langs.map(l => s"WHEN h_$l = $mExpr THEN '$l'").mkString(" ")
+      s"""WITH b AS (
+         |  SELECT source,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(t) > 0
+         |         THEN list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, c) -> a + c)
+         |         ELSE 0.0 END AS tok_chars,
+         |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |    CASE WHEN len(t) >= 2
+         |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END AS bg,
+         |    $langCols
+         |  FROM b),
+         |r AS (
+         |  SELECT source,
+         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * COALESCE(CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0)
+         |      + 0.3 * least(COALESCE(tok_chars / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) / 10.0, 1.0) AS score,
+         |    CASE WHEN len(bg) > 0
+         |         THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+         |         ELSE 0.0 END AS dup2g,
+         |    CASE WHEN $mExpr > 0 THEN (CASE $predCase END) ELSE 'und' END AS pred
+         |  FROM m),
+         |k AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN score >= 0.5 AND dup2g <= 0.3 AND pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_docs, n_keep,
+         |  CAST(floor(n_keep * 1.0 / n_docs * 10000 + 0.5) AS BIGINT) AS keep_1e4
+         |FROM k ORDER BY source""".stripMargin
+    },
 
     "q38_text_quality" ->
       """WITH base AS (
