@@ -222,8 +222,8 @@ object TemplateEngine {
     case (a: ArrayData, ArrayType(et, _)) =>
       a.toObjectArray(et).toSeq.map(fromCatalyst(_, et))
     case (m: MapData, MapType(kt, vt, _)) =>
-      val ks = m.keyArray.toObjectArray(kt).map(fromCatalyst(_, kt))
-      val vs = m.valueArray.toObjectArray(vt).map(fromCatalyst(_, vt))
+      val ks = m.keyArray().toObjectArray(kt).map(fromCatalyst(_, kt))
+      val vs = m.valueArray().toObjectArray(vt).map(fromCatalyst(_, vt))
       ks.zip(vs).toMap
     case (s: UTF8String, _) => s.toString
     case (other, _) => other

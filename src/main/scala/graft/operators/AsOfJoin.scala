@@ -36,6 +36,6 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn(asOf, last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) :+ col(asOf): _*)
+      .select(left.columns.toIndexedSeq.map(col) :+ col(asOf): _*)
   }
 }

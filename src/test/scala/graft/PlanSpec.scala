@@ -79,6 +79,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q67 k-means assignment aggregates, never window-sorts the expansion") {
+    val plan = SparkEntry.queries("q67_kmeans_step")(spark, sf001)
+      .queryExecution.executedPlan
+    assert(!plan.exists(_.nodeName.contains("Window")),
+      "assignment must be a max_by aggregate, not a row_number window")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
+  test("q71 quality filter is one narrow pass: no join, window, or explode") {
+    val plan = SparkEntry.queries("q71_quality_filter")(spark, sf001)
+      .queryExecution.executedPlan
+    for (bad <- Seq("Join", "Window", "Generate"))
+      assert(!plan.exists(_.nodeName.contains(bad)),
+        s"q71 must contain no $bad node")
+  }
+
   test("renderSort: root sort loses RangePartitioning, limit keeps TakeOrdered") {
     import org.apache.spark.sql.graftbridge.Bridge
     // A result-rendering sort becomes shuffle-to-1 + local sort (no
