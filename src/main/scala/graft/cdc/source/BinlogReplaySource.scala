@@ -197,11 +197,11 @@ class FeedPartitionReader(reader: FeedEventReader) extends PartitionReader[Inter
   private def toRow(e: FeedEvent): InternalRow = {
     val colNames: GenericArrayData =
       if (e.colNames == null) null
-      else new GenericArrayData(e.colNames.map(utf8).toArray[Any])
+      else new GenericArrayData(e.colNames.map(utf8(_): Any))
     val rows: GenericArrayData =
       if (e.rows == null) null
       else new GenericArrayData(e.rows.map(r =>
-        new GenericArrayData(r.map(utf8).toArray[Any])).toArray[Any])
+        new GenericArrayData(r.map(utf8(_): Any)): Any))
     InternalRow(
       utf8(e.eventType), utf8(e.binlogFile), e.binlogPosition,
       utf8(e.database), utf8(e.table), colNames, rows)

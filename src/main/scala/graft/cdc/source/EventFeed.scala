@@ -15,8 +15,8 @@ final case class FeedEvent(
     binlogPosition: Long,
     database: String,
     table: String,
-    colNames: Seq[String],
-    rows: Seq[Seq[String]])
+    colNames: Array[String],
+    rows: Array[Array[String]])
 
 /** Pull-based reader over one segment slice; caller closes. */
 trait FeedEventReader extends AutoCloseable {
@@ -93,13 +93,13 @@ final class ReplayFeed(path: String) extends EventFeed {
         val n = mapper.readTree(line)
         val colNames =
           if (n.hasNonNull("colNames"))
-            n.get("colNames").elements().asScala.map(_.asText()).toSeq
+            n.get("colNames").elements().asScala.map(_.asText()).toArray
           else null
         val rows =
           if (n.hasNonNull("rows"))
             n.get("rows").elements().asScala.map(row =>
               row.elements().asScala
-                .map(e => if (e.isNull) null else e.asText()).toSeq).toSeq
+                .map(e => if (e.isNull) null else e.asText()).toArray).toArray
           else null
         FeedEvent(str(n, "eventType"), str(n, "binlogFile"),
           if (n.hasNonNull("binlogPosition")) n.get("binlogPosition").asLong() else 0L,
