@@ -31,8 +31,16 @@ object Sync {
     println(s"[sync] ${cfg.serverId}: observability API on ${cfg.apiHost}:$port")
     val trigger =
       if (cfg.follow) Trigger.ProcessingTime("1 second") else Trigger.AvailableNow()
-    CdcPipeline.syncSupervised(spark, cfg, cfg.sourcePath, cfg.checkpointDir,
-      trigger = trigger)
+    try
+      CdcPipeline.syncSupervised(spark, cfg, cfg.sourcePath, cfg.checkpointDir,
+        trigger = trigger)
+    catch {
+      case e: Throwable =>
+        // stop the HTTP dispatcher (non-daemon thread) so a failed CLI
+        // run exits with the error instead of hanging the JVM
+        obs.stop()
+        throw e
+    }
     obs
   }
 

@@ -16,19 +16,24 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Resolved-relation cache, weak-keyed on the session INSTANCE: repeated
+  // Resolved-relation cache, keyed on the session INSTANCE: repeated
   // reads of the same table reuse the listed FileIndex + parquet schema
   // instead of re-listing and re-reading footers per query — exactly what
   // a catalog/metastore table provides. DataFrames are immutable plans,
-  // so sharing is safe; keying on the instance (not identityHashCode,
-  // which can collide) means two sessions can never see each other's
-  // plans, and the WeakHashMap drops a session's entries when the
-  // session is GC'd — no growth in long-lived session-churning JVMs.
-  private val relationCache: java.util.Map[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  // so sharing is safe; keying on the instance (reference equality, not
+  // identityHashCode, which can collide) means two sessions can never
+  // see each other's plans. Bounded LRU over SESSIONS (a weak key would
+  // be useless here — the cached DataFrames strongly reference their
+  // session, so weak keys never clear): evicting the least-recently-used
+  // session past a small cap caps total growth in session-churning JVMs.
+  private val relationCache =
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[SparkSession,
+          java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]): Boolean =
+        size() > 8
+    }
 
   private def sessionMap(spark: SparkSession) =
     relationCache.synchronized {

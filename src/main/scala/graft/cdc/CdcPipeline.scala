@@ -34,13 +34,26 @@ object CdcPipeline {
       })
     }.toMap
 
+  // One mirror per distinct (type, endpoint, id) for the JVM lifetime:
+  // the restart supervisor re-invokes sync() on every restart, and a
+  // fresh RespClient per restart would leak one Redis connection each
+  // time. Mirrors are tiny (a socket or a file path); process exit
+  // closes them.
+  private val mirrorCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, String), OffsetMirror]()
+
   /** Offset-mirror factory (A16/A17 ops parity — cache.go:17-33 analog):
-    * cacheType local|redis, "" = none. */
+    * cacheType local|redis, "" = none. Instances are cached per config
+    * identity so supervised restarts reuse the same connection. */
   def buildMirror(cfg: GraftConfig): Option[OffsetMirror] = cfg.cacheType match {
     case "" => None
-    case "local" => Some(new LocalOffsetMirror(cfg.cachePath, cfg.serverId))
-    case "redis" => Some(new RedisOffsetMirror(
-      new RespClient(cfg.redisHost, cfg.redisPort, cfg.redisPassword), cfg.serverId))
+    case "local" => Some(mirrorCache.computeIfAbsent(
+      ("local", cfg.cachePath, 0, cfg.serverId),
+      _ => new LocalOffsetMirror(cfg.cachePath, cfg.serverId)))
+    case "redis" => Some(mirrorCache.computeIfAbsent(
+      ("redis", cfg.redisHost, cfg.redisPort, cfg.serverId),
+      _ => new RedisOffsetMirror(
+        new RespClient(cfg.redisHost, cfg.redisPort, cfg.redisPassword), cfg.serverId)))
     case other => sys.error(s"unsupported '$other' cache type (cache.go parity: local|redis)")
   }
 
@@ -73,18 +86,24 @@ object CdcPipeline {
       cfg.routes, buildConnectors(cfg), cfg.strictRouteCompat)
     val mirror = buildMirror(cfg)
     val deliverAndMirror: (org.apache.spark.sql.DataFrame, Long) => Unit =
-      (batch, id) => {
-        dispatch(batch, id)
-        mirror.foreach { m =>
-          import org.apache.spark.sql.functions._
-          val r = batch.agg(max(struct(
-            col("log.binlogFile"), col("log.binlogPosition")))).head()
-          if (!r.isNullAt(0)) {
-            val st = r.getStruct(0)
-            m.store(st.getString(0), st.getLong(1))
-          }
+      (batch, id) =>
+        if (mirror.isEmpty) dispatch(batch, id)
+        else {
+          // the mirror agg is a SECOND action on the batch — persist so
+          // the bounded micro-batch is computed once, not re-read from
+          // the source for the max-offset pass
+          batch.persist()
+          try {
+            dispatch(batch, id)
+            import org.apache.spark.sql.functions._
+            val r = batch.agg(max(struct(
+              col("log.binlogFile"), col("log.binlogPosition")))).head()
+            if (!r.isNullAt(0)) {
+              val st = r.getStruct(0)
+              mirror.get.store(st.getString(0), st.getLong(1))
+            }
+          } finally batch.unpersist()
         }
-      }
 
     envelope.writeStream
       .queryName(s"graft-sync-${cfg.serverId}")

@@ -55,8 +55,15 @@ final class LocalOffsetMirror(dir: String, serverId: String) extends OffsetMirro
   Files.createDirectories(Paths.get(dir))
   if (!Files.exists(path)) Files.write(path, Array.emptyByteArray)
 
-  override def store(binlogFile: String, position: Long): Unit =
-    Files.write(path, s"$binlogFile/$position".getBytes(StandardCharsets.UTF_8))
+  override def store(binlogFile: String, position: Long): Unit = {
+    // atomic replace: external watchers (the mirror's whole purpose)
+    // must never observe a torn/empty value, and a crash mid-write must
+    // not leave an unparseable file that blocks every later load()
+    val tmp = Files.createTempFile(path.getParent, path.getFileName.toString, ".tmp")
+    Files.write(tmp, s"$binlogFile/$position".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   override def load(): Option[(String, Long)] =
     OffsetMirror.parseLocation(

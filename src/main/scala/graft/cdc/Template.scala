@@ -119,17 +119,23 @@ object TemplateEngine {
       case (n, _) => n
     }
 
-  /** Split on a delimiter outside double-quoted strings (so
-    * `.x | replace "|" "-"` pipelines correctly). */
+  /** Split on a delimiter outside double-quoted strings AND outside
+    * parentheses (so `.x | replace "|" "-"` pipelines correctly and a
+    * pipe inside a parenthesized sub-expression like
+    * `{{ (.x | lower).y }}` stays in its own stage). */
   private def splitOutsideQuotes(s: String, delim: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQ = false
+    var depth = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) { inQ = !inQ; cur.append(c) }
-      else if (c == delim && !inQ) { out += cur.toString; cur.clear() }
+      else if (inQ) cur.append(c)
+      else if (c == '(') { depth += 1; cur.append(c) }
+      else if (c == ')') { depth -= 1; cur.append(c) }
+      else if (c == delim && depth == 0) { out += cur.toString; cur.clear() }
       else cur.append(c)
       i += 1
     }
@@ -198,6 +204,9 @@ object TemplateEngine {
       IndexOf(Path(splitPath(parts(0))), parts(1).toInt, Nil)
     } else if (s.startsWith(".")) {
       Path(splitPath(s))
+    } else if (s.startsWith("\"") || s.matches("-?[0-9]+")) {
+      // literal stage (a pipeline may start from a constant: `"a,b" | upper`)
+      parseArg(s)
     } else {
       // prefix call form: "func [arg...]" (Go: all args are expressions;
       // zero-arg calls like `now` are a bare identifier)

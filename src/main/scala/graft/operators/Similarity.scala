@@ -65,24 +65,14 @@ object Similarity {
       when(vectorDot(vec, w) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF-pruned ANN: assign base vectors to their nearest centroid,
-    * probe the nprobe centroids closest to the query, brute-force only
-    * inside the probed clusters. Centroids are a small broadcast dim
-    * (trained offline — any deterministic selection works for the
-    * assignment algebra).
-    *
-    * Assignment is a `max_by` aggregate carrying the vector through —
-    * map-side partial aggregation collapses the broadcast n×C expansion
-    * to one row per vector BEFORE the exchange, so the only shuffle is
-    * n single rows with no window sort and no join-back to base (the
-    * row_number formulation shuffled and sorted the full expansion,
-    * then joined base a second time). Tie-break matches the oracle's
+  /** Nearest-centroid assignment carrying the vector through: one
+    * map-side-combining `max_by` over the broadcast n×C expansion — the
+    * shared kernel of [[ivfTopK]] and [[kmeansStep]]. Partial
+    * aggregation collapses the expansion to one row per vector BEFORE
+    * the exchange, so the only shuffle is n single rows with no window
+    * sort and no join-back to base. Tie-break matches the oracle's
     * `ORDER BY cos DESC, cid`: max (cos, −cid) = highest cosine, then
     * smallest centroid id. */
-  /** Nearest-centroid assignment carrying the vector through: one
-    * map-side-combining max_by over the broadcast n×C expansion — the
-    * shared kernel of [[ivfTopK]] and [[kmeansStep]]. Tie-break matches
-    * the oracle's `ORDER BY cos DESC, cid`. */
   private def assignToCentroids(base: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
     base.crossJoin(broadcast(centroids))
@@ -111,6 +101,11 @@ object Similarity {
       .groupBy(col("cid"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx_1e6"))
 
+  /** IVF-pruned ANN: assign base vectors to their nearest centroid
+    * ([[assignToCentroids]]), probe the nprobe centroids closest to the
+    * query, brute-force only inside the probed clusters. Centroids are
+    * a small broadcast dim (trained offline — [[kmeansStep]]; any
+    * deterministic selection works for the assignment algebra). */
   def ivfTopK(base: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queryVec: DataFrame, k: Int, nprobe: Int,
       scoreT: Column => Column = identity): DataFrame = {

@@ -75,6 +75,24 @@ object TextDedup {
             i => (get(col("th"), i) * 8191L + get(col("th"), i + 1)) % P)))
           .otherwise(array().cast("array<bigint>"))).as("h"))
 
+  /** Distinct rolling w-token span hashes per doc: the polynomial fold
+    * (h·8191 + th) mod P over each length-`w` token window — the
+    * generalized form of [[shingleHashes]] used by span-level dedup and
+    * decontamination (q68/q70). Entirely narrow zero-shuffle work, same
+    * invariants as shingleHashes (in-row array_distinct IS the per-doc
+    * distinct, only 16-byte (doc_id, h) rows ever leave the row). Note
+    * the w=2 algebra differs from shingleHashes' (th1·8191 + th2) only
+    * by the leading 0-seed step, which is identity (0·8191 + th1 = th1)
+    * — they agree bit-for-bit. */
+  def spanHashes(docs: DataFrame, w: Int): DataFrame =
+    docs.withColumn("th", tokenHashes(col("text")))
+      .select(col("doc_id"), explode(
+        when(size(col("th")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("th")) - w),
+            i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
+              (a, x) => (a * 8191L + x) % P))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+
   /** Exact Jaccard (scaled 1e4) for given candidate pairs over a shingle
     * set (doc_id, h). Keep-all-pairs semantics: every candidate pair is
     * emitted, including zero-intersection pairs (jacc_1e4 = 0) — callers

@@ -99,19 +99,12 @@ object DedupQueries extends QueryGroup {
     // (doc_id, h) rows — cross-doc span counts groupBy(h), a semi join
     // back, and the per-doc ratio groupBy.
     "q68_span_dedup" -> ((s, d) => {
-      val w = 5
       val docs = Tables.spread(Tables.documents(s, d))
       // eager localCheckpoint: the tokenize/hash subtree (the query's
       // narrow CPU) runs once for all three consumers (cross-doc span
       // counts, per-doc totals, per-doc dup counts) and is
       // ContextCleaner-freed when the result goes unreachable.
-      val spans = docs.withColumn("th", tokenHashes(col("text")))
-        .select(col("doc_id"), explode(
-          when(size(col("th")) >= w,
-            array_distinct(transform(sequence(lit(0), size(col("th")) - w),
-              i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
-                (a, x) => (a * 8191L + x) % TextDedup.P))))
-            .otherwise(array().cast("array<bigint>"))).as("h"))
+      val spans = TextDedup.spanHashes(docs, 5)
         .localCheckpoint(eager = true)
       val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select(col("h").as("dh"))
@@ -134,19 +127,10 @@ object DedupQueries extends QueryGroup {
     // of eval spans against it — 16-byte rows only, both sides
     // hash-partitioned on the span hash.
     "q70_decontamination" -> ((s, d) => {
-      val w = 5
-      val spanHashes = (df: DataFrame) => df
-        .withColumn("th", tokenHashes(col("text")))
-        .select(col("doc_id"), explode(
-          when(size(col("th")) >= w,
-            array_distinct(transform(sequence(lit(0), size(col("th")) - w),
-              i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
-                (a, x) => (a * 8191L + x) % TextDedup.P))))
-            .otherwise(array().cast("array<bigint>"))).as("h"))
       val docs = Tables.spread(Tables.documents(s, d))
-      val trainH = spanHashes(docs.filter(col("doc_id") % 10 =!= 7))
+      val trainH = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 =!= 7), 5)
         .select(col("h").as("th_")).distinct()
-      val evalSpans = spanHashes(docs.filter(col("doc_id") % 10 === 7))
+      val evalSpans = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 === 7), 5)
       val hits = evalSpans.join(trainH, col("h") === col("th_"), "leftsemi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
       evalSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))

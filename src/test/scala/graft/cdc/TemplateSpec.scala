@@ -100,6 +100,12 @@ class TemplateSpec extends SparkTestBase {
     assert(render("""{{ keys (dict "b" 1 "a" 2) | join "," }}""") == "a,b")
   }
 
+  test("pipe inside a parenthesized sub-expression stays in its stage") {
+    assert(render("""{{ len (.Data.Table | upper) }}""") == "5")
+    assert(render("""{{ (.Data.Operation | lower) | trunc 3 }}""") == "ins")
+    assert(render("""{{ get (split "," ("a,b" | upper)) "_1" }}""") == "B")
+  }
+
   test("fromJson / fromJsonArray round-trip with toJson") {
     assert(render("""{{ get (fromJson "{\"k\":\"v\",\"n\":3}") "k" }}""") == "v")
     assert(render("""{{ get (fromJson "{\"k\":\"v\",\"n\":3}") "n" }}""") == "3")
