@@ -92,8 +92,11 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
     Option(options.get("maxEventsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue)
 
   /** The replication-client seam — every segment/extent decision below
-    * goes through this trait, never the filesystem directly. */
-  private val feed: EventFeed = new ReplayFeed(path)
+    * goes through this trait, never the filesystem directly. With
+    * `option("socket", "host:port")` the feed is a live
+    * [[SpoolingSocketFeed]] tailing a network stream into the spool at
+    * `path`; otherwise the plain replay feed over existing files. */
+  private val feed: EventFeed = BinlogFeeds.forOptions(path, options)
 
   private def segs: Seq[String] = feed.segments()
 
@@ -168,6 +171,25 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
   override def deserializeOffset(json: String): Offset = BinlogReplayOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Driver-side feed registry: the live socket feed is a per-(endpoint,
+  * spool) singleton so repeated stream (re)starts share one tail thread
+  * and keep appending to the same spool — executors always read the
+  * spool via [[ReplayFeed]], so partitions need no network access. */
+object BinlogFeeds {
+  private val socketFeeds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SpoolingSocketFeed]()
+
+  def forOptions(path: String, options: CaseInsensitiveStringMap): EventFeed =
+    Option(options.get("socket")) match {
+      case Some(hp) =>
+        val Array(h, p) = hp.split(":")
+        val rotate = Option(options.get("spoolRotate")).map(_.toLong).getOrElse(100000L)
+        socketFeeds.computeIfAbsent((hp, path),
+          _ => new SpoolingSocketFeed(h, p.toInt, path, rotate))
+      case None => new ReplayFeed(path)
+    }
 }
 
 /** One slice of one feed segment: events [fromLine, toLine). Carries the
