@@ -18,11 +18,20 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   - field paths:       {{ .ItemID }}, {{ .Data.Operation }}, ...
   *     (paths are matched case-insensitively so both the reference's Go
   *     field names (.Data.Rows) and our envelope names (.data.rows) work)
-  *   - pipes:             {{ .Data.Rows | toJson }}  (also upper/lower/trim)
-  *   - prefix call form:  {{ toJson .Data.Rows }}
-  *   - indexing + field:  {{ (index .Data.Rows 0).id }}
+  *   - pipes:             {{ .Data.Rows | toJson }}, incl. from literals
+  *     and inside parens: {{ (.x | lower).y }}
+  *   - prefix call form:  {{ toJson .Data.Rows }}; zero-arg {{ now }}
+  *   - indexing + field:  {{ (index .Data.Rows 0).id }}; field access on
+  *     any parenthesized sub-expression
   *   - trim markers:      {{- expr -}} (Go semantics: eat adjacent
   *     whitespace in the surrounding literal text)
+  *   - funcmap breadth (sprig subset + tmpl.go extras): string ops
+  *     (upper/lower/trim/title/nospace/quote/squote/trunc/abbrev/
+  *     replace/repeat), encoding (b64enc/b64dec), logic (default/
+  *     coalesce/ternary), integer math (add/sub/mul/div/mod), lists
+  *     (join/splitList/first/last/len), dicts (dict/get/hasKey/keys/
+  *     split), JSON (toJson/fromJson/fromJsonArray), time (now/date
+  *     with Go reference layouts/unixEpoch)
   *
   * `toJson` matches Go's json.Marshal observable behavior for our value
   * domain: object keys sorted, compact output (tmpl.go:131-139).

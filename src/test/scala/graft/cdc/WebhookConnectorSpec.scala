@@ -70,6 +70,17 @@ class WebhookConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("maxInFlight=1 preserves total delivery order (README.md:38 parity)") {
+    // the reference only guarantees ordering with a single sender
+    // worker; our equivalent is a 1-deep in-flight window
+    withServer() { (url, got) =>
+      val c = new WebhookConnector("w", url, maxInFlight = 1)
+      (1 to 50).foreach(i => c.send(s"p-$i".getBytes, s"k$i"))
+      c.flush()
+      assert(got.asScala.map(_.body).toSeq === (1 to 50).map(i => s"p-$i"))
+    }
+  }
+
   test("connection-level failure retries once synchronously (at-least-once)") {
     // a server that hard-closes the first connection attempt per request
     val failures = new AtomicInteger(0)
