@@ -100,6 +100,59 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("strHash column matches a driver-side model for arbitrary token text") {
+    import spark.implicits._
+    def model(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 1000000007L)
+    val tokenGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    cases(Gen.listOfN(50, tokenGen), 3) { toks =>
+      val got = toks.toDF("t")
+        .select(col("t"), graft.operators.TextDedup.strHash(col("t")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      toks.foreach(t => assert(got(t) === model(t), s"token $t"))
+    }
+  }
+
+  test("sequence packing: bins are contiguous and overflow by at most one doc") {
+    import spark.implicits._
+    val budget = 64L
+    cases(Gen.listOfN(80, Gen.choose(1L, 40L)), 3) { lens =>
+      val items = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val packed = graft.operators.SequencePacking
+        .pack(items.toDF("doc_id", "n_tok"), "doc_id", "n_tok", budget)
+        .select("doc_id", "n_tok", "bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      // bins appear in nondecreasing order over the id order
+      assert(packed.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      // every doc lands in bin floor(cum_before/budget): each bin's token
+      // total exceeds the budget by at most its last doc's length
+      packed.groupBy(_._3).foreach { case (_, docs) =>
+        val total = docs.map(_._2).sum
+        assert(total < budget + docs.map(_._2).max,
+          s"bin overflows by a full doc: $docs")
+      }
+    }
+  }
+
+  test("kmeansStep conserves vectors: per-dim assigned counts sum to base size") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d) % 5).toFloat)))
+      .toDF("id", "v")
+    val cents = (0L until 3L).map(c =>
+      (c, Array.tabulate(4)(d => ((c * 3 + d) % 5).toFloat)))
+      .toDF("cid", "cv")
+    val step = graft.operators.Similarity.kmeansStep(base, "id", "v", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // each dimension partitions the 40 vectors exactly once
+    step.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum === 40L)
+    }
+    // every cluster emits all 4 dims or none
+    step.groupBy(_._1).foreach { case (_, rows) => assert(rows.length === 4) }
+  }
+
   test("explode then collect_list rebuilds the original multiset per key") {
     import spark.implicits._
     val data = Seq((1L, Seq("a", "b", "b")), (2L, Seq("x")), (3L, Seq.empty[String]))
