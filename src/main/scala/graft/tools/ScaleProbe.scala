@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{GraphDedup, TextDedup}
+
+/** Scale-linearity probe for the flagship dedup operators: runs the
+  * MinHash-LSH near-dup pipeline, the span-dedup pipeline, and SimHash
+  * over synthetically scaled copies of the sf0.1 corpus and reports
+  * wall-clock per scale factor. Copies are alphabet-ROTATED (each copy's
+  * tokens live in a disjoint hash space), so the near-dup pair structure
+  * stays per-copy and measured growth isolates the ENGINE's scaling —
+  * a superlinear curve here would expose a hidden global structure or
+  * all-pairs stage; linear growth is the 100 TB evidence.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factors csv]
+  * Prints one JSON line per (op, factor).
+  */
+object ScaleProbe {
+
+  private def rotAlphabet(k: Int): String =
+    ('a' to 'z').map(c => (((c - 'a') + k) % 26 + 'a').toChar).mkString
+
+  /** `factor` disjoint-token copies of the corpus (doc_id offset per copy). */
+  private def scaled(docs: DataFrame, factor: Int): DataFrame = {
+    val n = 1000000L
+    (0 until factor).map { k =>
+      docs.select((col("doc_id") + lit(k * n)).as("doc_id"),
+        translate(col("text"), rotAlphabet(0), rotAlphabet(k)).as("text"))
+    }.reduce(_ union _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,4,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+    def time(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "minhash_lsh_neardup" -> (d => TextDedup.nearDupPairs(d, 3000L).count()),
+      "span_dedup" -> { d =>
+        val spans = TextDedup.spanHashes(d, 5)
+        spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).count()
+      },
+      "simhash" -> { d =>
+        val th = d.select(col("doc_id"),
+          explode(array_distinct(TextDedup.tokenHashes(col("text")))).as("hv"))
+        th.groupBy(col("doc_id")).agg(count(lit(1))).count()
+      },
+      "dedup_components" -> { d =>
+        GraphDedup.connectedComponentsStar(
+          TextDedup.nearDupPairs(d, 3000L), "d1", "d2").count()
+      })
+
+    for ((name, op) <- ops; f <- factors) {
+      val d = scaled(base, f)
+      op(d) // warm (codegen + scan)
+      val (sec, rows) = time(op(d))
+      println(s"""{"op":"$name","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+    spark.stop()
+  }
+}
