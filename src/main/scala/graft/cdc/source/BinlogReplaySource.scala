@@ -184,10 +184,18 @@ object BinlogFeeds {
   def forOptions(path: String, options: CaseInsensitiveStringMap): EventFeed =
     Option(options.get("socket")) match {
       case Some(hp) =>
-        val Array(h, p) = hp.split(":")
+        // host:port with a clear error (last ':' so IPv6 hosts parse)
+        val cut = hp.lastIndexOf(':')
+        require(cut > 0 && cut < hp.length - 1 &&
+          hp.substring(cut + 1).forall(_.isDigit),
+          s"socket option must be host:port, got '$hp'")
+        val (h, p) = (hp.substring(0, cut), hp.substring(cut + 1).toInt)
         val rotate = Option(options.get("spoolRotate")).map(_.toLong).getOrElse(100000L)
+        // one live feed per (endpoint, spool); a later stream's
+        // spoolRotate is intentionally ignored — rotation belongs to the
+        // feed that owns the spool, not to each reader
         socketFeeds.computeIfAbsent((hp, path),
-          _ => new SpoolingSocketFeed(h, p.toInt, path, rotate))
+          _ => new SpoolingSocketFeed(h, p, path, rotate))
       case None => new ReplayFeed(path)
     }
 }

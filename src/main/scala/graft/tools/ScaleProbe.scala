@@ -60,9 +60,19 @@ object ScaleProbe {
           .filter(col("nd") >= 2).count()
       },
       "simhash" -> { d =>
+        // the REAL q34 shape: h62 expansion + 62 per-bit vote sums +
+        // fingerprint fold (not just the token-hash groupBy)
         val th = d.select(col("doc_id"),
-          explode(array_distinct(TextDedup.tokenHashes(col("text")))).as("hv"))
-        th.groupBy(col("doc_id")).agg(count(lit(1))).count()
+            explode(array_distinct(TextDedup.tokenHashes(col("text")))).as("hv"))
+          .select(col("doc_id"),
+            (((col("hv") * 48271L) % 2147483647L) * 2147483648L +
+              ((col("hv") * 69621L) % 2147483647L)).as("h62"))
+        val bitSums = (0 until 62).map(b =>
+          sum(when(expr(s"(shiftright(h62, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$b"))
+        val votes = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        val fingerprint = (0 until 62).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        votes.select(col("doc_id"), fingerprint.cast("long").as("simhash")).count()
       },
       "dedup_components" -> { d =>
         GraphDedup.connectedComponentsStar(

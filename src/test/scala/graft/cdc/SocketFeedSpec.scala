@@ -60,6 +60,41 @@ class SocketFeedSpec extends SparkTestBase {
     }
   }
 
+  test("partial line on disconnect is discarded; feed reconnects and resumes") {
+    // first connection: one full event + a torn half-event, then close;
+    // second connection: two more full events
+    val server = new ServerSocket(0, 2, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val s1 = server.accept()
+        val w1 = new OutputStreamWriter(s1.getOutputStream, StandardCharsets.UTF_8)
+        w1.write(event(10, 1) + "\n")
+        w1.write(event(20, 2).take(40)) // torn mid-line
+        w1.flush(); s1.close()
+        val s2 = server.accept()
+        val w2 = new OutputStreamWriter(s2.getOutputStream, StandardCharsets.UTF_8)
+        w2.write(event(20, 2) + "\n"); w2.write(event(30, 3) + "\n")
+        w2.flush()
+        Thread.sleep(600000)
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    val dir = Files.createTempDirectory("socket-reconnect").toString
+    val feed = new SpoolingSocketFeed("127.0.0.1", server.getLocalPort, dir)
+    try {
+      awaitSpool(dir, 3)
+      // every spooled line is complete, parseable JSON
+      val all = feed.segments().flatMap { seg =>
+        val r = feed.open(seg, 0, Long.MaxValue)
+        val evs = Iterator.continually(r).takeWhile(_.next()).map(_.get()).toSeq
+        r.close(); evs
+      }
+      assert(all.map(_.binlogPosition) === Seq(10L, 20L, 30L))
+      // reconnect started a fresh segment — closed segments never regrow
+      assert(feed.segments().size === 2)
+    } finally { feed.close(); server.close() }
+  }
+
   test("live socket events flow through the unchanged DSv2 source + decode") {
     val lines = (1 to 12).map(i => event(i * 100L, i.toLong))
     withServer(lines) { port =>
