@@ -76,14 +76,106 @@ object Config {
     EnvRef.replaceAllIn(raw, m =>
       Regex.quoteReplacement(env.getOrElse(m.group(1), "")))
 
-  /** Load + env-expand + parse a JSON config file. */
-  def load(path: String, env: Map[String, String] = sys.env): GraftConfig =
-    parse(expandEnv(new String(Files.readAllBytes(Paths.get(path)),
-      StandardCharsets.UTF_8), env))
+  /** Load + env-expand + parse a config file. `.yaml`/`.yml` files are
+    * parsed as YAML (jackson-dataformat-yaml, shipped with Spark);
+    * anything shaped like the reference's `binwatch.v1alpha2` layout
+    * (a `server:`/`source:` section) goes through the reference-compat
+    * mapping, so an existing binwatch config file is a drop-in. */
+  def load(path: String, env: Map[String, String] = sys.env): GraftConfig = {
+    val raw = expandEnv(new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8), env)
+    val mapper =
+      if (path.endsWith(".yaml") || path.endsWith(".yml"))
+        new com.fasterxml.jackson.databind.ObjectMapper(
+          new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+      else new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(raw)
+    if (tree.hasNonNull("server") || tree.hasNonNull("source"))
+      parseReference(tree)
+    else parseTree(tree)
+  }
 
-  def parse(json: String): GraftConfig = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = m.readTree(json)
+  def parse(json: String): GraftConfig =
+    parseTree(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+
+  /** Reference-layout compat (api/v1alpha2/config.go): maps the nested
+    * server/source/sharding/connectors/routes sections onto GraftConfig.
+    * MySQL endpoint fields (source.host/user/...) have no replay analog
+    * and are ignored; `sourcePath`/`checkpointDir`/`follow` may ride
+    * along as top-level extras in the same file. */
+  private def parseReference(n: com.fasterxml.jackson.databind.JsonNode): GraftConfig = {
+    import scala.jdk.CollectionConverters._
+    def at(p: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+      p.foldLeft(Option(n)) { (o, k) => o.flatMap(x => Option(x.get(k)).filter(!_.isNull)) }
+    def strAt(dflt: String, p: String*): String = at(p: _*).map(_.asText()).getOrElse(dflt)
+    def boolAt(dflt: Boolean, p: String*): Boolean = at(p: _*).map(_.asBoolean()).getOrElse(dflt)
+    def intAt(dflt: Int, p: String*): Int = at(p: _*).map(_.asInt()).getOrElse(dflt)
+
+    val dbTables: Map[String, Seq[String]] = at("source", "dbTables")
+      .map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq).toMap)
+      .getOrElse(Map.empty)
+
+    val connectors: Seq[ConnectorConfig] = at("connectors")
+      .map(_.elements().asScala.map { c =>
+        def cAt(p: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+          p.foldLeft(Option(c)) { (o, k) => o.flatMap(x => Option(x.get(k)).filter(!_.isNull)) }
+        val tpe = c.get("type").asText()
+        ConnectorConfig(
+          name = c.get("name").asText(),
+          connType = tpe,
+          url = cAt("webhook", "url").map(_.asText()).getOrElse(""),
+          method = cAt("webhook", "method").map(_.asText()).getOrElse("POST"),
+          headers = cAt("webhook", "headers")
+            .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty),
+          basicAuthUser = cAt("webhook", "credentials", "username").map(_.asText()).filter(_.nonEmpty),
+          basicAuthPass = cAt("webhook", "credentials", "password").map(_.asText()).filter(_.nonEmpty),
+          projectId = cAt("pubsub", "projectID").map(_.asText()).getOrElse(""),
+          topicId = cAt("pubsub", "topicID").map(_.asText()).getOrElse(""))
+      }.toSeq)
+      .getOrElse(Seq.empty)
+
+    val routes: Seq[Route] = at("routes")
+      .map(_.elements().asScala.map { r =>
+        Route(
+          name = r.get("name").asText(),
+          connector = r.get("connector").asText(),
+          operations = Option(r.get("operations"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+          dbTable = Option(r.get("dbTable")).filter(!_.isNull).map(_.asText()).getOrElse(""),
+          template = Option(r.get("template")).filter(!_.isNull).map(_.asText()).getOrElse(""))
+      }.toSeq)
+      .getOrElse(Seq.empty)
+
+    val cacheEnabled = boolAt(dflt = false, "server", "cache", "enabled")
+    GraftConfig(
+      serverId = strAt("graft", "server", "id"),
+      itemByRow = boolAt(dflt = true, "server", "pool", "itemByRow"),
+      stopInError = boolAt(dflt = true, "server", "stopInError"),
+      dbTables = dbTables,
+      startFile = at("source", "startLocation", "file").map(_.asText()),
+      startPosition = at("source", "startLocation", "position").map(_.asLong()),
+      shardingEnabled = boolAt(dflt = false, "sharding", "enabled"),
+      shardCount = intAt(1, "sharding", "count"),
+      shardIndex = intAt(0, "sharding", "index"),
+      shardKeyTemplate = at("sharding", "keyTemplate").map(_.asText()).filter(_.nonEmpty),
+      routes = routes,
+      connectors = connectors,
+      strictRouteCompat = boolAt(dflt = false, "strictRouteCompat"),
+      sourcePath = strAt("", "sourcePath"),
+      checkpointDir = strAt("", "checkpointDir"),
+      apiHost = strAt("0.0.0.0", "server", "host"),
+      apiPort = intAt(0, "server", "port"),
+      follow = boolAt(dflt = false, "follow"),
+      cacheType = if (cacheEnabled) strAt("", "server", "cache", "type") else "",
+      cachePath = strAt("", "server", "cache", "local", "path"),
+      redisHost = strAt("localhost", "server", "cache", "redis", "host"),
+      redisPort = intAt(6379, "server", "cache", "redis", "port"),
+      redisPassword = at("server", "cache", "redis", "password").map(_.asText()).filter(_.nonEmpty))
+  }
+
+  private def parseTree(n: com.fasterxml.jackson.databind.JsonNode): GraftConfig = {
     def str(p: String, dflt: String): String =
       if (n.hasNonNull(p)) n.get(p).asText() else dflt
     def bool(p: String, dflt: Boolean): Boolean =

@@ -35,6 +35,98 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.routes.head.operations == Seq("INSERT"))
   }
 
+  test("reference-layout YAML config is a drop-in (binwatch.v1alpha2 shape)") {
+    val yaml =
+      """logger:
+        |  level: debug
+        |server:
+        |  id: drop-in-id
+        |  host: "127.0.0.1"
+        |  port: 8080
+        |  stopInError: false
+        |  senderWorkers: 1
+        |  pool:
+        |    size: 20
+        |    itemByRow: true
+        |  cache:
+        |    enabled: true
+        |    type: redis
+        |    local:
+        |      path: /tmp/cache
+        |    redis:
+        |      host: "10.0.0.5"
+        |      port: 6380
+        |      password: "${ENV:GRAFT_TEST_REDIS_PW}$"
+        |source:
+        |  flavor: mysql
+        |  serverID: 100
+        |  host: "127.0.0.1"
+        |  port: 3306
+        |  dbTables:
+        |    testdb: [users, orders]
+        |  startLocation:
+        |    file: "mysql-bin.000007"
+        |    position: 4
+        |sharding:
+        |  enabled: true
+        |  count: 3
+        |  index: 1
+        |  keyTemplate: '{{ (index .Data.Rows 0).id }}'
+        |connectors:
+        |- name: hook-a
+        |  type: webhook
+        |  webhook:
+        |    url: http://127.0.0.1:8085/api/v1/data
+        |    method: PUT
+        |    headers:
+        |      "Content-Type": "application/json"
+        |    credentials:
+        |      username: u1
+        |      password: p1
+        |- name: ps-a
+        |  type: google_pubsub
+        |  pubsub:
+        |    projectID: proj-x
+        |    topicID: topic-y
+        |routes:
+        |- name: users-route
+        |  connector: hook-a
+        |  operations: ["INSERT", "UPDATE"]
+        |  dbTable: "testdb.users"
+        |  template: |
+        |    {"op":"{{ .Data.Operation }}"}
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("ref-config", ".yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    val cfg = Config.load(f.toString, env = Map("GRAFT_TEST_REDIS_PW" -> "sekrit"))
+    assert(cfg.serverId === "drop-in-id")
+    assert(cfg.apiHost === "127.0.0.1" && cfg.apiPort === 8080)
+    assert(cfg.stopInError === false && cfg.itemByRow === true)
+    assert(cfg.dbTables === Map("testdb" -> Seq("users", "orders")))
+    assert(cfg.startFile === Some("mysql-bin.000007") && cfg.startPosition === Some(4L))
+    assert(cfg.shardingEnabled && cfg.shardCount === 3 && cfg.shardIndex === 1)
+    assert(cfg.shardKeyTemplate === Some("{{ (index .Data.Rows 0).id }}"))
+    assert(cfg.cacheType === "redis" && cfg.redisHost === "10.0.0.5"
+      && cfg.redisPort === 6380 && cfg.redisPassword === Some("sekrit"))
+    val hook = cfg.connectors.find(_.name == "hook-a").get
+    assert(hook.connType === "webhook" && hook.url.endsWith("/api/v1/data")
+      && hook.method === "PUT"
+      && hook.basicAuthUser === Some("u1") && hook.basicAuthPass === Some("p1"))
+    val ps = cfg.connectors.find(_.name == "ps-a").get
+    assert(ps.connType === "google_pubsub"
+      && ps.projectId === "proj-x" && ps.topicId === "topic-y")
+    assert(cfg.routes.head.dbTable === "testdb.users")
+    assert(cfg.routes.head.template.contains("""{"op":"{{ .Data.Operation }}"}"""))
+    // cache disabled -> no mirror regardless of type fields
+    val off = Config.load({
+      val g = java.nio.file.Files.createTempFile("ref-config-off", ".yaml")
+      java.nio.file.Files.writeString(g,
+        yaml.replace("enabled: true\n    type: redis", "enabled: false\n    type: redis"))
+      g.toString
+    }, env = Map.empty)
+    assert(off.cacheType === "")
+  }
+
   test("defaults match the reference's shipped defaults") {
     val cfg = Config.parse("{}")
     assert(cfg.itemByRow && cfg.stopInError && !cfg.shardingEnabled)
