@@ -66,6 +66,7 @@ object CdcPipeline {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
 
     var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
+    if (cfg.socketSource.nonEmpty) reader = reader.option("socket", cfg.socketSource)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
 

@@ -33,8 +33,12 @@ final case class GraftConfig(
     strictRouteCompat: Boolean = false,
     // runtime wiring for the CLI entry point (the reference reads the
     // MySQL endpoint from source.*, config.go:103-116; the replay twin
-    // reads a directory) + server.api host/port (config.go:56-60)
+    // reads a directory, optionally fed live over TCP) + server.api
+    // host/port (config.go:56-60)
     sourcePath: String = "",
+    // "host:port" -> tail a live line-delimited stream into sourcePath
+    // (SpoolingSocketFeed); "" = read existing replay files only
+    socketSource: String = "",
     checkpointDir: String = "",
     apiHost: String = "0.0.0.0",
     apiPort: Int = 0,
@@ -164,6 +168,7 @@ object Config {
       connectors = connectors,
       strictRouteCompat = boolAt(dflt = false, "strictRouteCompat"),
       sourcePath = strAt("", "sourcePath"),
+      socketSource = strAt("", "socketSource"),
       checkpointDir = strAt("", "checkpointDir"),
       apiHost = strAt("0.0.0.0", "server", "host"),
       apiPort = intAt(0, "server", "port"),
@@ -234,6 +239,7 @@ object Config {
       connectors = connectors,
       strictRouteCompat = bool("strictRouteCompat", dflt = false),
       sourcePath = str("sourcePath", ""),
+      socketSource = str("socketSource", ""),
       checkpointDir = str("checkpointDir", ""),
       apiHost = str("apiHost", "0.0.0.0"),
       apiPort = if (n.hasNonNull("apiPort")) n.get("apiPort").asInt() else 0,

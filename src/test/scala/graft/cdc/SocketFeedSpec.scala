@@ -118,6 +118,26 @@ class SocketFeedSpec extends SparkTestBase {
     }
   }
 
+  test("socketSource config wires TCP tail through the full sync pipeline") {
+    CollectingConnector.clear()
+    val lines = (1 to 6).map(i => event(i * 100L, i.toLong))
+    withServer(lines) { port =>
+      val dir = Files.createTempDirectory("socket-sync").toString
+      awaitFeed(dir, port, 6)
+      val cfg = Config.parse(
+        s"""{"serverId": "sock1", "dbTables": {"testdb": ["users"]},
+           |  "sourcePath": "$dir", "socketSource": "127.0.0.1:$port",
+           |  "connectors": [{"name": "sinkT", "type": "collect"}],
+           |  "routes": [{"name": "r", "connector": "sinkT",
+           |    "operations": ["INSERT"], "dbTable": "testdb.users",
+           |    "template": "{{ .Data.Rows | toJson }}"}]}""".stripMargin)
+      val ckpt = Files.createTempDirectory("socket-sync-ckpt").toString
+      val q = CdcPipeline.sync(spark, cfg, cfg.sourcePath, ckpt)
+      q.awaitTermination(60000)
+      assert(CollectingConnector.drain("sinkT").size === 6)
+    }
+  }
+
   /** Pre-warm the registry feed so the spool holds all events before the
     * AvailableNow cap freezes (the cap snapshots extents at prepare). */
   private def awaitFeed(dir: String, port: Int, n: Long): Unit = {
