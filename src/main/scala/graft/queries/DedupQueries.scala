@@ -1,8 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{Canon, Tables}
 import Canon._
 
@@ -24,7 +23,7 @@ import Canon._
 object DedupQueries extends QueryGroup {
 
   import graft.operators.TextDedup
-  import TextDedup.{HashParams, toks, tokenHashes}
+  import TextDedup.{HashParams, tokenHashes}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content hash (sha2 — at 100 TB you never
