@@ -147,7 +147,13 @@ object TextDedup {
     * exact Jaccard ≥ threshold (scaled 1e4).
     *
     * ONE groupBy(doc_id) pass produces the whole per-doc profile — all 8
-    * permutation minima, the shingle-hash array, and the set size — and is
+    * permutation minima, the shingle-hash array, and the set size.
+    * (Measured dead end, do not "optimize" this into in-row HOFs: an
+    * array_min-over-transform formulation of the 8 minima — zero
+    * shuffles — benched 30× SLOWER, because Spark evaluates HOF lambdas
+    * interpreted per element while the exploded aggregation runs in
+    * whole-stage codegen. The single groupBy is the right trade.)
+    * The profile is
     * materialized once via eager `localCheckpoint` (MEMORY_AND_DISK
     * blocks, lineage-truncated), so the shingling subtree runs exactly
     * once and serves all three consumers (band self-join + both
