@@ -143,6 +143,62 @@ object TextDedup {
     candidatesOf(bandSignatures(sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)))
   }
 
+  /** Streaming dedup-on-ingest: near-dup check of an INCOMING document
+    * stream against a STATIC reference corpus — the incremental form of
+    * [[nearDupPairs]] (e.g. "is this crawled page already in the
+    * training set?"). Append-mode safe: the stream side is pure per-row
+    * work (in-row shingle set + in-row minhash minima — interpreted
+    * HOFs, fine at micro-batch sizes; the static side uses the codegen
+    * batch profile, materialized once via eager localCheckpoint), then
+    * two stream-static joins: band-signature equality for candidates,
+    * profile lookup for exact-Jaccard verification. No stateful ops and
+    * no stream-side aggregation. A stream doc matching a reference doc
+    * in k bands emits ONE row per matching band — dedupe downstream
+    * (e.g. dropDuplicatesWithinWatermark) if exactly-one is needed.
+    * Output: (doc_id, ref_doc_id, jacc_1e4). */
+  def nearDupAgainst(stream: DataFrame, corpus: DataFrame,
+      threshold1e4: Long): DataFrame = {
+    val mhAggs = HashParams.map { case (k, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
+    }
+    val aggs = mhAggs :+ collect_list(col("h")).as("hs") :+ count(lit(1)).as("n")
+    val refProf = shingleHashes(corpus).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = true)
+    val refBands = bandSignatures(
+      refProf.select(col("doc_id") +: HashParams.map { case (k, _, _) => col(s"mh$k") }: _*))
+      .select(col("doc_id").as("ref_doc_id"),
+        col("band").as("rband"), col("sig").as("rsig"))
+    val refVerify = refProf.select(col("doc_id").as("rv_doc"),
+      col("hs").as("rhs"), col("n").as("rn"))
+
+    val hsCol = when(size(col("th")) >= 2,
+      array_distinct(transform(sequence(lit(0), size(col("th")) - 2),
+        i => (get(col("th"), i) * 8191L + get(col("th"), i + 1)) % P)))
+      .otherwise(array().cast("array<bigint>"))
+    val prof = stream.withColumn("th", tokenHashes(col("text")))
+      .withColumn("hs", hsCol)
+      .filter(size(col("hs")) > 0)
+      .select(Seq(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n")) ++
+        HashParams.map { case (k, a, b) =>
+          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)).as(s"mh$k")
+        }: _*)
+    // band explode carries the profile along (joining the stream back to
+    // itself would be a stream-stream join needing watermarks)
+    prof.select(col("doc_id"), col("hs"), col("n"), explode(array(
+        (0 until 4).map(bd => struct(lit(bd).as("band"),
+          concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("hs"), col("n"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .join(refBands, col("band") === col("rband") && col("sig") === col("rsig"))
+      .join(refVerify, col("ref_doc_id") === col("rv_doc"))
+      .withColumn("inter", size(array_intersect(col("hs"), col("rhs"))).cast("long"))
+      .select(col("doc_id"), col("ref_doc_id"),
+        ratio1e4(col("inter").cast("double") /
+          (col("n") + col("rn") - col("inter")).cast("double")).as("jacc_1e4"))
+      .filter(col("jacc_1e4") >= threshold1e4)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidate pairs with verified
     * exact Jaccard ≥ threshold (scaled 1e4).
     *

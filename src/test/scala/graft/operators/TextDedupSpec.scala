@@ -22,6 +22,39 @@ class TextDedupSpec extends SparkTestBase {
     assert(twice.count() === 3L)
   }
 
+  test("nearDupAgainst flags streamed docs that near-duplicate the corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (100L, base),
+      (200L, "completely different content about spark catalyst execution plans"))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = TextDedup.nearDupAgainst(
+      in.toDF().toDF("doc_id", "text"), corpus, 3000L)
+    val q = out.writeStream.format("memory").queryName("neardup_ingest")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, base.replace("today", "tomorrow")), // near-dup of 100
+        (2L, "totally unrelated words about cooking pasta at home tonight"))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT DISTINCT doc_id, ref_doc_id FROM neardup_ingest")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 100L)))
+      // second batch: an exact copy of a corpus doc also flags
+      in.addData((3L, base))
+      q.processAllAvailable()
+      val got2 = s.sql(
+        "SELECT DISTINCT doc_id, ref_doc_id FROM neardup_ingest WHERE doc_id = 3")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 === Set((3L, 100L)))
+    } finally q.stop()
+  }
+
   test("nearDupPairs finds injected near-duplicates and skips unrelated docs") {
     val s = spark
     import s.implicits._
