@@ -209,6 +209,47 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"))
     }),
 
+    // N-gram language-model quality score — the KenLM/CCNet-style filter:
+    // train a bigram LM on the corpus itself (unigram + bigram count
+    // dims), score each doc by its mean Laplace-smoothed bigram log-prob
+    // ln((c(w1,w2)+1) / (c(w1)+V)). Per-term log-probs are rendered to
+    // 1e-6 fixed point BEFORE summing, so the per-doc sum is an exact
+    // order-independent BIGINT (raw double sums would be engine-order-
+    // sensitive). Scale shape: two count groupBys build the LM dims
+    // (unigram dim is vocab-sized; the bigram dim joins by hash — never
+    // broadcast, never global), scoring is a hash join of the doc bigram
+    // stream against them; 16-byte rows only.
+    "q72_ngram_lm_score" -> ((s, d) => {
+      val th = graft.operators.TextDedup.tokenHashes(col("text"))
+      val docs = Tables.spread(Tables.documents(s, d)).withColumn("th", th)
+      // non-distinct streams: counts need multiplicity
+      val uniStream = docs.select(col("doc_id"), explode(col("th")).as("t1"))
+      val bigStream = docs.select(col("doc_id"), explode(
+          when(size(col("th")) >= 2,
+            transform(sequence(lit(0), size(col("th")) - 2),
+              i => struct(get(col("th"), i).as("t1"),
+                ((get(col("th"), i) * 8191L + get(col("th"), i + 1)) % P).as("h"))))
+            .otherwise(array().cast("array<struct<t1:bigint,h:bigint>>"))).as("bg"))
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.h").as("h"))
+      val uni = uniStream.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+      val big = bigStream.groupBy(col("h")).agg(count(lit(1)).as("c2"))
+      val vocab = uniStream.select(countDistinct(col("t1")).as("v"))
+      bigStream
+        .join(big, "h")
+        .join(uni, "t1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp_1e6",
+          floor(log((col("c2").cast("double") + 1.0) /
+            (col("c1").cast("double") + col("v").cast("double"))) * 1e6 + 0.5)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_1e6")).as("lp_sum_1e6"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ratio1e4(col("lp_sum_1e6").cast("double") /
+            (col("n_bigrams").cast("double") * 1e6)).as("mean_lp_1e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: 31-base rolling hash mod 1e9+7 over the first
     // 256 chars. Fold starts at 0 which matches DuckDB's init-less
     // list_reduce (0*31 + c1 = c1).
@@ -261,7 +302,32 @@ object TextQueries extends QueryGroup {
     })
   )
 
+  private val strHashSqlW: String =
+    """list_reduce(list_transform(range(1, length(w) + 1),
+      |                           i -> CAST(ascii(w[i]) AS BIGINT)),
+      |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q72_ngram_lm_score" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                        x -> x <> ''), w -> $strHashSqlW) AS th
+         |           FROM documents),
+         |ug AS (SELECT doc_id, unnest(th) AS t1 FROM t),
+         |bg AS (SELECT doc_id, th[i] AS t1, (th[i] * 8191 + th[i+1]) % 1000000007 AS h
+         |       FROM t, unnest(range(1, greatest(len(th), 1))) u(i)),
+         |uni AS (SELECT t1, COUNT(*) AS c1 FROM ug GROUP BY 1),
+         |big AS (SELECT h, COUNT(*) AS c2 FROM bg GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT t1) AS v FROM ug),
+         |sc AS (SELECT bg.doc_id,
+         |         CAST(floor(ln((big.c2 + 1.0) / (uni.c1 + vv.v)) * 1000000 + 0.5) AS BIGINT) AS lp
+         |       FROM bg JOIN big USING (h) JOIN uni ON bg.t1 = uni.t1, vv),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp) AS BIGINT) AS lp_sum
+         |        FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       CAST(floor(lp_sum * 1.0 / (n_bigrams * 1000000.0) * 10000 + 0.5) AS BIGINT) AS mean_lp_1e4
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q63_text_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
         |                                x -> x <> '')) AS token
