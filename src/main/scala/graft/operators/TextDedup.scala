@@ -53,10 +53,13 @@ object TextDedup {
     * DuckDB's `list_reduce` twin. Token/shingle identity comes straight
     * from the string, so no vocabulary, window, or broadcast dim exists
     * anywhere in the dedup path: at 100 TB there is NO global structure
-    * to build — everything up to the per-doc profile groupBy is narrow. */
-  def strHash(c: Column): Column =
-    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L), (h, x) => (h * 31L + x) % P)
+    * to build — everything up to the per-doc profile groupBy is narrow.
+    *
+    * Implemented as the native codegen expression
+    * [[graft.functions.StrPolyHash]] (tight byte loop) — bit-identical
+    * to the interpreted HOF fold for the `[a-z]+` tokens this path
+    * hashes (ASCII bytes ≡ ascii() codepoints). */
+  def strHash(c: Column): Column = graft.functions.StrPolyHash.strPolyHash(c)
 
   /** Per-token polynomial hashes for a text column, in token order. */
   def tokenHashes(c: Column): Column = transform(toks(c), t => strHash(t))
