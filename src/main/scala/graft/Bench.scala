@@ -93,11 +93,11 @@ object Bench {
     val sds = results.map { case (k, _, sd) => "\"" + k + "\":" + f"$sd%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // compare against PHYSICAL cores (the bench itself legitimately
-    // drives load ~ cores; beyond that is oversubscription), not the
-    // configured thread count
-    val physCores = Runtime.getRuntime.availableProcessors()
-    val contended = loadBefore > 2.0 || loadAfter > physCores + 2.0
+    // availableProcessors() is LOGICAL processors (SMT threads included);
+    // the bench itself legitimately drives load ~ that count, beyond it
+    // is oversubscription by outside work
+    val logicalCores = Runtime.getRuntime.availableProcessors()
+    val contended = loadBefore > 2.0 || loadAfter > logicalCores + 2.0
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""warm_stddev":$sds,"load_avg_before":$loadBefore%.2f,""" +
       f""""load_avg_after":$loadAfter%.2f,"contended":$contended,"sf":"$sfDir"}""")

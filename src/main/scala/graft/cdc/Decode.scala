@@ -100,9 +100,10 @@ object Decode {
       struct(col("eventType"), col("binlogFile"), col("binlogPosition")).as("log"),
       struct(col("database"), col("table"), col("operation"), col("rows")).as("data"))
 
-    if (assignItemId)
+    if (assignItemId) {
+      graft.operators.GlobalOrder.allow("cdc gap-free itemID")
       envelope.withColumn("itemID", row_number().over(
         Window.orderBy(col("binlogFile"), col("binlogPosition"), col("rowIdx"))).cast("long"))
-    else envelope.withColumn("itemID", lit(null).cast("long"))
+    } else envelope.withColumn("itemID", lit(null).cast("long"))
   }
 }

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -13,8 +13,9 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Scala UDF this stays inside the generated code: no boxing, no
   * serialization, full pipeline fusion.
   */
-case class Fnv1aHash(child: Expression) extends UnaryExpression {
+case class Fnv1aHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv1a64"
 
@@ -31,8 +32,9 @@ case class Fnv1aHash(child: Expression) extends UnaryExpression {
 /** FNV-1a 64 over a long's 8 little-endian bytes — the reference's
   * default shard key form (uint64 position via binary.Write LittleEndian,
   * blsenderwork.go:139-147), codegen'd like [[Fnv1aHash]]. */
-case class Fnv1aHashLongLE(child: Expression) extends UnaryExpression {
+case class Fnv1aHashLongLE(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv1a64_long_le"
 

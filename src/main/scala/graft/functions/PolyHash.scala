@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -19,8 +19,9 @@ import org.apache.spark.sql.graftbridge.Bridge
   * guarantees it; for arbitrary strings use the HOF form. The DuckDB
   * twin (`list_reduce` over `ascii(w[i])`) matches bit-for-bit on the
   * same input domain. */
-case class StrPolyHash(child: Expression) extends UnaryExpression {
+case class StrPolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "str_poly_hash"
 

@@ -73,15 +73,18 @@ object GraphDedup {
     }
     e.unpersist()
     // diameter > maxIter would silently return wrong (unconverged)
-    // component labels — fail loudly instead; callers with genuinely
-    // deep graphs should raise maxIter or use connectedComponentsStar
-    // (O(log n) convergence regardless of diameter).
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter or use " +
-          "connectedComponentsStar")
-    labels.select(col("id"), col("label").as("component"))
+    // component labels — fall back to the star-rounds algorithm, which
+    // converges in O(log n) rounds regardless of diameter. Near-dup
+    // graphs are dense quasi-cliques so this path is cold; it only fires
+    // on long-chain graphs (e.g. span-overlap chains).
+    if (changed > 0) {
+      org.apache.logging.log4j.LogManager.getLogger(getClass).info(
+        s"connectedComponents: $changed labels still changing after " +
+          s"$maxIter min-label rounds (graph diameter > maxIter); " +
+          "falling back to star-rounds (O(log n))")
+      connectedComponentsStar(edges, srcCol, dstCol)
+    } else
+      labels.select(col("id"), col("label").as("component"))
   }
 
   /** Large-star round: every node hangs its LARGER neighbors off the

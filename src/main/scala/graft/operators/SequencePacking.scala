@@ -24,6 +24,7 @@ object SequencePacking {
     * adds `cum_before` (tokens packed before this item) and `bin`
     * (floor(cum_before / budget)). */
   def pack(items: DataFrame, idCol: String, nTokCol: String, budget: Long): DataFrame = {
+    GlobalOrder.allow("SequencePacking.pack")
     val w = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     items

@@ -24,6 +24,17 @@ object TextDedup {
     (0, 1299721L, 7L), (1, 15485863L, 11L), (2, 32452843L, 13L),
     (3, 49979687L, 17L), (4, 67867967L, 19L), (5, 86028121L, 23L),
     (6, 104395301L, 29L), (7, 122949823L, 31L))
+  val BandRows = 2
+  val Bands: Int = HashParams.size / BandRows
+
+  /** The banding layout as an array of (band, sig) structs, derived from
+    * [[HashParams]] — the ONE definition shared by the batch profile path
+    * and the streaming side of [[nearDupAgainst]], so a params change
+    * can't silently desynchronize their signatures. */
+  private def bandStructs: Column = array(
+    (0 until Bands).map(bd => struct(lit(bd).as("band"),
+      concat_ws("-",
+        (0 until BandRows).map(r => col(s"mh${BandRows * bd + r}")): _*).as("sig"))): _*)
 
   def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), x => x =!= "")
@@ -123,9 +134,7 @@ object TextDedup {
 
   /** Band signatures from a per-doc minhash profile (doc_id, mh0..mh7). */
   private def bandSignatures(mh: DataFrame): DataFrame =
-    mh.select(col("doc_id"), explode(array(
-        (0 until 4).map(bd => struct(lit(bd).as("band"),
-          concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
+    mh.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** LSH candidate pairs from band-signature equality. */
@@ -188,9 +197,7 @@ object TextDedup {
         }: _*)
     // band explode carries the profile along (joining the stream back to
     // itself would be a stream-stream join needing watermarks)
-    prof.select(col("doc_id"), col("hs"), col("n"), explode(array(
-        (0 until 4).map(bd => struct(lit(bd).as("band"),
-          concat_ws("-", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")).as("sig"))): _*)).as("bs"))
+    prof.select(col("doc_id"), col("hs"), col("n"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("hs"), col("n"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
       .join(refBands, col("band") === col("rband") && col("sig") === col("rsig"))

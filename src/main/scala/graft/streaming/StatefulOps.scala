@@ -41,29 +41,29 @@ object StatefulOps {
             state.remove()
             Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
           } else {
-            val sorted = rows.map(_.ts.getTime).toSeq.sorted
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // late out-of-order event may precede the open session's
-                  // start — extend start backward, mirroring last forward
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            // Gap-merge the open session with the batch as INTERVALS: an
+            // out-of-order event more than gapMs before the open session's
+            // start must form its own earlier session (session_window's
+            // overlap rule), not stretch the open one backward.
+            val intervals =
+              (state.getOption.toSeq ++ rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+                .sortBy(s => (s.start, s.last))
+            // fold ascending; head of acc is the latest merged interval
+            val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, iv) =>
+              acc match {
+                case h :: tail if iv.start - h.last <= gapMs =>
+                  SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: tail
+                case _ => iv :: acc
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close when the watermark passes last-event + gap
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.reverseIterator
+            val open = merged.head
+            state.update(open)
+            // close when the watermark passes last-event + gap
+            state.setTimeoutTimestamp(open.last + gapMs)
+            // everything except the latest interval can no longer grow
+            // within this key's sorted timeline — emit as closed
+            merged.tail.reverseIterator.map(s =>
+              ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
           }
       }
   }

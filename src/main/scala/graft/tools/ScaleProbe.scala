@@ -26,8 +26,11 @@ object ScaleProbe {
   private def scaled(docs: DataFrame, factor: Int): DataFrame = {
     val n = 1000000L
     (0 until factor).map { k =>
+      // lower() first: tokenizers lowercase downstream, so rotating the
+      // raw text would leave uppercase letters unrotated and couple the
+      // copies' token spaces
       docs.select((col("doc_id") + lit(k * n)).as("doc_id"),
-        translate(col("text"), rotAlphabet(0), rotAlphabet(k)).as("text"))
+        translate(lower(col("text")), rotAlphabet(0), rotAlphabet(k)).as("text"))
     }.reduce(_ union _)
   }
 

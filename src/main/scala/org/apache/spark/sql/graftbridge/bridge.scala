@@ -13,6 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * package namespace. No Spark internals are reimplemented here.
   */
 object Bridge {
+  /** Public re-export of the private[sql] analyzer input-type contract,
+    * so graft's native Expressions can declare `inputTypes` (implicit
+    * cast insertion / clean analysis errors) from outside the sql
+    * package. */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -55,13 +55,22 @@ class GraphDedupSpec extends SparkTestBase {
   }
 
   test("star variant converges on a deep chain beyond propagation's default maxIter") {
-    // diameter 60 > connectedComponents' default 25 rounds (which throws);
-    // the star variant needs only O(log n) rounds.
+    // diameter 60 > connectedComponents' default 25 rounds; the star
+    // variant needs only O(log n) rounds.
     val deep = (0 until 60).map(i => (i + 1000L, i + 1001L))
     val star = starComponents(deep)
     assert(star.values.toSet == Set(1000L))
     assert(star.size == 61)
-    intercept[IllegalStateException](components(deep))
+  }
+
+  test("propagation falls back to star rounds on a path graph deeper than maxIter") {
+    // path graph of diameter 60 > default 25 min-label rounds: the old
+    // behavior threw; now it must return CORRECT labels via the
+    // star-rounds fallback.
+    val deep = (0 until 60).map(i => (i + 1000L, i + 1001L))
+    val got = components(deep)
+    assert(got.values.toSet == Set(1000L))
+    assert(got.keySet == (1000L to 1060L).toSet)
   }
 
   test("labels match the transitive closure on a random graph") {
