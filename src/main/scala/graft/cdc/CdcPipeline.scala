@@ -66,9 +66,11 @@ object CdcPipeline {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
 
     var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
+      .option("format", cfg.sourceFormat).option("flavor", cfg.startFlavor)
     if (cfg.socketSource.nonEmpty) reader = reader.option("socket", cfg.socketSource)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
+    cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))
 
     var envelope = Decode.decode(
       reader.load(),
@@ -128,8 +130,10 @@ object CdcPipeline {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import org.apache.spark.sql.functions._
     var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
+      .option("format", cfg.sourceFormat).option("flavor", cfg.startFlavor)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
+    cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))
     Decode.decode(reader.load(), cfg.dbTables, itemByRow = cfg.itemByRow,
         drift = if (cfg.stopInError) Decode.FailOnDrift else Decode.DropOnDrift)
       .select(

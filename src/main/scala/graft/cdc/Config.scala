@@ -17,9 +17,20 @@ final case class GraftConfig(
     stopInError: Boolean = true,
     // source.dbTables (config.go:111)
     dbTables: Map[String, Seq[String]] = Map.empty,
+    // source.flavor (config.go:105): mysql | mariadb — selects the
+    // replication dialect a live client speaks (mariadb GTID events,
+    // heartbeat framing); file feeds carry it as a documented no-op
+    startFlavor: String = "mysql",
     // source.startLocation (config.go:115-116)
     startFile: Option[String] = None,
     startPosition: Option[Long] = None,
+    // GTID-style start position (mysql "uuid:1-5" set / mariadb "0-1-5")
+    // — the replication-protocol alternative to (file, position); replay
+    // feeds have no GTID index, so it's threaded to the feed and ignored
+    startGtid: Option[String] = None,
+    // segment encoding of sourcePath: "jsonl" replay fixtures or
+    // "binlog" real binary files (BinlogFileFeed)
+    sourceFormat: String = "jsonl",
     // sharding (config.go:42-47)
     shardingEnabled: Boolean = false,
     shardCount: Int = 1,
@@ -102,6 +113,15 @@ object Config {
   def parse(json: String): GraftConfig =
     parseTree(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
 
+  /** source.flavor validation — the two replication dialects go-mysql
+    * accepts (config.go:105 feeds BinlogSyncerConfig.Flavor). */
+  private def checkFlavor(f: String): String = {
+    val v = if (f.isEmpty) "mysql" else f
+    require(v == "mysql" || v == "mariadb",
+      s"source.flavor must be mysql or mariadb, got '$f'")
+    v
+  }
+
   /** Reference-layout compat (api/v1alpha2/config.go): maps the nested
     * server/source/sharding/connectors/routes sections onto GraftConfig.
     * MySQL endpoint fields (source.host/user/...) have no replay analog
@@ -158,8 +178,11 @@ object Config {
       itemByRow = boolAt(dflt = true, "server", "pool", "itemByRow"),
       stopInError = boolAt(dflt = true, "server", "stopInError"),
       dbTables = dbTables,
+      startFlavor = checkFlavor(strAt("mysql", "source", "flavor")),
       startFile = at("source", "startLocation", "file").map(_.asText()),
       startPosition = at("source", "startLocation", "position").map(_.asLong()),
+      startGtid = at("source", "startLocation", "gtid").map(_.asText()).filter(_.nonEmpty),
+      sourceFormat = strAt("jsonl", "sourceFormat"),
       shardingEnabled = boolAt(dflt = false, "sharding", "enabled"),
       shardCount = intAt(1, "sharding", "count"),
       shardIndex = intAt(0, "sharding", "index"),
@@ -229,8 +252,11 @@ object Config {
       itemByRow = bool("itemByRow", dflt = true),
       stopInError = bool("stopInError", dflt = true),
       dbTables = dbTables,
+      startFlavor = checkFlavor(str("startFlavor", "mysql")),
       startFile = Option.when(n.hasNonNull("startFile"))(n.get("startFile").asText()),
       startPosition = Option.when(n.hasNonNull("startPosition"))(n.get("startPosition").asLong()),
+      startGtid = Option.when(n.hasNonNull("startGtid"))(n.get("startGtid").asText()),
+      sourceFormat = str("sourceFormat", "jsonl"),
       shardingEnabled = bool("shardingEnabled", dflt = false),
       shardCount = if (n.hasNonNull("shardCount")) n.get("shardCount").asInt() else 1,
       shardIndex = if (n.hasNonNull("shardIndex")) n.get("shardIndex").asInt() else 0,

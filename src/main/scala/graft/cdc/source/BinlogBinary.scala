@@ -1,0 +1,346 @@
+package graft.cdc.source
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** Decoder for the REAL MySQL binlog binary format (v4), from the public
+  * format documentation — the byte-level half of the A1 replication
+  * client the reference delegates to go-mysql
+  * (/root/reference/internal/binwatch/blreaderwork/blreaderwork.go:195-312
+  * consumes exactly these decoded events: ROTATE + WRITE/UPDATE/DELETE
+  * ROWS, addressed by header.LogPos).
+  *
+  * Scope: FORMAT_DESCRIPTION (checksum negotiation), ROTATE, TABLE_MAP
+  * (including the MySQL 8 optional-metadata COLUMN_NAME TLV — the
+  * offline source of column names; the reference queries a live server's
+  * information_schema instead), and ROWS v1/v2 with the common column
+  * types (integers, float/double, year, varchar/var_string, char ≤ 255,
+  * blob/text, datetime2). Unknown critical structure throws — never a
+  * silent wrong decode. CRC32 trailers (checksum algorithm 1) are
+  * verified, not just skipped.
+  *
+  * Event naming matches the replication library the reference logs
+  * through ("WriteRowsEventV2", "RotateEvent", …) so decoded events are
+  * drop-in for the UNCHANGED Decode/Routing/Template/Sink pipeline.
+  */
+object BinlogBinary {
+
+  val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+  val HeaderLen = 19
+
+  // event type codes (public format)
+  val QUERY_EVENT = 2
+  val ROTATE_EVENT = 4
+  val FORMAT_DESCRIPTION_EVENT = 15
+  val XID_EVENT = 16
+  val TABLE_MAP_EVENT = 19
+  val WRITE_ROWS_V1 = 23
+  val UPDATE_ROWS_V1 = 24
+  val DELETE_ROWS_V1 = 25
+  val WRITE_ROWS_V2 = 30
+  val UPDATE_ROWS_V2 = 31
+  val DELETE_ROWS_V2 = 32
+
+  // column type codes (public protocol)
+  val T_TINY = 1; val T_SHORT = 2; val T_LONG = 3; val T_FLOAT = 4
+  val T_DOUBLE = 5; val T_NULL = 6; val T_TIMESTAMP = 7; val T_LONGLONG = 8
+  val T_INT24 = 9; val T_DATE = 10; val T_TIME = 11; val T_DATETIME = 12
+  val T_YEAR = 13; val T_VARCHAR = 15; val T_BIT = 16
+  val T_TIMESTAMP2 = 17; val T_DATETIME2 = 18; val T_TIME2 = 19
+  val T_JSON = 245; val T_NEWDECIMAL = 246; val T_BLOB = 252
+  val T_VAR_STRING = 253; val T_STRING = 254; val T_GEOMETRY = 255
+
+  def eventTypeName(t: Int): String = t match {
+    case QUERY_EVENT => "QueryEvent"
+    case ROTATE_EVENT => "RotateEvent"
+    case FORMAT_DESCRIPTION_EVENT => "FormatDescriptionEvent"
+    case XID_EVENT => "XIDEvent"
+    case TABLE_MAP_EVENT => "TableMapEvent"
+    case WRITE_ROWS_V1 => "WriteRowsEventV1"
+    case UPDATE_ROWS_V1 => "UpdateRowsEventV1"
+    case DELETE_ROWS_V1 => "DeleteRowsEventV1"
+    case WRITE_ROWS_V2 => "WriteRowsEventV2"
+    case UPDATE_ROWS_V2 => "UpdateRowsEventV2"
+    case DELETE_ROWS_V2 => "DeleteRowsEventV2"
+    case other => s"UnknownEvent($other)"
+  }
+
+  /** TABLE_MAP state carried between a map event and its rows events. */
+  final case class TableDef(schema: String, table: String,
+      colTypes: Array[Int], colMeta: Array[Int], colNames: Array[String])
+
+  /** Little-endian cursor over one byte array. */
+  private final class Cursor(val b: Array[Byte], var p: Int, val end: Int) {
+    def remaining: Int = end - p
+    def u8(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def i8(): Int = { val v = b(p).toInt; p += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u24(): Int = u8() | (u8() << 8) | (u8() << 16)
+    def i24(): Int = { val v = u24(); if ((v & 0x800000) != 0) v - 0x1000000 else v }
+    def u32(): Long = u24().toLong | (u8().toLong << 24)
+    def u48(): Long = u32() | (u8().toLong << 32) | (u8().toLong << 40)
+    def i64(): Long = u32() | (u32() << 32)
+    def bytes(n: Int): Array[Byte] = {
+      val v = java.util.Arrays.copyOfRange(b, p, p + n); p += n; v
+    }
+    def str(n: Int): String = new String(bytes(n), StandardCharsets.UTF_8)
+    /** length-encoded integer (protocol lenenc) */
+    def lenenc(): Long = {
+      val first = u8()
+      if (first < 0xfb) first.toLong
+      else if (first == 0xfc) u16().toLong
+      else if (first == 0xfd) u24().toLong
+      else if (first == 0xfe) i64()
+      else throw new IllegalArgumentException(s"bad lenenc prefix 0x${first.toHexString}")
+    }
+    /** big-endian unsigned read of n bytes (datetime2 packs big-endian) */
+    def beUint(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+      p += n
+      v
+    }
+  }
+
+  private def bitSet(bitmap: Array[Byte], i: Int): Boolean =
+    (bitmap(i / 8) & (1 << (i % 8))) != 0
+
+  /** Server version ≥ 5.6.1 carries the checksum-algorithm byte in the
+    * FORMAT_DESCRIPTION event (and a checksum trailer on every event when
+    * the algorithm is CRC32). */
+  private[cdc] def versionAtLeast561(v: String): Boolean = {
+    val core = v.takeWhile(c => c.isDigit || c == '.').split('.')
+    def part(i: Int): Int = if (core.length > i && core(i).nonEmpty) core(i).toInt else 0
+    val (ma, mi, pa) = (part(0), part(1), part(2))
+    ma > 5 || (ma == 5 && (mi > 6 || (mi == 6 && pa >= 1)))
+  }
+
+  /** Decode a whole binlog file (magic + event stream) into the feed
+    * events the pipeline consumes: RotateEvent (file/position bookkeeping,
+    * A18) and the six ROWS event types (with interleaved before/after
+    * images for UPDATE, exactly as MySQL writes them — before-image
+    * elimination is the pipeline's job, Decode A6). TABLE_MAP and
+    * FORMAT_DESCRIPTION update decoder state and are not emitted;
+    * QUERY/XID/heartbeat events are skipped like the reference's
+    * `default: continue`. Rows events whose TABLE_MAP carried no
+    * COLUMN_NAME metadata are skipped, mirroring the reference's skip of
+    * tables absent from its column map (blreaderwork.go:249-251). */
+  def decodeFile(bytes: Array[Byte], fileName: String): Vector[FeedEvent] = {
+    require(bytes.length >= 4 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+      bytes(2) == Magic(2) && bytes(3) == Magic(3),
+      s"$fileName: not a binlog file (bad magic)")
+    val out = Vector.newBuilder[FeedEvent]
+    val tables = scala.collection.mutable.Map[Long, TableDef]()
+    var checksummed = false
+    var pos = 4
+    while (pos + HeaderLen <= bytes.length) {
+      val h = new Cursor(bytes, pos, pos + HeaderLen)
+      h.u32() // timestamp
+      val evType = h.u8()
+      h.u32() // server id
+      val evSize = h.u32().toInt
+      val logPos = h.u32()
+      h.u16() // flags
+      require(evSize >= HeaderLen && pos + evSize <= bytes.length,
+        s"$fileName: truncated event at offset $pos (size $evSize)")
+      // FORMAT_DESCRIPTION declares whether a CRC32 trailer follows every
+      // event INCLUDING itself, so peek its algorithm byte first.
+      var bodyEnd = pos + evSize
+      if (evType == FORMAT_DESCRIPTION_EVENT) {
+        val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
+        val binlogVersion = c.u16()
+        require(binlogVersion == 4, s"$fileName: unsupported binlog version $binlogVersion")
+        val serverVersion = c.str(50).takeWhile(_ != 0)
+        if (versionAtLeast561(serverVersion)) {
+          val alg = bytes(bodyEnd - 5) & 0xff
+          require(alg == 0 || alg == 1,
+            s"$fileName: unknown checksum algorithm $alg")
+          checksummed = alg == 1
+        }
+      }
+      if (checksummed) {
+        bodyEnd -= 4
+        val crc = new CRC32()
+        crc.update(bytes, pos, evSize - 4)
+        val stored = new Cursor(bytes, bodyEnd, bodyEnd + 4).u32()
+        require(crc.getValue == stored,
+          s"$fileName: CRC32 mismatch on ${eventTypeName(evType)} at offset $pos")
+      }
+      val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
+      evType match {
+        case ROTATE_EVENT =>
+          val nextPos = c.i64()
+          val nextName = c.str(c.remaining)
+          out += FeedEvent(eventTypeName(evType), nextName, nextPos,
+            null, null, null, null)
+        case TABLE_MAP_EVENT =>
+          val (tid, td) = decodeTableMap(c)
+          tables(tid) = td
+        case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 |
+            WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+          decodeRows(c, evType, tables, fileName, logPos).foreach(out += _)
+        case _ => // FORMAT_DESCRIPTION / QUERY / XID / …: no feed event
+      }
+      pos += evSize
+    }
+    out.result()
+  }
+
+  /** TABLE_MAP: identity, column types, per-type metadata, and (MySQL 8)
+    * the optional-metadata COLUMN_NAME TLV. */
+  private def decodeTableMap(c: Cursor): (Long, TableDef) = {
+    val tableId = c.u48()
+    c.u16() // flags
+    val schemaLen = c.u8()
+    val schema = c.str(schemaLen); c.u8() // trailing 0x00
+    val tableLen = c.u8()
+    val table = c.str(tableLen); c.u8() // trailing 0x00
+    val nCols = c.lenenc().toInt
+    val colTypes = Array.fill(nCols)(c.u8())
+    val metaLen = c.lenenc().toInt
+    val metaEnd = c.p + metaLen
+    val colMeta = colTypes.map { t =>
+      t match {
+        case T_FLOAT | T_DOUBLE | T_BLOB | T_GEOMETRY | T_JSON => c.u8()
+        case T_VARCHAR | T_VAR_STRING | T_BIT | T_NEWDECIMAL | T_STRING => c.u16()
+        case T_TIMESTAMP2 | T_DATETIME2 | T_TIME2 => c.u8()
+        case _ => 0
+      }
+    }
+    require(c.p == metaEnd, s"metadata block length mismatch for $schema.$table")
+    c.bytes((nCols + 7) / 8) // nullability bitmap (unused: rows carry their own)
+    // MySQL 8 optional metadata: TLVs of {type u8, length lenenc, value}.
+    // Type 4 = COLUMN_NAME: lenenc-prefixed names, one per column.
+    var colNames: Array[String] = null
+    while (c.remaining > 0) {
+      val tlvType = c.u8()
+      val tlvLen = c.lenenc().toInt
+      val tlvEnd = c.p + tlvLen
+      if (tlvType == 4) {
+        val names = Array.newBuilder[String]
+        while (c.p < tlvEnd) names += c.str(c.lenenc().toInt)
+        colNames = names.result()
+      } else c.p = tlvEnd
+    }
+    (tableId, TableDef(schema, table, colTypes, colMeta, colNames))
+  }
+
+  /** ROWS v1/v2 → one FeedEvent; UPDATE keeps MySQL's interleaved
+    * (before, after) image pairs in `rows` — the pipeline's before-image
+    * elimination (Decode A6) consumes exactly that layout. */
+  private def decodeRows(c: Cursor, evType: Int,
+      tables: scala.collection.mutable.Map[Long, TableDef],
+      fileName: String, logPos: Long): Option[FeedEvent] = {
+    val tableId = c.u48()
+    c.u16() // flags
+    val isV2 = evType >= WRITE_ROWS_V2
+    if (isV2) {
+      val extraLen = c.u16() // length includes these two bytes
+      c.bytes(extraLen - 2)
+    }
+    val isUpdate = evType == UPDATE_ROWS_V1 || evType == UPDATE_ROWS_V2
+    val td = tables.getOrElse(tableId,
+      throw new IllegalArgumentException(
+        s"$fileName: rows event for unmapped table id $tableId"))
+    val nCols = c.lenenc().toInt
+    require(nCols == td.colTypes.length,
+      s"$fileName: rows event has $nCols columns, TABLE_MAP has ${td.colTypes.length}")
+    val present1 = c.bytes((nCols + 7) / 8)
+    val present2 = if (isUpdate) c.bytes((nCols + 7) / 8) else present1
+    if (td.colNames == null) return None // no column names known: skip (ref parity)
+
+    val rows = Array.newBuilder[Array[String]]
+    var image = 0 // update alternates before(0)/after(1)
+    while (c.remaining > 0) {
+      val present = if (isUpdate && image % 2 == 1) present2 else present1
+      val nPresent = (0 until nCols).count(bitSet(present, _))
+      val nullBm = c.bytes((nPresent + 7) / 8)
+      val row = new Array[String](nCols)
+      var pi = 0
+      var ci = 0
+      while (ci < nCols) {
+        if (bitSet(present, ci)) {
+          row(ci) = if (bitSet(nullBm, pi)) null
+            else decodeValue(c, td.colTypes(ci), td.colMeta(ci))
+          pi += 1
+        }
+        ci += 1
+      }
+      rows += row
+      image += 1
+    }
+    Some(FeedEvent(eventTypeName(evType), fileName, logPos,
+      td.schema, td.table, td.colNames, rows.result()))
+  }
+
+  /** One column value → its string form (the feed's schema-less
+    * pass-through contract; typed lifting happens downstream). */
+  private def decodeValue(c: Cursor, colType: Int, meta: Int): String = colType match {
+    case T_TINY => c.i8().toString
+    case T_SHORT => { val v = c.u16(); (if ((v & 0x8000) != 0) v - 0x10000 else v).toString }
+    case T_INT24 => c.i24().toString
+    case T_LONG => { val v = c.u32(); v.toInt.toString }
+    case T_LONGLONG => c.i64().toString
+    case T_FLOAT =>
+      val f = java.lang.Float.intBitsToFloat(c.u32().toInt)
+      fmtFloat(f.toDouble)
+    case T_DOUBLE =>
+      val d = java.lang.Double.longBitsToDouble(c.i64())
+      fmtFloat(d)
+    case T_YEAR => { val v = c.u8(); (if (v == 0) 0 else 1900 + v).toString }
+    case T_VARCHAR | T_VAR_STRING =>
+      val len = if (meta > 255) c.u16() else c.u8()
+      c.str(len)
+    case T_STRING =>
+      // CHAR(n): TABLE_MAP metadata is [real_type, length] in byte order,
+      // which the little-endian u16 read puts at (low, high). For n ≤ 255
+      // the second byte IS the field length; longer CHAR packs extra bits
+      // into the type byte — refuse rather than misparse.
+      val realType = meta & 0xff
+      if (realType != T_STRING && realType != 0)
+        throw new IllegalArgumentException(
+          s"unsupported STRING real type $realType (ENUM/SET not implemented)")
+      val len = c.u8() // field length ≤ 255 ⇒ 1 length byte on the value
+      c.str(len)
+    case T_BLOB =>
+      val len = (meta match {
+        case 1 => c.u8().toLong
+        case 2 => c.u16().toLong
+        case 3 => c.u24().toLong
+        case 4 => c.u32()
+        case n => throw new IllegalArgumentException(s"bad BLOB meta $n")
+      }).toInt
+      c.str(len) // TEXT columns; true binary payloads are opaque bytes-as-utf8
+    case T_DATETIME2 =>
+      // 5 bytes big-endian: 1 sign + 17 yearmonth + 5 day + 5 hour +
+      // 6 minute + 6 second; fractional part is ceil(fsp/2) BE bytes.
+      val packed = c.beUint(5)
+      val ym = ((packed >> 22) & 0x1ffff).toInt
+      val year = ym / 13; val month = ym % 13
+      val day = ((packed >> 17) & 0x1f).toInt
+      val hour = ((packed >> 12) & 0x1f).toInt
+      val minute = ((packed >> 6) & 0x3f).toInt
+      val second = (packed & 0x3f).toInt
+      val fspBytes = (meta + 1) / 2
+      val frac = if (fspBytes > 0) c.beUint(fspBytes) else 0L
+      val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
+      if (meta > 0) {
+        val micros = frac * math.pow(100, 3 - fspBytes).toLong
+        base + "." + f"$micros%06d".take(meta)
+      } else base
+    case T_NULL => null
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported column type $other in rows event")
+  }
+
+  /** Float rendering: integral values print without an exponent or
+    * trailing ".0" ambiguity beyond Java's canonical shortest form. */
+  private def fmtFloat(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) {
+      val l = d.toLong
+      if (l == 0 && (java.lang.Double.doubleToRawLongBits(d) != 0L)) d.toString
+      else l.toString
+    } else d.toString
+}

@@ -72,10 +72,12 @@ class BinlogReplayScan(path: String, options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = Model.RawEventSchema
   override def description(): String = s"binlog-replay scan of $path"
 
+  private val format = BinlogFeeds.formatOf(options)
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      new ReplayFeed(path).segments().map { seg =>
-        FeedSlicePartition(path, seg, 0L, Long.MaxValue)
+      BinlogFeeds.forOptions(path, options).segments().map { seg =>
+        FeedSlicePartition(path, seg, 0L, Long.MaxValue, format)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
   }
@@ -97,6 +99,7 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
     * [[SpoolingSocketFeed]] tailing a network stream into the spool at
     * `path`; otherwise the plain replay feed over existing files. */
   private val feed: EventFeed = BinlogFeeds.forOptions(path, options)
+  private val format = BinlogFeeds.formatOf(options)
 
   private def segs: Seq[String] = feed.segments()
 
@@ -163,7 +166,7 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
     (s.fileIdx to math.min(e.fileIdx, fs.size - 1)).flatMap { fi =>
       val from = if (fi == s.fileIdx) s.line else 0L
       val to = if (fi == e.fileIdx) e.line else Long.MaxValue
-      if (to > from) Some(FeedSlicePartition(path, fs(fi), from, to)) else None
+      if (to > from) Some(FeedSlicePartition(path, fs(fi), from, to, format)) else None
     }.toArray
   }
 
@@ -181,8 +184,23 @@ object BinlogFeeds {
   private val socketFeeds =
     new java.util.concurrent.ConcurrentHashMap[(String, String), SpoolingSocketFeed]()
 
-  def forOptions(path: String, options: CaseInsensitiveStringMap): EventFeed =
-    Option(options.get("socket")) match {
+  /** Segment encoding: "jsonl" (replay/spool fixtures) or "binlog"
+    * (real binary format via [[BinlogFileFeed]]). */
+  def formatOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("format")).getOrElse("jsonl")
+
+  def forOptions(path: String, options: CaseInsensitiveStringMap): EventFeed = {
+    val feed = buildFeed(path, options)
+    // thread the replication-dialect hints through the seam (no-op for
+    // file feeds, dialect/registration input for a live client)
+    feed.configure(Option(options.get("flavor")).getOrElse("mysql"),
+      Option(options.get("startingGtid")))
+    feed
+  }
+
+  private def buildFeed(path: String, options: CaseInsensitiveStringMap): EventFeed =
+    if (formatOf(options) == "binlog") new BinlogFileFeed(path)
+    else Option(options.get("socket")) match {
       case Some(hp) =>
         // host:port with a clear error (last ':' so IPv6 hosts parse)
         val cut = hp.lastIndexOf(':')
@@ -201,14 +219,17 @@ object BinlogFeeds {
 }
 
 /** One slice of one feed segment: events [fromLine, toLine). Carries the
-  * feed path so the executor can re-construct the feed locally. */
+  * feed path and segment encoding so the executor can re-construct the
+  * feed locally. */
 case class FeedSlicePartition(path: String, segment: String,
-    fromLine: Long, toLine: Long) extends InputPartition
+    fromLine: Long, toLine: Long, format: String = "jsonl") extends InputPartition
 
 class ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedSlicePartition]
-    new FeedPartitionReader(new ReplayFeed(p.path).open(p.segment, p.fromLine, p.toLine))
+    val feed: EventFeed =
+      if (p.format == "binlog") new BinlogFileFeed(p.path) else new ReplayFeed(p.path)
+    new FeedPartitionReader(feed.open(p.segment, p.fromLine, p.toLine))
   }
 }
 

@@ -47,6 +47,13 @@ trait EventFeed {
   def extent(segment: String): Long
   /** Typed events [from, to) of one segment. */
   def open(segment: String, from: Long, to: Long): FeedEventReader
+  /** Replication-source hints (source.flavor mysql|mariadb and a
+    * GTID-style start position — config.go:104-122). A live protocol
+    * client uses these to pick the dialect it speaks and the register
+    * position; the file feeds (replay / spool / binary) have no server to
+    * negotiate with, so the default is a DOCUMENTED NO-OP — segments are
+    * already materialized and addressed by (segment, index). */
+  def configure(flavor: String, startGtid: Option[String]): Unit = ()
 }
 
 /** Replay implementation: a directory of JSONL files (one per binlog

@@ -1,0 +1,324 @@
+package graft.cdc
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Path}
+import java.util.zip.CRC32
+
+import graft.SparkTestBase
+import graft.cdc.source.{BinlogBinary, BinlogFileFeed}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Independent ENCODER of the public MySQL binlog v4 binary format, used
+  * to generate fixture files in-test: common header, FORMAT_DESCRIPTION
+  * (with the 5.6.1+ checksum-algorithm byte and always-present FDE
+  * checksum field), TABLE_MAP (+ the MySQL 8 COLUMN_NAME optional
+  * metadata TLV, binlog_row_metadata=FULL), and ROWS v2 bodies with
+  * interleaved before/after UPDATE images — each laid out from the format
+  * documentation, not from the decoder under test. */
+object BinlogFixture {
+
+  case class Col(name: String, tpe: Int, meta: Int = 0)
+
+  final class Builder(checksum: Boolean, serverVersion: String = "8.0.32") {
+    private val out = new ByteArrayOutputStream()
+    out.write(Array(0xfe, 'b', 'i', 'n').map(_.toByte), 0, 4)
+    private var pos = 4L
+
+    private def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    private def lenenc(v: Long): Array[Byte] =
+      if (v < 251) Array(v.toByte)
+      else if (v < 65536) 0xfc.toByte +: le(v, 2)
+      else if (v < (1L << 24)) 0xfd.toByte +: le(v, 3)
+      else 0xfe.toByte +: le(v, 8)
+    private def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+
+    /** Append one event: 19-byte v4 header, body, optional CRC32. */
+    private def event(evType: Int, body: Array[Byte]): Long = {
+      val size = 19 + body.length + (if (checksum) 4 else 0)
+      pos += size
+      val header = le(1700000000L, 4) ++ Array(evType.toByte) ++ le(1L, 4) ++
+        le(size.toLong, 4) ++ le(pos, 4) ++ le(0L, 2)
+      out.write(header, 0, header.length)
+      out.write(body, 0, body.length)
+      if (checksum) {
+        val crc = new CRC32()
+        crc.update(header); crc.update(body)
+        out.write(le(crc.getValue, 4), 0, 4)
+      }
+      pos
+    }
+
+    /** FORMAT_DESCRIPTION: binlog version 4, 50-byte server version,
+      * header length, per-type post-header lengths, checksum-alg byte.
+      * When the algorithm is NONE the FDE still carries its (zeroed)
+      * 4-byte checksum field — the alg byte sits at len-5 either way. */
+    def fde(): this.type = {
+      val ver = serverVersion.getBytes("UTF-8").padTo(50, 0.toByte)
+      val body = le(4L, 2) ++ ver ++ le(0L, 4) ++ Array(19.toByte) ++
+        Array.fill(39)(0.toByte) ++ Array((if (checksum) 1 else 0).toByte) ++
+        (if (checksum) Array.empty[Byte] else Array.fill(4)(0.toByte))
+      event(BinlogBinary.FORMAT_DESCRIPTION_EVENT, body)
+      this
+    }
+
+    private def metaBytes(c: Col): Array[Byte] = c.tpe match {
+      case BinlogBinary.T_FLOAT | BinlogBinary.T_DOUBLE |
+          BinlogBinary.T_BLOB | BinlogBinary.T_DATETIME2 => Array(c.meta.toByte)
+      case BinlogBinary.T_VARCHAR => le(c.meta.toLong, 2)
+      case BinlogBinary.T_STRING => Array(BinlogBinary.T_STRING.toByte, c.meta.toByte)
+      case _ => Array.empty
+    }
+
+    def tableMap(tableId: Long, schema: String, table: String,
+        cols: Seq[Col], withNames: Boolean = true): this.type = {
+      val meta = cols.flatMap(metaBytes).toArray
+      val names =
+        if (!withNames) Array.empty[Byte]
+        else {
+          val nameBytes = cols.flatMap { c =>
+            val b = c.name.getBytes("UTF-8"); lenenc(b.length.toLong) ++ b
+          }.toArray
+          Array(4.toByte) ++ lenenc(nameBytes.length.toLong) ++ nameBytes
+        }
+      val s = schema.getBytes("UTF-8"); val t = table.getBytes("UTF-8")
+      val body = le(tableId, 6) ++ le(1L, 2) ++
+        Array(s.length.toByte) ++ s ++ Array(0.toByte) ++
+        Array(t.length.toByte) ++ t ++ Array(0.toByte) ++
+        lenenc(cols.size.toLong) ++ cols.map(_.tpe.toByte).toArray ++
+        lenenc(meta.length.toLong) ++ meta ++
+        Array.fill((cols.size + 7) / 8)(0.toByte) ++ names
+      event(BinlogBinary.TABLE_MAP_EVENT, body)
+      this
+    }
+
+    private def value(c: Col, v: Any): Array[Byte] = (c.tpe, v) match {
+      case (BinlogBinary.T_TINY, i: Int) => Array(i.toByte)
+      case (BinlogBinary.T_SHORT, i: Int) => le(i.toLong & 0xffff, 2)
+      case (BinlogBinary.T_INT24, i: Int) => le(i.toLong & 0xffffff, 3)
+      case (BinlogBinary.T_LONG, i: Int) => le(i.toLong & 0xffffffffL, 4)
+      case (BinlogBinary.T_LONGLONG, l: Long) => le(l, 8)
+      case (BinlogBinary.T_YEAR, y: Int) => Array((y - 1900).toByte)
+      case (BinlogBinary.T_DOUBLE, d: Double) =>
+        le(java.lang.Double.doubleToLongBits(d), 8)
+      case (BinlogBinary.T_FLOAT, f: Float) =>
+        le(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL, 4)
+      case (BinlogBinary.T_VARCHAR, s: String) =>
+        val b = s.getBytes("UTF-8")
+        (if (c.meta > 255) le(b.length.toLong, 2) else Array(b.length.toByte)) ++ b
+      case (BinlogBinary.T_STRING, s: String) =>
+        val b = s.getBytes("UTF-8"); Array(b.length.toByte) ++ b
+      case (BinlogBinary.T_BLOB, s: String) =>
+        val b = s.getBytes("UTF-8"); le(b.length.toLong, c.meta) ++ b
+      case (BinlogBinary.T_DATETIME2, s: String) =>
+        // "YYYY-MM-DD HH:MM:SS[.micros]" → 5-byte big-endian pack + frac
+        val sign = 1L
+        val (dt, frac) = s.span(_ != '.')
+        val Array(d0, t0) = dt.split(' ')
+        val Array(y, mo, dd) = d0.split('-').map(_.toInt)
+        val Array(hh, mi, ss) = t0.split(':').map(_.toInt)
+        val packed = (sign << 39) | ((y * 13L + mo) << 22) | (dd.toLong << 17) |
+          (hh.toLong << 12) | (mi.toLong << 6) | ss.toLong
+        val fspBytes = (c.meta + 1) / 2
+        val fval = if (frac.isEmpty) 0L
+          else frac.drop(1).padTo(6, '0').take(2 * fspBytes).toLong
+        be(packed, 5) ++ (if (fspBytes > 0) be(fval, fspBytes) else Array.empty[Byte])
+      case other => throw new IllegalArgumentException(s"fixture can't encode $other")
+    }
+
+    /** ROWS v2 body: images is the FLAT image list (for UPDATE pass
+      * before1, after1, before2, after2, …, exactly as MySQL writes). */
+    def rows(evType: Int, tableId: Long, cols: Seq[Col],
+        images: Seq[Seq[Any]]): this.type = {
+      val n = cols.size
+      val present = Array.fill((n + 7) / 8)(0.toByte)
+      (0 until n).foreach(i => present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
+      val isUpdate = evType == BinlogBinary.UPDATE_ROWS_V2
+      val imgBytes = images.flatMap { img =>
+        val nullBm = Array.fill((n + 7) / 8)(0.toByte)
+        img.zipWithIndex.foreach { case (v, i) =>
+          if (v == null) nullBm(i / 8) = (nullBm(i / 8) | (1 << (i % 8))).toByte
+        }
+        nullBm.toSeq ++ img.zipWithIndex.flatMap { case (v, i) =>
+          if (v == null) Array.empty[Byte] else value(cols(i), v)
+        }
+      }.toArray
+      val body = le(tableId, 6) ++ le(1L, 2) ++ le(2L, 2) ++ // v2: extra len = 2 (empty)
+        lenenc(n.toLong) ++ present ++ (if (isUpdate) present else Array.empty[Byte]) ++
+        imgBytes
+      event(evType, body)
+      this
+    }
+
+    def rotate(nextFile: String, nextPos: Long): this.type = {
+      event(BinlogBinary.ROTATE_EVENT, le(nextPos, 8) ++ nextFile.getBytes("UTF-8"))
+      this
+    }
+
+    def bytes: Array[Byte] = out.toByteArray
+    def lastPos: Long = pos
+  }
+}
+
+/** The real-binary-format half of A1: fixture binlog bytes decoded
+  * through the UNCHANGED offset/decode/route/template pipeline. */
+class BinlogBinarySpec extends SparkTestBase {
+  import BinlogFixture._
+  import BinlogBinary._
+
+  private val userCols = Seq(
+    Col("id", T_LONG), Col("name", T_VARCHAR, 255), Col("score", T_DOUBLE, 8),
+    Col("bio", T_BLOB, 2), Col("joined", T_DATETIME2, 0))
+
+  private def standardFile(checksum: Boolean): Array[Byte] =
+    new Builder(checksum).fde()
+      .tableMap(23L, "testdb", "users", userCols)
+      .rows(WRITE_ROWS_V2, 23L, userCols, Seq(
+        Seq(42, "ada", 3.5, "first bio", "2024-03-05 12:34:56"),
+        Seq(-7, "bob", -0.25, null, "1999-12-31 23:59:59")))
+      .rows(UPDATE_ROWS_V2, 23L, userCols, Seq(
+        Seq(42, "ada", 3.5, "first bio", "2024-03-05 12:34:56"),   // before
+        Seq(42, "ada lovelace", 4.0, "updated bio", "2024-03-05 12:34:56"))) // after
+      .rows(DELETE_ROWS_V2, 23L, userCols, Seq(
+        Seq(-7, "bob", -0.25, null, "1999-12-31 23:59:59")))
+      .rotate("mysql-bin.000002", 4L)
+      .bytes
+
+  test("decodes WRITE/UPDATE/DELETE_ROWS v2 + ROTATE from real binlog bytes") {
+    for (checksum <- Seq(false, true)) {
+      val evs = BinlogBinary.decodeFile(standardFile(checksum), "mysql-bin.000001")
+      assert(evs.map(_.eventType) == Vector("WriteRowsEventV2",
+        "UpdateRowsEventV2", "DeleteRowsEventV2", "RotateEvent"))
+      val w = evs(0)
+      assert(w.database == "testdb" && w.table == "users")
+      assert(w.colNames.toSeq == Seq("id", "name", "score", "bio", "joined"))
+      assert(w.rows.length == 2)
+      assert(w.rows(0).toSeq == Seq("42", "ada", "3.5", "first bio",
+        "2024-03-05 12:34:56"))
+      // signed two's complement, null bitmap, negative double
+      assert(w.rows(1).toSeq == Seq("-7", "bob", "-0.25", null,
+        "1999-12-31 23:59:59"))
+      // UPDATE: interleaved (before, after) images, after-image intact
+      val u = evs(1)
+      assert(u.rows.length == 2)
+      assert(u.rows(0).toSeq == Seq("42", "ada", "3.5", "first bio",
+        "2024-03-05 12:34:56"))
+      assert(u.rows(1).toSeq == Seq("42", "ada lovelace", "4", "updated bio",
+        "2024-03-05 12:34:56"))
+      // rotate carries next file/position (A18 bookkeeping)
+      val r = evs(3)
+      assert(r.binlogFile == "mysql-bin.000002" && r.binlogPosition == 4L)
+      // rows events are addressed by header.logPos, strictly increasing
+      val positions = evs.take(3).map(_.binlogPosition)
+      assert(positions == positions.sorted && positions.distinct == positions)
+    }
+  }
+
+  test("CRC32 trailers are verified, not skipped") {
+    val good = standardFile(true)
+    assert(BinlogBinary.decodeFile(good, "f").nonEmpty)
+    // flip one payload byte in the middle of the file: decode must fail
+    val bad = good.clone()
+    bad(good.length / 2) = (bad(good.length / 2) ^ 0x01).toByte
+    val e = intercept[Exception](BinlogBinary.decodeFile(bad, "f"))
+    assert(e.getMessage.contains("CRC32") || e.getMessage.contains("mismatch"))
+  }
+
+  test("rows for a TABLE_MAP without COLUMN_NAME metadata are skipped (ref parity)") {
+    val b = new Builder(false).fde()
+      .tableMap(9L, "testdb", "anon", Seq(Col("x", T_LONG)), withNames = false)
+      .rows(WRITE_ROWS_V2, 9L, Seq(Col("x", T_LONG)), Seq(Seq(1)))
+      .rotate("next", 4L)
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs.map(_.eventType) == Vector("RotateEvent"))
+  }
+
+  test("rows event for an unmapped table id fails loudly") {
+    val b = new Builder(false).fde()
+      .rows(WRITE_ROWS_V2, 77L, Seq(Col("x", T_LONG)), Seq(Seq(1)))
+    val e = intercept[IllegalArgumentException](BinlogBinary.decodeFile(b.bytes, "f"))
+    assert(e.getMessage.contains("unmapped table id 77"))
+  }
+
+  test("checksum-awareness follows the server version") {
+    assert(BinlogBinary.versionAtLeast561("8.0.32"))
+    assert(BinlogBinary.versionAtLeast561("5.6.1-log"))
+    assert(!BinlogBinary.versionAtLeast561("5.5.62"))
+    assert(!BinlogBinary.versionAtLeast561("5.6.0"))
+    assert(BinlogBinary.versionAtLeast561("10.11.6-MariaDB"))
+  }
+
+  test("BinlogFileFeed: segments, extent, slice reads") {
+    val dir = Files.createTempDirectory("binfeed")
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), standardFile(true))
+    val feed = new BinlogFileFeed(dir.toString)
+    assert(feed.segments() == Seq("mysql-bin.000001.binlog"))
+    assert(feed.extent("mysql-bin.000001.binlog") == 4L)
+    val r = feed.open("mysql-bin.000001.binlog", 1L, 3L)
+    val got = Iterator.continually(if (r.next()) Some(r.get()) else None)
+      .takeWhile(_.isDefined).flatten.toVector
+    assert(got.map(_.eventType) == Vector("UpdateRowsEventV2", "DeleteRowsEventV2"))
+  }
+
+  test("binary feed drives the unchanged decode pipeline: after-image-only UPDATE") {
+    val dir = Files.createTempDirectory("binfeed2")
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), standardFile(true))
+    val raw = spark.read.format("binlog-replay")
+      .option("path", dir.toString).option("format", "binlog").load()
+    val envelope = Decode.decode(raw, Map("testdb" -> Seq("users")))
+    val items = envelope.orderBy(col("log.binlogPosition"), col("itemID"))
+      .collect()
+    // write(2 rows) + update(after image ONLY) + delete(1 row) = 4 items
+    assert(items.length == 4)
+    def data(r: org.apache.spark.sql.Row) =
+      r.getStruct(r.fieldIndex("data"))
+    val ops = items.map(r => data(r).getAs[String]("operation")).toSeq
+    assert(ops == Seq("INSERT", "INSERT", "UPDATE", "DELETE"))
+    val d = data(items(2))
+    val updRows = d.getSeq[scala.collection.Map[String, String]](d.fieldIndex("rows"))
+    assert(updRows.length == 1)
+    // after-image values only — the before image never reaches the sink
+    assert(updRows.head("name") == "ada lovelace")
+    assert(updRows.head("score") == "4")
+  }
+
+  test("decoded binary events render the reference example template payload") {
+    val dir = Files.createTempDirectory("binfeed3")
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), standardFile(true))
+    val raw = spark.read.format("binlog-replay")
+      .option("path", dir.toString).option("format", "binlog").load()
+    val envelope = Decode.decode(raw, Map("testdb" -> Seq("users")))
+    val route = Route("users", "collector", Seq("INSERT", "UPDATE", "DELETE"),
+      "testdb.users",
+      """{"id":"{{ (index .Data.Rows 0).id }}","name":"{{ (index .Data.Rows 0).name }}","op":"{{ .Data.Operation }}"}""")
+    val rendered = Routing.outbound(envelope, route)
+      .orderBy(col("log.binlogPosition"))
+      .select(col("payload")).collect().map(_.getString(0)).toSeq
+    assert(rendered.size == 4)
+    // the UPDATE payload carries the AFTER image (blreaderwork.go:261-263)
+    assert(rendered(2) ==
+      """{"id":"42","name":"ada lovelace","op":"UPDATE"}""")
+    assert(rendered(3) == """{"id":"-7","name":"bob","op":"DELETE"}""")
+  }
+
+  test("streaming read of binary binlog through checkpointed micro-batches") {
+    val dir = Files.createTempDirectory("binfeed4")
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), standardFile(true))
+    CollectingConnector.clear()
+    val conns: Map[String, Connector] = Map("collector" -> new CollectingConnector("bb1"))
+    val route = Route("users", "collector", Seq("INSERT", "UPDATE", "DELETE"),
+      "testdb.users", """{{ .Data.Operation }}:{{ (index .Data.Rows 0).id }}""")
+    val raw = spark.readStream.format("binlog-replay")
+      .option("path", dir.toString).option("format", "binlog")
+      .option("maxEventsPerTrigger", "2").load()
+    val q = Decode.decode(raw, Map("testdb" -> Seq("users"))).writeStream
+      .foreachBatch(Connectors.forEachBatch(Seq(route), conns))
+      .option("checkpointLocation", Files.createTempDirectory("ckptbb").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = CollectingConnector.drain("bb1").map(_._2).sorted
+    assert(got == Seq("DELETE:-7", "INSERT:-7", "INSERT:42", "UPDATE:42"))
+  }
+}

@@ -104,6 +104,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.stopInError === false && cfg.itemByRow === true)
     assert(cfg.dbTables === Map("testdb" -> Seq("users", "orders")))
     assert(cfg.startFile === Some("mysql-bin.000007") && cfg.startPosition === Some(4L))
+    assert(cfg.startFlavor === "mysql" && cfg.startGtid === None)
     assert(cfg.shardingEnabled && cfg.shardCount === 3 && cfg.shardIndex === 1)
     assert(cfg.shardKeyTemplate === Some("{{ (index .Data.Rows 0).id }}"))
     assert(cfg.cacheType === "redis" && cfg.redisHost === "10.0.0.5"
@@ -131,5 +132,40 @@ class ConfigSpec extends AnyFunSuite {
     val cfg = Config.parse("{}")
     assert(cfg.itemByRow && cfg.stopInError && !cfg.shardingEnabled)
     assert(cfg.shardCount == 1 && cfg.routes.isEmpty)
+    assert(cfg.startFlavor == "mysql" && cfg.startGtid.isEmpty
+      && cfg.sourceFormat == "jsonl")
+  }
+
+  test("mariadb flavor + GTID start position from the nested layout") {
+    val yaml =
+      """source:
+        |  flavor: mariadb
+        |  dbTables:
+        |    testdb: [users]
+        |  startLocation:
+        |    gtid: "0-1-5"
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("ref-config-maria", ".yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    val cfg = Config.load(f.toString, env = Map.empty)
+    assert(cfg.startFlavor === "mariadb")
+    assert(cfg.startGtid === Some("0-1-5"))
+    // an unknown flavor is a config error, not a silent default
+    val g = java.nio.file.Files.createTempFile("ref-config-bad", ".yaml")
+    java.nio.file.Files.writeString(g, "source:\n  flavor: postgres\n")
+    intercept[IllegalArgumentException](Config.load(g.toString, env = Map.empty))
+  }
+
+  test("flavor and GTID hints reach the feed through the seam") {
+    import graft.cdc.source.{BinlogFeeds, EventFeed}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("flavor", "mariadb")
+    opts.put("startingGtid", "0-1-5")
+    // file feeds: documented no-op, but the call must flow through
+    val feed: EventFeed = BinlogFeeds.forOptions(
+      java.nio.file.Files.createTempDirectory("flv").toString,
+      new CaseInsensitiveStringMap(opts))
+    assert(feed.segments().isEmpty) // feed constructed + configured fine
   }
 }
