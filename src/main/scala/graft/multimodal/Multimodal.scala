@@ -4,78 +4,225 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support (north star): media as opaque `binary`
-  * columns with typed metadata, and a decode/feature-extract stage.
+  * columns with typed metadata, a REAL decode stage for two public
+  * image containers, and pixel-level feature extraction.
   *
-  * The Spark-side plumbing is real: schema (binary content + kind),
-  * partition-preserving typed mapPartitions with per-partition decoder
-  * setup, and a stable feature schema. The decoder itself is a
-  * DETERMINISTIC STUB (`FakeDecoder`) — image/audio codecs are not in
-  * this container. On a real cluster the seam is one line: replace
-  * FakeDecoder.decode with a JNI/codec call, or swap the whole
-  * mapPartitions for a vectorized Python UDF (mapInArrow) feeding
-  * PIL/ffmpeg — the batch shape, schema and partitioning stay identical.
+  * The decode stage parses actual image bytes — binary PPM (P6, the
+  * Netpbm format: ASCII header with comment support + raw RGB) and
+  * uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  * bottom-up BGR rows padded to 4 bytes) — through a per-partition
+  * mapPartitions with no shuffle. Both containers round-trip through
+  * [[ImageCodecs]] and decode to the same row-major RGB, so the same
+  * pixel stats come out of either. Audio/video codecs (JPEG/ffmpeg)
+  * stay out of scope in this container; their seam is the same
+  * mapPartitions shape with a codec call per record.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, content: Array[Byte], kind: String)
 
-  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-      first_byte: Long, checksum: Long)
+  /** Decoded-image features, all exact integers: dimensions from the
+    * parsed header, per-channel sums, and the count of dark pixels
+    * (integer luma (299r+587g+114b)/1000 < 128). */
+  case class ImageFeatures(doc_id: Long, kind: String, width: Long,
+      height: Long, sum_r: Long, sum_g: Long, sum_b: Long, n_dark: Long)
 
-  /** STUB decoder — deterministic features computed from the raw bytes.
-    * Stands in for image decode / resize / frame-sample. */
-  object FakeDecoder {
-    private val P = 1000000007L
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.content.length.toLong
-      val first = if (n > 0) (r.content(0) & 0xff).toLong else -1L
-      var sum = 0L
-      var i = 0
-      val lim = math.min(r.content.length, 256)
-      while (i < lim) { sum = (sum + (r.content(i) & 0xff)) % P; i += 1 }
-      MediaFeatures(r.doc_id, r.kind, n, first, sum)
+  case class FrameFeature(doc_id: Long, frame_idx: Long, fsum: Long)
+
+  /** Real encoders/decoders for the two public image containers. */
+  object ImageCodecs {
+
+    /** Row-major RGB image, 8 bits per channel. */
+    case class Image(width: Int, height: Int, rgb: Array[Byte]) {
+      require(rgb.length == 3 * width * height,
+        s"rgb length ${rgb.length} != 3*$width*$height")
+    }
+
+    /** Binary PPM (P6), maxval 255. */
+    def encodePpm(img: Image): Array[Byte] = {
+      val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+      header ++ img.rgb
+    }
+
+    /** Uncompressed 24-bit BMP: 14-byte file header, 40-byte
+      * BITMAPINFOHEADER, bottom-up BGR rows padded to 4-byte multiples. */
+    def encodeBmp(img: Image): Array[Byte] = {
+      val rowBytes = img.width * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val imageSize = (rowBytes + pad) * img.height
+      val dataOffset = 14 + 40
+      val out = java.nio.ByteBuffer.allocate(dataOffset + imageSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+        .putInt(dataOffset + imageSize).putShort(0).putShort(0).putInt(dataOffset)
+      out.putInt(40).putInt(img.width).putInt(img.height) // +height = bottom-up
+        .putShort(1).putShort(24).putInt(0).putInt(imageSize)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = img.height - 1
+      while (y >= 0) { // bottom row first
+        var x = 0
+        while (x < img.width) {
+          val p = 3 * (y * img.width + x)
+          out.put(img.rgb(p + 2)).put(img.rgb(p + 1)).put(img.rgb(p)) // BGR
+          x += 1
+        }
+        var i = 0
+        while (i < pad) { out.put(0.toByte); i += 1 }
+        y -= 1
+      }
+      out.array()
+    }
+
+    /** Container sniff + decode: "P6" → PPM, "BM" → BMP; anything else
+      * (or a malformed body) throws — never a silent wrong decode. */
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 2, "media too short to sniff")
+      if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+      else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else throw new IllegalArgumentException(
+        f"unsupported media container (magic 0x${bytes(0)}%02x${bytes(1)}%02x)")
+    }
+
+    /** PPM header per the Netpbm spec: tokens separated by whitespace,
+      * `#` comments run to end of line, a single whitespace byte ends
+      * the header; maxval must be 255 (8-bit samples). */
+    private def decodePpm(b: Array[Byte]): Image = {
+      var p = 2
+      def token(): Int = {
+        // skip whitespace and comments
+        var inComment = false
+        while (p < b.length && (inComment || b(p).toChar.isWhitespace || b(p) == '#')) {
+          if (b(p) == '#') inComment = true
+          else if (b(p) == '\n') inComment = false
+          p += 1
+        }
+        var v = 0
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+          v = v * 10 + (b(p) - '0'); p += 1
+        }
+        v
+      }
+      val w = token(); val h = token(); val maxval = token()
+      p += 1 // the single whitespace after maxval
+      require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+      require(maxval == 255, s"unsupported PPM maxval $maxval (8-bit only)")
+      require(b.length - p >= 3 * w * h,
+        s"truncated PPM: need ${3 * w * h} pixel bytes, have ${b.length - p}")
+      Image(w, h, java.util.Arrays.copyOfRange(b, p, p + 3 * w * h))
+    }
+
+    private def decodeBmp(b: Array[Byte]): Image = {
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(b.length >= 54, "truncated BMP header")
+      val dataOffset = buf.getInt(10)
+      val headerSize = buf.getInt(14)
+      require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+      val w = buf.getInt(18)
+      val hRaw = buf.getInt(22)
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      val bpp = buf.getShort(28)
+      val compression = buf.getInt(30)
+      require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$hRaw")
+      require(bpp == 24, s"unsupported BMP bit depth $bpp (24bpp only)")
+      require(compression == 0, s"unsupported BMP compression $compression")
+      val rowBytes = w * 3
+      val stride = rowBytes + (4 - rowBytes % 4) % 4
+      require(b.length >= dataOffset + stride * h, "truncated BMP pixel data")
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOffset + stride * (if (bottomUp) h - 1 - y else y)
+        var x = 0
+        while (x < w) {
+          val s = srcRow + 3 * x
+          val d = 3 * (y * w + x)
+          rgb(d) = b(s + 2); rgb(d + 1) = b(s + 1); rgb(d + 2) = b(s) // BGR → RGB
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, rgb)
     }
   }
 
-  /** documents → media table: the text bytes stand in for a decoded-from-
-    * storage blob. At 100 TB the binary column would come from a parquet/
-    * lance scan or `binaryFile` source — same schema. */
-  def attachBinary(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
-      lit("text").as("kind"))
+  import ImageCodecs._
 
-  /** The decode stage: narrow (partition-preserving), no shuffle; decoder
-    * state is initialized once per partition, not per row. */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Deterministic image synthesis from a text corpus (the fixture
+    * generator: at 100 TB the binary column comes from a parquet/lance
+    * scan or `binaryFile` source with the same schema). Pixel byte j of
+    * a width-8 RGB image is the document's text byte j mod len, height
+    * grows with the text; even doc_ids encode as PPM, odd as BMP — so
+    * BOTH real containers flow through every downstream stage and must
+    * decode to identical pixel algebra. */
+  def attachImage(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    media.as[MediaRecord]
-      .mapPartitions { it =>
-        // per-partition decoder setup would go here (codec init, model load)
-        it.map(FakeDecoder.decode)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(_._2.nonEmpty)
+      .map { case (id, text) =>
+        val img = synthesize(text)
+        if (id % 2 == 0) MediaRecord(id, encodePpm(img), "ppm")
+        else MediaRecord(id, encodeBmp(img), "bmp")
       }
       .toDF()
   }
 
-  case class FrameFeature(doc_id: Long, frame_idx: Long, fsum: Long)
+  /** width 8, height ⌈⌈len/3⌉/8⌉, RGB bytes = text bytes repeated. */
+  private[multimodal] def synthesize(text: String): Image = {
+    val bytes = text.getBytes("UTF-8")
+    val w = 8
+    val nPixels = (bytes.length + 2) / 3
+    val h = math.max((nPixels + w - 1) / w, 1)
+    val rgb = new Array[Byte](3 * w * h)
+    var j = 0
+    while (j < rgb.length) { rgb(j) = bytes(j % bytes.length); j += 1 }
+    Image(w, h, rgb)
+  }
 
-  /** Frame-sampling plumbing: split the binary into fixed 64-byte
-    * "frames" (standing in for video frame boundaries) and emit one
-    * feature row per frame — a narrow flatMap, the 1:N shape a real
-    * frame sampler (ffmpeg keyframe walk) produces. The per-frame
-    * feature is the byte sum mod 1e9+7 (deterministic stub for the
-    * per-frame embed/resize step). */
+  /** The decode stage: narrow (partition-preserving), no shuffle;
+    * decoder state initializes once per partition, not per row. Parses
+    * the REAL container bytes (PPM or BMP per record) and reduces the
+    * pixel array to exact integer stats. */
+  def imageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (codec init)
+        it.map { r =>
+          val img = decode(r.content)
+          var sr = 0L; var sg = 0L; var sb = 0L; var dark = 0L
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            val r8 = img.rgb(3 * i) & 0xff
+            val g8 = img.rgb(3 * i + 1) & 0xff
+            val b8 = img.rgb(3 * i + 2) & 0xff
+            sr += r8; sg += g8; sb += b8
+            if ((299L * r8 + 587L * g8 + 114L * b8) / 1000L < 128L) dark += 1
+            i += 1
+          }
+          ImageFeatures(r.doc_id, r.kind, img.width.toLong, img.height.toLong,
+            sr, sg, sb, dark)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling over DECODED pixel data: each image row is a
+    * "frame" (the 1:N flatMap shape a real frame sampler produces);
+    * the per-frame feature is the row's RGB byte sum mod 1e9+7. */
   def frameFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val P = 1000000007L
     media.as[MediaRecord]
       .flatMap { r =>
-        val n = r.content.length
-        val nf = (n + 63) / 64
-        (0 until nf).iterator.map { k =>
+        val img = decode(r.content)
+        val rowBytes = 3 * img.width
+        (0 until img.height).iterator.map { k =>
           var s = 0L
-          var i = k * 64
-          val lim = math.min(n, k * 64 + 64)
-          while (i < lim) { s = (s + (r.content(i) & 0xff)) % P; i += 1 }
+          var i = k * rowBytes
+          val lim = i + rowBytes
+          while (i < lim) { s = (s + (img.rgb(i) & 0xff)) % P; i += 1 }
           FrameFeature(r.doc_id, k.toLong, s)
         }
       }

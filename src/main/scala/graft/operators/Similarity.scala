@@ -64,6 +64,34 @@ object Similarity {
       when(vectorDot(vec, w) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Batch-probe LSH ANN — the probe-SET shape of hyperplane-bucket ANN
+    * (a 100 TB probe sweep is this, never one scan per probe): corpus
+    * and probe set each carry their [[hyperplaneBucket]] id, candidates
+    * come from a bucket-EQUALITY join (both sides co-shuffled by
+    * bucket id), and the exact-cosine rerank keeps top-k per probe via
+    * a probe-partitioned window — no global order, no per-probe pass,
+    * no BroadcastNestedLoop over the corpus. Probes sharing a bucket
+    * with nothing return no rows (the standard LSH recall trade;
+    * unioning several seedOffset tables is the recall lever). */
+  def lshTopKBatch(base: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nBits: Int, dim: Int, seedOffset: Int = 0,
+      scoreT: Column => Column = identity): DataFrame = {
+    val cb = base.select(col(idCol), col(vecCol).as("__bv"),
+      hyperplaneBucket(col(vecCol), nBits, dim, seedOffset).as("__bkt"))
+    val pb = probes.select(col(probeIdCol), col(probeVecCol).as("__pv"),
+      hyperplaneBucket(col(probeVecCol), nBits, dim, seedOffset).as("__pbkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(probeIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    cb.join(pb, col("__bkt") === col("__pbkt") && col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol), col(idCol),
+        scoreT(cosine(col("__bv"), col("__pv"))).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Nearest-centroid assignment carrying the vector through: one
     * map-side-combining `max_by` over the broadcast n×C expansion — the
     * shared kernel of [[ivfTopK]] and [[kmeansStep]]. Partial

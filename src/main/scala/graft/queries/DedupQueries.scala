@@ -51,16 +51,37 @@ object DedupQueries extends QueryGroup {
     "q32_dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.spread(
         Tables.documents(s, d).filter(col("doc_id") < 2000))
+      // (Measured dead end, round 4: computing `n` in-row as size(hs)
+      // before the explode re-evaluates the interpreted HOF shingle
+      // array 2-3× per row via filter pushdown + project collapsing —
+      // 6.9 s vs 1.5 s. The explode+groupBy codegen stream stays.)
       val sh = TextDedup.shingleHashes(docs)
         .repartition(32, col("h"))
         .localCheckpoint(eager = true)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("d1"), col("h"))
-      val b = sh.select(col("doc_id").as("d2"), col("h").as("h2"))
-      a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.select(col("doc_id").as("zd1"), col("n").as("n1"))), col("d1") === col("zd1"))
-        .join(broadcast(sizes.select(col("doc_id").as("zd2"), col("n").as("n2"))), col("d2") === col("zd2"))
+      // Sizes ride along on BOTH probe sides (broadcast dim onto the
+      // h-partitioned shingle stream — narrow, partitioning preserved),
+      // so the length-ratio bound prunes INSIDE the self-join, before
+      // the O(candidate-pairs) groupBy shuffle: J = inter/union ≤
+      // min(n)/max(n), and the ≥3000 output filter admits J ≥ 0.29995
+      // after rounding, so a pair with min·100000 < 29995·max can't
+      // reach the threshold — exact integer arithmetic, answer
+      // unchanged. (An LSH-candidate intersection would NOT be answer-
+      // preserving: band candidates are recall-lossy. Prefix filtering
+      // was measured on this corpus and rejected: 82% of ALL doc pairs
+      // share a shingle — candidates drop only 1.65M→1.3M while adding
+      // per-pair array verification.) Carrying n1/n2 through the
+      // aggregation drops the two post-agg dim joins of the r3 form.
+      val a = sh.join(broadcast(sizes), "doc_id")
+        .select(col("doc_id").as("d1"), col("h"), col("n").as("n1"))
+      val b = sh.join(broadcast(sizes), "doc_id")
+        .select(col("doc_id").as("d2"), col("h").as("h2"), col("n").as("n2"))
+      a.join(b, col("h") === col("h2") && col("d1") < col("d2") &&
+          least(col("n1"), col("n2")) * 100000L >=
+            greatest(col("n1"), col("n2")) * 29995L)
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
         .select(col("d1"), col("d2"),
           ratio1e4(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))

@@ -82,6 +82,22 @@ object VectorQueries extends QueryGroup {
         .limit(5)
     }),
 
+    // Batch-probe LSH ANN — the probe-SET form of q59 (VERDICT r3 item
+    // 4): 50 probes and the corpus each carry their 6-bit hyperplane
+    // bucket; candidates are a bucket-EQUALITY join, exact-cosine
+    // rerank keeps top-3 per probe through a probe-partitioned window.
+    // One corpus pass serves ALL probes — at 100 TB this is the only
+    // viable probe sweep shape (q59's broadcast scan is per-probe).
+    "q73_ann_batch_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val probes = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      graft.operators.Similarity.lshTopKBatch(
+          e, "vec_id", "v", probes, "probe_id", "pv",
+          k = 3, nBits = 6, dim = 64, seedOffset = 0, decD)
+        .orderBy(col("probe_id"), col("score").desc, col("vec_id"))
+    }),
+
     // IVF-pruned ANN: deterministic "trained" centroids (vec_id % 100 = 0),
     // assign every base vector to its nearest centroid, probe the top-2
     // centroids for the query, brute-force only inside those clusters.
@@ -183,6 +199,21 @@ object VectorQueries extends QueryGroup {
          |FROM b, q
          |WHERE b.vec_id <> 1 AND (b.b0 = q.qb0 OR b.b1 = q.qb1)
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q73_ann_batch_probe" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${duckBucket("v", 6, 0)} AS bkt FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, bkt AS pbkt FROM b WHERE vec_id < 50),
+         |cand AS (SELECT p.probe_id, b.vec_id,
+         |                CAST(CAST(${duckCos("b.v", "p.pv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |         FROM b JOIN p ON b.bkt = p.pbkt AND b.vec_id <> p.probe_id),
+         |rk AS (SELECT probe_id, vec_id, score,
+         |              ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY score DESC, vec_id) AS rn
+         |       FROM cand)
+         |SELECT probe_id, vec_id, score FROM rk WHERE rn <= 3
+         |ORDER BY probe_id, score DESC, vec_id""".stripMargin,
+
     "q30_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

@@ -79,6 +79,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q73 batch-probe ANN is a bucket-equality join, never a per-probe sweep") {
+    val p = plan("q73_ann_batch_probe")
+    // candidates must come from equality on the bucket id: no
+    // BroadcastNestedLoopJoin or CartesianProduct over the corpus (the
+    // per-probe scan shape q59 uses for its single probe)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the rerank window is probe-partitioned, not global
+    assert(p.contains("Window"), p)
+  }
+
   test("q67 k-means assignment aggregates, never window-sorts the expansion") {
     val plan = SparkEntry.queries("q67_kmeans_step")(spark, sf001)
       .queryExecution.executedPlan
