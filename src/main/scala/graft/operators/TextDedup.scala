@@ -79,33 +79,24 @@ object TextDedup {
     * pairs: h = (th1·8191 + th2) mod P — portable across engines (th <
     * P ≈ 2^30, so th·8191 + th ≈ 2^43 stays far inside BIGINT). Entirely
     * narrow ZERO-shuffle work: a doc's shingles all live in its own row,
-    * so the in-row `array_distinct` IS the (doc_id, h) distinct — no
-    * cross-row dedup exchange exists at any scale. */
-  def shingleHashes(docs: DataFrame): DataFrame =
-    docs.withColumn("th", tokenHashes(col("text")))
-      .select(col("doc_id"), explode(
-        when(size(col("th")) >= 2,
-          array_distinct(transform(sequence(lit(0), size(col("th")) - 2),
-            i => (get(col("th"), i) * 8191L + get(col("th"), i + 1)) % P)))
-          .otherwise(array().cast("array<bigint>"))).as("h"))
+    * so the in-row distinct IS the (doc_id, h) distinct — no cross-row
+    * dedup exchange exists at any scale. Implemented as the native
+    * codegen kernel [[graft.functions.TokenSpanHashes]] (tight primitive
+    * loop, whole-stage-codegen'd) — bit-identical to the interpreted HOF
+    * chain it replaced (r4 measured the HOF form at O(n·w) interpreted
+    * lambda calls per row). */
+  def shingleHashes(docs: DataFrame): DataFrame = spanHashes(docs, 2)
 
   /** Distinct rolling w-token span hashes per doc: the polynomial fold
     * (h·8191 + th) mod P over each length-`w` token window — the
-    * generalized form of [[shingleHashes]] used by span-level dedup and
-    * decontamination (q68/q70). Entirely narrow zero-shuffle work, same
-    * invariants as shingleHashes (in-row array_distinct IS the per-doc
-    * distinct, only 16-byte (doc_id, h) rows ever leave the row). Note
-    * the w=2 algebra differs from shingleHashes' (th1·8191 + th2) only
-    * by the leading 0-seed step, which is identity (0·8191 + th1 = th1)
-    * — they agree bit-for-bit. */
+    * generalized form used by span-level dedup and decontamination
+    * (q68/q70). Entirely narrow zero-shuffle work; only 16-byte
+    * (doc_id, h) rows ever leave the row. w=2 is exactly the shingle
+    * algebra: the leading 0-seed step is identity (0·8191 + th1 = th1). */
   def spanHashes(docs: DataFrame, w: Int): DataFrame =
-    docs.withColumn("th", tokenHashes(col("text")))
-      .select(col("doc_id"), explode(
-        when(size(col("th")) >= w,
-          array_distinct(transform(sequence(lit(0), size(col("th")) - w),
-            i => aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
-              (a, x) => (a * 8191L + x) % P))))
-          .otherwise(array().cast("array<bigint>"))).as("h"))
+    docs.select(col("doc_id"),
+      explode(graft.functions.TokenSpanHashes.tokenSpanHashes(
+        toks(col("text")), w)).as("h"))
 
   /** Exact Jaccard (scaled 1e4) for given candidate pairs over a shingle
     * set (doc_id, h). Keep-all-pairs semantics: every candidate pair is
@@ -184,12 +175,9 @@ object TextDedup {
     val refVerify = refProf.select(col("doc_id").as("rv_doc"),
       col("hs").as("rhs"), col("n").as("rn"))
 
-    val hsCol = when(size(col("th")) >= 2,
-      array_distinct(transform(sequence(lit(0), size(col("th")) - 2),
-        i => (get(col("th"), i) * 8191L + get(col("th"), i + 1)) % P)))
-      .otherwise(array().cast("array<bigint>"))
-    val prof = stream.withColumn("th", tokenHashes(col("text")))
-      .withColumn("hs", hsCol)
+    val prof = stream
+      .withColumn("hs", graft.functions.TokenSpanHashes.tokenSpanHashes(
+        toks(col("text")), 2))
       .filter(size(col("hs")) > 0)
       .select(Seq(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n")) ++
         HashParams.map { case (k, a, b) =>

@@ -185,9 +185,12 @@ object DedupQueries extends QueryGroup {
     // (map-side partial over the spread scan's 32 partitions).
     "q34_dedup_simhash" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
+      // distinct token hashes = the w=1 span kernel (codegen; identical
+      // first-occurrence distinct as array_distinct∘tokenHashes)
       val th = docs
         .select(col("doc_id"),
-          explode(array_distinct(tokenHashes(col("text")))).as("hv"))
+          explode(graft.functions.TokenSpanHashes.tokenSpanHashes(
+            TextDedup.toks(col("text")), 1)).as("hv"))
         .select(col("doc_id"),
           (((col("hv") * 48271L) % 2147483647L) * 2147483648L +
             ((col("hv") * 69621L) % 2147483647L)).as("h62"))
