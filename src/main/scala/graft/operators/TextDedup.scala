@@ -197,6 +197,34 @@ object TextDedup {
       .filter(col("jacc_1e4") >= threshold1e4)
   }
 
+  /** Asymmetric CONTAINMENT near-dup: C(A→B) = |A∩B| / |A| — the
+    * sub-document duplication detector (a short doc fully embedded in a
+    * long one scores ~1.0 on containment while Jaccard, diluted by the
+    * long doc's size, misses it). Same LSH band candidates and per-doc
+    * profile as [[nearDupPairs]]; emits both directions per pair and
+    * keeps pairs where either direction reaches the threshold. */
+  def containmentPairs(docs: DataFrame, threshold1e4: Long): DataFrame = {
+    val mhAggs = HashParams.map { case (k, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
+    }
+    val aggs = mhAggs :+ collect_list(col("h")).as("hs") :+ count(lit(1)).as("n")
+    val perDoc = shingleHashes(docs).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = true)
+    val cand = candidatesOf(bandSignatures(
+      perDoc.select(col("doc_id") +: HashParams.map { case (k, _, _) => col(s"mh$k") }: _*)))
+    cand
+      .join(perDoc.select(col("doc_id").as("zd1"), col("hs").as("hs1"), col("n").as("n1")),
+        col("d1") === col("zd1"))
+      .join(perDoc.select(col("doc_id").as("zd2"), col("hs").as("hs2"), col("n").as("n2")),
+        col("d2") === col("zd2"))
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
+      .select(col("d1"), col("d2"),
+        ratio1e4(col("inter").cast("double") / col("n1").cast("double")).as("cont1_1e4"),
+        ratio1e4(col("inter").cast("double") / col("n2").cast("double")).as("cont2_1e4"))
+      .filter(greatest(col("cont1_1e4"), col("cont2_1e4")) >= threshold1e4)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidate pairs with verified
     * exact Jaccard ≥ threshold (scaled 1e4).
     *

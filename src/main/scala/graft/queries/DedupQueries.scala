@@ -176,6 +176,17 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Asymmetric containment near-dup (sub-document duplication): for
+    // LSH band candidates, C(A→B) = |A∩B|/|A| in both directions — a
+    // short doc embedded in a long one scores ~1.0 here while Jaccard
+    // (diluted by the long doc) misses it. Library operator
+    // TextDedup.containmentPairs, same candidates/profile machinery as
+    // q33 — only the scoring algebra differs.
+    "q75_dedup_containment" -> ((s, d) =>
+      TextDedup.containmentPairs(
+          Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 5000L)
+        .orderBy(col("d1"), col("d2"))),
+
     // SimHash: 62-bit fingerprint from two 31-bit LCGs over the token's
     // portable polynomial string hash; bit b of the fingerprint is set
     // iff the ±1 vote sum over the doc's distinct tokens is positive.
@@ -274,6 +285,16 @@ object DedupQueries extends QueryGroup {
     "q33_dedup_minhash_lsh" ->
       s"""WITH $lshCtes
          |$lshPairsSelect
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q75_dedup_containment" ->
+      s"""WITH $lshCtes
+         |SELECT d1, d2,
+         |       CAST(floor(inter * 1.0 / z1.n * 10000 + 0.5) AS BIGINT) AS cont1_1e4,
+         |       CAST(floor(inter * 1.0 / z2.n * 10000 + 0.5) AS BIGINT) AS cont2_1e4
+         |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+         |WHERE greatest(CAST(floor(inter * 1.0 / z1.n * 10000 + 0.5) AS BIGINT),
+         |               CAST(floor(inter * 1.0 / z2.n * 10000 + 0.5) AS BIGINT)) >= 5000
          |ORDER BY d1, d2""".stripMargin,
 
     "q70_decontamination" ->

@@ -86,6 +86,31 @@ object PipelineQueries extends QueryGroup {
           sum(col("f_phone")).cast("long").as("n_phone"),
           sum(col("f_url")).cast("long").as("n_url"))
         .orderBy(col("source"))
+    }),
+
+    // PII REDACTION (the step after q48's scan): replace every email,
+    // phone, and URL match with a typed marker, per doc. Match counts
+    // come from regexp_extract_all; the redacted text itself is
+    // value-checked via its sha256 — a redactor that misses a match,
+    // replaces only the first occurrence, or mangles surrounding text
+    // hash-mismatches immediately. Narrow per-row work, no shuffle
+    // before the render sort.
+    "q74_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val phone = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+      val url = "https?://[^ ]+"
+      val t = lower(col("text"))
+      val redacted = regexp_replace(
+        regexp_replace(regexp_replace(t, email, "<email>"), phone, "<phone>"),
+        url, "<url>")
+      Tables.spread(Tables.documents(s, d)).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(t, lit(phone), lit(0))).cast("long").as("n_phone"),
+          size(regexp_extract_all(t, lit(url), lit(0))).cast("long").as("n_url"),
+          length(redacted).cast("long").as("redacted_len"),
+          sha2(redacted, 256).as("redacted_sha"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -138,6 +163,22 @@ object PipelineQueries extends QueryGroup {
         |       CAST(SUM(f_email) AS BIGINT) AS n_email,
         |       CAST(SUM(f_phone) AS BIGINT) AS n_phone,
         |       CAST(SUM(f_url) AS BIGINT) AS n_url
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_pii_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_email,
+        |  len(regexp_extract_all(lower(text), '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS n_phone,
+        |  len(regexp_extract_all(lower(text), 'https?://[^ ]+')) AS n_url,
+        |  regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<email>', 'g'),
+        |      '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<phone>', 'g'),
+        |      'https?://[^ ]+', '<url>', 'g') AS red
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+        |       CAST(n_phone AS BIGINT) AS n_phone, CAST(n_url AS BIGINT) AS n_url,
+        |       CAST(length(red) AS BIGINT) AS redacted_len,
+        |       sha256(red) AS redacted_sha
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

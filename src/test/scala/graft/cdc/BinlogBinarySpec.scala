@@ -36,7 +36,7 @@ object BinlogFixture {
       (0 until n).map(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte).toArray
 
     /** Append one event: 19-byte v4 header, body, optional CRC32. */
-    private def event(evType: Int, body: Array[Byte]): Long = {
+    def event(evType: Int, body: Array[Byte]): Long = {
       val size = 19 + body.length + (if (checksum) 4 else 0)
       pos += size
       val header = le(1700000000L, 4) ++ Array(evType.toByte) ++ le(1L, 4) ++
@@ -240,6 +240,22 @@ class BinlogBinarySpec extends SparkTestBase {
       .rows(WRITE_ROWS_V2, 77L, Seq(Col("x", T_LONG)), Seq(Seq(1)))
     val e = intercept[IllegalArgumentException](BinlogBinary.decodeFile(b.bytes, "f"))
     assert(e.getMessage.contains("unmapped table id 77"))
+  }
+
+  test("GTID/XID/QUERY events are skipped like the reference's default case") {
+    // a GTID_LOG_EVENT (type 33, mysql) and a mariadb GTID (type 162)
+    // between the row events: the decode loop must pass over them (the
+    // reference's `default: continue`, blreaderwork.go:308-311), not die
+    val b = new Builder(true)
+    b.fde().tableMap(5L, "testdb", "users", Seq(Col("id", T_LONG)))
+    // hand-rolled opaque events through the same framing
+    b.event(33, Array.fill[Byte](25)(0x42)) // GTID: flags + SID + GNO
+    b.event(162, Array.fill[Byte](13)(0x17)) // mariadb GTID
+    b.event(16, Array.fill[Byte](8)(0x01)) // XID
+    b.rows(WRITE_ROWS_V2, 5L, Seq(Col("id", T_LONG)), Seq(Seq(9)))
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs.map(_.eventType) == Vector("WriteRowsEventV2"))
+    assert(evs.head.rows(0).toSeq == Seq("9"))
   }
 
   test("checksum-awareness follows the server version") {

@@ -53,6 +53,45 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(got.forall(_._1.startsWith("mysql-bin.000001/")))
   }
 
+  test("sourceFormat=binlog: REAL binary binlog through the config-driven pipeline") {
+    import graft.cdc.source.BinlogBinary
+    CollectingConnector.clear()
+    val dir = Files.createTempDirectory("cdc-binlog-src")
+    val cols = Seq(BinlogFixture.Col("id", BinlogBinary.T_LONG),
+      BinlogFixture.Col("name", BinlogBinary.T_VARCHAR, 255))
+    val bytes = new BinlogFixture.Builder(checksum = true)
+      .fde()
+      .tableMap(11L, "testdb", "users", cols)
+      .rows(BinlogBinary.WRITE_ROWS_V2, 11L, cols,
+        Seq(Seq(1, "ada"), Seq(2, "bob")))
+      .rows(BinlogBinary.UPDATE_ROWS_V2, 11L, cols,
+        Seq(Seq(1, "ada"), Seq(1, "ada2")))
+      .bytes
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), bytes)
+
+    val cfg = Config.parse(
+      """{
+        |  "serverId": "tb1",
+        |  "sourceFormat": "binlog",
+        |  "startFlavor": "mysql",
+        |  "dbTables": {"testdb": ["users"]},
+        |  "connectors": [{"name": "sinkB", "type": "collect"}],
+        |  "routes": [{
+        |    "name": "users-writes",
+        |    "connector": "sinkB",
+        |    "operations": ["INSERT", "UPDATE"],
+        |    "dbTable": "testdb.users",
+        |    "template": "{{ .Data.Operation }}:{{ (index .Data.Rows 0).name }}"
+        |  }]
+        |}""".stripMargin)
+    val ckpt = Files.createTempDirectory("cdc-binlog-ckpt").toString
+    val q = CdcPipeline.sync(spark, cfg, dir.toString, ckpt)
+    q.awaitTermination(60000)
+    val got = CollectingConnector.drain("sinkB").map(_._2).sorted
+    // 2 INSERT items + the UPDATE's after image; all decoded from bytes
+    assert(got == Seq("INSERT:ada", "INSERT:bob", "UPDATE:ada2"))
+  }
+
   test("lake landing writes (database, table)-partitioned parquet exactly once") {
     val cfg = Config.parse(
       """{"serverId": "land1", "dbTables": {"testdb": ["users"]}}""")
