@@ -29,6 +29,8 @@ import graft.cdc.RenderTemplate
   *  - `vector_dot(a, b)`           — codegen dot product (B30)
   *  - `vector_norm_l2(a)`          — codegen L2 norm (B30)
   *  - `ngrams(tokens, n)`          — n-gram generator UDTF (B31)
+  *  - `str_poly_hash(str)`         — dedup identity hash (codegen)
+  *  - `token_span_hashes(toks, w)` — dedup shingle/span kernel (codegen)
   *  - `render_template(ev, tmpl)`  — route payload templating (A11);
   *    tmpl must be a string literal (compiled once per plan, same as the
   *    reference compiling templates at startup, blsenderwork.go:102)
@@ -81,6 +83,23 @@ object GraftExtensions {
           case other => sys.error(s"ngrams(tokens, n): n must be an int literal, got $other")
         }
         NGrams(tokens, nv)
+      }),
+
+    (FunctionIdentifier("str_poly_hash"),
+      info("str_poly_hash",
+        "str_poly_hash(str) - polynomial byte hash fold((h*31 + b) mod 1e9+7) (dedup identity hash; ASCII contract)"),
+      one("str_poly_hash")(graft.functions.StrPolyHash(_))),
+
+    (FunctionIdentifier("token_span_hashes"),
+      info("token_span_hashes",
+        "token_span_hashes(tokens, w) - distinct rolling w-token span hashes (dedup shingle/span kernel)"),
+      two("token_span_hashes") { (tokens, w) =>
+        val wv = w match {
+          case Literal(v: Int, _) => v
+          case other => sys.error(
+            s"token_span_hashes(tokens, w): w must be an int literal, got $other")
+        }
+        graft.functions.TokenSpanHashes(tokens, wv)
       }),
 
     (FunctionIdentifier("render_template"),

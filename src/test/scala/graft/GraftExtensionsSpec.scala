@@ -47,6 +47,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rows.toSeq === Seq("a b", "b c"))
   }
 
+  test("str_poly_hash + token_span_hashes from SQL match the dedup kernels") {
+    val h = sql("SELECT str_poly_hash('abc')").head().getLong(0)
+    assert(h === (("a".head.toLong * 31 + 'b'.toLong) * 31 + 'c'.toLong) % 1000000007L)
+    // spans of ['ab','cd','ab','cd'] with w=2: distinct {h(ab,cd), h(cd,ab)}
+    val spans = sql(
+      "SELECT token_span_hashes(array('ab','cd','ab','cd'), 2)")
+      .head().getSeq[Long](0)
+    def sh(s: String) = s.getBytes.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    val expect = Seq((sh("ab") * 8191 + sh("cd")) % 1000000007L,
+      (sh("cd") * 8191 + sh("ab")) % 1000000007L)
+    assert(spans == expect)
+    // analyzer inserts casts / rejects bad types cleanly
+    intercept[Exception](sql("SELECT token_span_hashes('notanarray', 2)").collect())
+  }
+
   test("render_template from SQL renders a route payload") {
     val out = sql(
       """SELECT render_template(named_struct('ItemID', 7L), '{"id":{{ .ItemID }}}')""")
