@@ -79,6 +79,16 @@ object DedupQueries extends QueryGroup {
       a.join(b, col("h") === col("h2") && col("d1") < col("d2") &&
           least(col("n1"), col("n2")) * 100000L >=
             greatest(col("n1"), col("n2")) * 29995L)
+        // The pair aggregation is this suite's LARGEST exchange (~5.4M
+        // probe rows → ~1.4M distinct pairs at sf0.1) — size it to the
+        // executor cores (defaultParallelism, the Tables.spread
+        // convention) instead of the session's small-query shuffle
+        // width. Measured single-session alternating A/B: ~25% faster
+        // than the 4-partition bench default; the explicit hash
+        // partitioning on (d1, d2) also satisfies the aggregation's
+        // required distribution, so no second exchange exists.
+        .select(col("d1"), col("d2"), col("n1"), col("n2"))
+        .repartition(s.sparkContext.defaultParallelism, col("d1"), col("d2"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("inter"),
           first(col("n1")).as("n1"), first(col("n2")).as("n2"))
