@@ -172,6 +172,33 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination through the BLOOM-PREFILTERED semi join
+    // (SketchFilter.bloomSemi) — same answer as q70 by construction (no
+    // false negatives; false positives die in the exact semi join), but
+    // the 100 TB path: eval spans that cannot hit train are dropped by
+    // a codegen sketch probe BEFORE the semi join's shuffle, so the
+    // shuffled eval volume shrinks to ~the contamination rate. The
+    // oracle is q70's oracle verbatim — one physical plan swap, zero
+    // semantic drift, hash-checked.
+    "q76_decontamination_bloom" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val trainH = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 =!= 7), 5)
+        .select(col("h").as("th_")).distinct()
+        .localCheckpoint(eager = true)
+      val evalSpans = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 === 7), 5)
+        .localCheckpoint(eager = true)
+      val hits = graft.operators.SketchFilter.bloomSemi(
+          evalSpans, "h", trainH, "th_", expectedItems = 4000000L)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      evalSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          ratio1e4(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_spans").cast("double")).as("contam_1e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end dedup resolution — the pipeline's final verdict: every
     // doc in the near-dup graph gets its duplicate-cluster label and a
     // keep/drop decision (representative = cluster-min doc_id). Composes
@@ -307,25 +334,11 @@ object DedupQueries extends QueryGroup {
          |               CAST(floor(inter * 1.0 / z2.n * 10000 + 0.5) AS BIGINT)) >= 5000
          |ORDER BY d1, d2""".stripMargin,
 
-    "q70_decontamination" ->
-      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |                                      x -> x <> '') AS toks
-         |           FROM documents),
-         |hh AS (SELECT doc_id, list_transform(toks, w -> $strHashSql) AS th
-         |       FROM t),
-         |sp AS (SELECT DISTINCT doc_id,
-         |         list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
-         |       FROM hh, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
-         |train AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 <> 7),
-         |ev AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 = 7),
-         |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM ev
-         |         WHERE h IN (SELECT h FROM train) GROUP BY 1),
-         |pd AS (SELECT doc_id, COUNT(*) AS n_spans FROM ev GROUP BY 1)
-         |SELECT pd.doc_id, pd.n_spans,
-         |       COALESCE(hits.n_contaminated, 0) AS n_contaminated,
-         |       CAST(floor(COALESCE(hits.n_contaminated, 0) * 1.0 / pd.n_spans * 10000 + 0.5) AS BIGINT) AS contam_1e4
-         |FROM pd LEFT JOIN hits ON pd.doc_id = hits.doc_id
-         |ORDER BY pd.doc_id""".stripMargin,
+    // q76 is the same CONTRACT as q70 through a different physical plan
+    // (bloom-prefiltered semi join) — identical oracle by design.
+    "q76_decontamination_bloom" -> decontaminationSql,
+
+    "q70_decontamination" -> decontaminationSql,
 
     "q69_dedup_resolution" ->
       s"""WITH RECURSIVE $lshCtes,
@@ -394,4 +407,26 @@ object DedupQueries extends QueryGroup {
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bb GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared by q70 (plain semi join) and q76 (bloom-prefiltered semi
+    * join) — identical contract, different physical plan. */
+  private lazy val decontaminationSql: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                                      x -> x <> '') AS toks
+       |           FROM documents),
+       |hh AS (SELECT doc_id, list_transform(toks, w -> $strHashSql) AS th
+       |       FROM t),
+       |sp AS (SELECT DISTINCT doc_id,
+       |         list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+       |       FROM hh, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+       |train AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 <> 7),
+       |ev AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 = 7),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM ev
+       |         WHERE h IN (SELECT h FROM train) GROUP BY 1),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_spans FROM ev GROUP BY 1)
+       |SELECT pd.doc_id, pd.n_spans,
+       |       COALESCE(hits.n_contaminated, 0) AS n_contaminated,
+       |       CAST(floor(COALESCE(hits.n_contaminated, 0) * 1.0 / pd.n_spans * 10000 + 0.5) AS BIGINT) AS contam_1e4
+       |FROM pd LEFT JOIN hits ON pd.doc_id = hits.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
 }

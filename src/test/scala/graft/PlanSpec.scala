@@ -90,6 +90,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q76 bloom prefilter fuses into the scan side of the exact semi join") {
+    val p = plan("q76_decontamination_bloom")
+    // the sketch probe is the codegen might_contain predicate, and the
+    // exact semi join still runs after it (exactness guarantee)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q67 k-means assignment aggregates, never window-sorts the expansion") {
     val plan = SparkEntry.queries("q67_kmeans_step")(spark, sf001)
       .queryExecution.executedPlan

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SketchFilterSpec extends SparkTestBase {
+
+  test("bloomSemi is bit-identical to a plain left-semi join") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 5000L).map(i => (i, i * 7919L % 1000L)).toDF("id", "k")
+    val right = (0L to 999L by 3L).toDF("rk")
+    val exact = left.join(right, col("k") === col("rk"), "leftsemi")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val bloom = SketchFilter.bloomSemi(left, "k", right, "rk", expectedItems = 1000L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("empty build side yields an empty semi join") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(1L, 2L).toDF("k")
+    val right = Seq.empty[Long].toDF("rk")
+    assert(SketchFilter.bloomSemi(left, "k", right, "rk", 10L).count() == 0)
+  }
+
+  test("the prefilter predicate is the codegen might_contain, not a UDF") {
+    val s = spark
+    import s.implicits._
+    // spark.range, not a LocalRelation: the optimizer eagerly evaluates
+    // filters over local tables, which would erase the predicate
+    val left = spark.range(1, 101).select(col("id").as("k"))
+    val right = Seq(3L, 5L).toDF("rk")
+    val plan = SketchFilter.bloomSemi(left, "k", right, "rk", 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+  }
+}
