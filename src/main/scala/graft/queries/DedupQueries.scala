@@ -179,7 +179,14 @@ object DedupQueries extends QueryGroup {
     // a codegen sketch probe BEFORE the semi join's shuffle, so the
     // shuffled eval volume shrinks to ~the contamination rate. The
     // oracle is q70's oracle verbatim — one physical plan swap, zero
-    // semantic drift, hash-checked.
+    // semantic drift, hash-checked. Like packSharded vs pack, the scale
+    // path costs MORE at bench scale (measured +35% over q70 same
+    // session: the sketch-build pass over train dominates when the
+    // whole semi join is half a second) — the win is proportional to
+    // probe-side shuffle volume, which is the 100 TB term. Sketch
+    // intentionally undersized (1M/2% for ~2.4M keys at sf0.1): an
+    // undersized Bloom filter only degrades prune selectivity, never
+    // correctness, and stays ~1 MB in the task binaries.
     "q76_decontamination_bloom" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
       val trainH = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 =!= 7), 5)
@@ -188,7 +195,7 @@ object DedupQueries extends QueryGroup {
       val evalSpans = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 === 7), 5)
         .localCheckpoint(eager = true)
       val hits = graft.operators.SketchFilter.bloomSemi(
-          evalSpans, "h", trainH, "th_", expectedItems = 4000000L)
+          evalSpans, "h", trainH, "th_", expectedItems = 1000000L, fpp = 0.02)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
       evalSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
         .join(hits, Seq("doc_id"), "left")
