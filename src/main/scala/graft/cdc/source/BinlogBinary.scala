@@ -126,7 +126,21 @@ object BinlogBinary {
     * `default: continue`. Rows events whose TABLE_MAP carried no
     * COLUMN_NAME metadata are skipped, mirroring the reference's skip of
     * tables absent from its column map (blreaderwork.go:249-251). */
-  def decodeFile(bytes: Array[Byte], fileName: String): Vector[FeedEvent] = {
+  def decodeFile(bytes: Array[Byte], fileName: String): Vector[FeedEvent] =
+    try decodeFile0(bytes, fileName)
+    catch {
+      // malformed length fields walk a cursor out of bounds before a
+      // structural require can fire — surface ONE error type so callers
+      // (and the feed's torn-tail fallback) have a stable contract
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"$fileName: malformed binlog structure (${e.getMessage})", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException(
+          s"$fileName: malformed binlog length field (${e.getMessage})", e)
+    }
+
+  private def decodeFile0(bytes: Array[Byte], fileName: String): Vector[FeedEvent] = {
     require(bytes.length >= 4 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
       bytes(2) == Magic(2) && bytes(3) == Magic(3),
       s"$fileName: not a binlog file (bad magic)")

@@ -266,6 +266,30 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(BinlogBinary.versionAtLeast561("10.11.6-MariaDB"))
   }
 
+  test("malformed bytes never escape as raw index errors (fuzz)") {
+    val good = standardFile(false) // no CRC: corruption must be caught structurally
+    val rnd = new scala.util.Random(42)
+    var decoded = 0
+    for (i <- 1 to 300) {
+      val mutated = rnd.nextInt(3) match {
+        case 0 => good.take(4 + rnd.nextInt(good.length - 4)) // truncation
+        case 1 => // byte flip
+          val b = good.clone(); val p = 4 + rnd.nextInt(b.length - 4)
+          b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte; b
+        case 2 => // random garbage after the magic
+          BinlogBinary.Magic ++ Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      }
+      try { BinlogBinary.decodeFile(mutated, "fuzz"); decoded += 1 }
+      catch {
+        case _: IllegalArgumentException => // the ONE allowed failure mode
+        case e: Throwable => fail(s"iteration $i leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // some mutations decode (flips in string payloads etc.) — both
+    // outcomes are fine; what's pinned is the absence of raw errors
+    assert(decoded >= 0)
+  }
+
   test("BinlogFileFeed: segments, extent, slice reads") {
     val dir = Files.createTempDirectory("binfeed")
     Files.write(dir.resolve("mysql-bin.000001.binlog"), standardFile(true))
