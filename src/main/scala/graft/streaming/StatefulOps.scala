@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Custom-state streaming operators (SURVEY.md B26 widened): explicit
@@ -22,6 +22,67 @@ object StatefulOps {
 
   case class ClosedSession(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Long)
+
+  /** The Spark-4-native form of the sessionizer on the
+    * `transformWithState` StatefulProcessor API (the successor to
+    * flatMapGroupsWithState: typed per-key state handles + explicit
+    * event-time TIMERS instead of a single timeout slot; requires the
+    * RocksDB state store provider). Same interval-merge algebra and the
+    * same emit-on-close contract as [[sessionize]] — the spec asserts
+    * both implementations produce identical sessions. */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val prev = if (session.exists()) Some(session.get()) else None
+      val intervals =
+        (prev.toSeq ++ rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+          .sortBy(s => (s.start, s.last))
+      val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, iv) =>
+        acc match {
+          case h :: tail if iv.start - h.last <= gapMs =>
+            SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: tail
+          case _ => iv :: acc
+        }
+      }
+      val open = merged.head
+      // one live timer per key: drop the previous close deadline
+      prev.foreach(s => getHandle.deleteTimer(s.last + gapMs))
+      session.update(open)
+      getHandle.registerTimer(open.last + gapMs)
+      merged.tail.reverseIterator.map(s =>
+        ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!session.exists()) return Iterator.empty
+      val s = session.get()
+      if (info.getExpiryTimeInMs() >= s.last + gapMs) {
+        session.clear()
+        Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      } else Iterator.empty // stale timer from before the session extended
+    }
+  }
+
+  /** [[sessionize]] on the transformWithState API — identical contract,
+    * Spark-4-native state/timer machinery. */
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long, watermarkDelay: String): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Sessionize an event stream with an explicit gap: a session closes
     * when no event arrives for `gapMs` (enforced by event-time timeout

@@ -117,6 +117,44 @@ class StreamingSpec extends SparkTestBase {
       s"second session must close on event-time timeout: $got")
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.Event]
+      val sessions = StatefulOps.sessionizeTws(
+        spark, in.toDS(), gapMs = 30L * 60 * 1000, watermarkDelay = "10 minutes")
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("tws").start()
+      in.addData(StatefulOps.Event(1L, ts(0)), StatefulOps.Event(1L, ts(20)))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Event(1L, Timestamp.valueOf("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Event(9L, Timestamp.valueOf("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      in.addData(StatefulOps.Event(9L, Timestamp.valueOf("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws").filter(col("user_id") === 1L)
+        .select("start", "end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+      // identical sessions to the flatMapGroupsWithState form's contract
+      assert(got.contains((ts(0), ts(20), 2L)), s"gap close: $got")
+      assert(got.contains((Timestamp.valueOf("2024-01-01 11:30:00"),
+        Timestamp.valueOf("2024-01-01 11:30:00"), 1L)), s"timer close: $got")
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B27: dropDuplicatesWithinWatermark dedups replayed event ids") {
     val s = spark
     import s.implicits._
