@@ -113,6 +113,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TokenSpanHashes kernel equals the interpreted HOF chain for arbitrary tokens") {
+    import spark.implicits._
+    val P = 1000000007L
+    val tokenGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    // include repeats so the distinct path is actually exercised
+    val docGen = Gen.listOfN(30, Gen.frequency(
+      (3, tokenGen), (2, Gen.oneOf("aa", "bb", "cc"))))
+    for (w <- Seq(1, 2, 5)) {
+      cases(Gen.listOfN(8, docGen), 2) { docs =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val toks = graft.operators.TextDedup.toks(col("text"))
+        val th = transform(toks, t => graft.operators.TextDedup.strHash(t))
+        val hof = df.select(col("doc_id"),
+          when(size(th) >= w,
+            array_distinct(transform(sequence(lit(0), size(th) - w),
+              i => aggregate(slice(th, i + 1, lit(w)), lit(0L),
+                (a, x) => (a * 8191L + x) % P))))
+            .otherwise(array().cast("array<bigint>")).as("hs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val kernel = df.select(col("doc_id"),
+          graft.functions.TokenSpanHashes.tokenSpanHashes(toks, w).as("hs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(kernel === hof, s"w=$w")
+      }
+    }
+  }
+
   test("sequence packing: bins are contiguous and overflow by at most one doc") {
     import spark.implicits._
     val budget = 64L
