@@ -127,78 +127,114 @@ object BinlogBinary {
     * COLUMN_NAME metadata are skipped, mirroring the reference's skip of
     * tables absent from its column map (blreaderwork.go:249-251). */
   def decodeFile(bytes: Array[Byte], fileName: String): Vector[FeedEvent] =
-    try decodeFile0(bytes, fileName)
-    catch {
-      // malformed length fields walk a cursor out of bounds before a
-      // structural require can fire — surface ONE error type so callers
-      // (and the feed's torn-tail fallback) have a stable contract
-      case e: IndexOutOfBoundsException =>
-        throw new IllegalArgumentException(
-          s"$fileName: malformed binlog structure (${e.getMessage})", e)
-      case e: NegativeArraySizeException =>
-        throw new IllegalArgumentException(
-          s"$fileName: malformed binlog length field (${e.getMessage})", e)
-    }
+    new StreamDecoder(fileName).feed(bytes, strict = true)
 
-  private def decodeFile0(bytes: Array[Byte], fileName: String): Vector[FeedEvent] = {
-    require(bytes.length >= 4 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
-      bytes(2) == Magic(2) && bytes(3) == Magic(3),
-      s"$fileName: not a binlog file (bad magic)")
-    val out = Vector.newBuilder[FeedEvent]
-    val tables = scala.collection.mutable.Map[Long, TableDef]()
-    var checksummed = false
-    var pos = 4
-    while (pos + HeaderLen <= bytes.length) {
-      val h = new Cursor(bytes, pos, pos + HeaderLen)
-      h.u32() // timestamp
-      val evType = h.u8()
-      h.u32() // server id
-      val evSize = h.u32().toInt
-      val logPos = h.u32()
-      h.u16() // flags
-      require(evSize >= HeaderLen && pos + evSize <= bytes.length,
-        s"$fileName: truncated event at offset $pos (size $evSize)")
-      // FORMAT_DESCRIPTION declares whether a CRC32 trailer follows every
-      // event INCLUDING itself, so peek its algorithm byte first.
-      var bodyEnd = pos + evSize
-      if (evType == FORMAT_DESCRIPTION_EVENT) {
-        val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
-        val binlogVersion = c.u16()
-        require(binlogVersion == 4, s"$fileName: unsupported binlog version $binlogVersion")
-        val serverVersion = c.str(50).takeWhile(_ != 0)
-        if (versionAtLeast561(serverVersion)) {
-          val alg = bytes(bodyEnd - 5) & 0xff
-          require(alg == 0 || alg == 1,
-            s"$fileName: unknown checksum algorithm $alg")
-          checksummed = alg == 1
+  /** RESUMABLE decoder for an append-only binlog file: carries the
+    * cross-event state (checksum mode from the FDE, the TABLE_MAP
+    * registry, the consumed-byte offset) between calls, so a tailing
+    * feed decodes only the APPENDED bytes of a growing file instead of
+    * re-parsing from the magic every poll. `strict = true` (whole-file
+    * mode) throws on a torn trailing event; `strict = false` (tail
+    * mode) leaves the partial event for the next call. Structural
+    * corruption — bad magic, CRC mismatch, malformed lengths — throws
+    * in BOTH modes: a torn tail is normal for a live file, a failed
+    * checksum never is. */
+  final class StreamDecoder(fileName: String) {
+    private val tables = scala.collection.mutable.Map[Long, TableDef]()
+    private var checksummed = false
+    private var magicSeen = false
+    private var pos = 0
+
+    /** Bytes fully consumed so far (magic + complete events). */
+    def bytesDone: Int = pos
+
+    /** Decode complete events from the FULL current file contents,
+      * resuming after the bytes consumed by previous calls. */
+    def feed(bytes: Array[Byte], strict: Boolean): Vector[FeedEvent] =
+      try feed0(bytes, strict)
+      catch {
+        // malformed length fields walk a cursor out of bounds before a
+        // structural require can fire — surface ONE error type so
+        // callers (and the feed's torn-tail fallback) have a stable
+        // contract
+        case e: IndexOutOfBoundsException =>
+          throw new IllegalArgumentException(
+            s"$fileName: malformed binlog structure (${e.getMessage})", e)
+        case e: NegativeArraySizeException =>
+          throw new IllegalArgumentException(
+            s"$fileName: malformed binlog length field (${e.getMessage})", e)
+      }
+
+    private def feed0(bytes: Array[Byte], strict: Boolean): Vector[FeedEvent] = {
+      if (!magicSeen) {
+        require(bytes.length >= 4 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+          bytes(2) == Magic(2) && bytes(3) == Magic(3),
+          s"$fileName: not a binlog file (bad magic)")
+        magicSeen = true
+        pos = 4
+      }
+      val out = Vector.newBuilder[FeedEvent]
+      while (pos + HeaderLen <= bytes.length && {
+        // peek the size before committing to this event
+        val h = new Cursor(bytes, pos, pos + HeaderLen)
+        h.u32(); h.u8(); h.u32()
+        val evSize = h.u32().toInt
+        require(evSize >= HeaderLen, s"$fileName: bad event size $evSize at offset $pos")
+        if (pos + evSize > bytes.length) {
+          if (strict) throw new IllegalArgumentException(
+            s"$fileName: truncated event at offset $pos (size $evSize)")
+          false // torn tail: wait for more bytes
+        } else true
+      }) {
+        val h = new Cursor(bytes, pos, pos + HeaderLen)
+        h.u32() // timestamp
+        val evType = h.u8()
+        h.u32() // server id
+        val evSize = h.u32().toInt
+        val logPos = h.u32()
+        h.u16() // flags
+        // FORMAT_DESCRIPTION declares whether a CRC32 trailer follows
+        // every event INCLUDING itself, so peek its algorithm byte first.
+        var bodyEnd = pos + evSize
+        if (evType == FORMAT_DESCRIPTION_EVENT) {
+          val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
+          val binlogVersion = c.u16()
+          require(binlogVersion == 4, s"$fileName: unsupported binlog version $binlogVersion")
+          val serverVersion = c.str(50).takeWhile(_ != 0)
+          if (versionAtLeast561(serverVersion)) {
+            val alg = bytes(bodyEnd - 5) & 0xff
+            require(alg == 0 || alg == 1,
+              s"$fileName: unknown checksum algorithm $alg")
+            checksummed = alg == 1
+          }
         }
+        if (checksummed) {
+          bodyEnd -= 4
+          val crc = new CRC32()
+          crc.update(bytes, pos, evSize - 4)
+          val stored = new Cursor(bytes, bodyEnd, bodyEnd + 4).u32()
+          require(crc.getValue == stored,
+            s"$fileName: CRC32 mismatch on ${eventTypeName(evType)} at offset $pos")
+        }
+        val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
+        evType match {
+          case ROTATE_EVENT =>
+            val nextPos = c.i64()
+            val nextName = c.str(c.remaining)
+            out += FeedEvent(eventTypeName(evType), nextName, nextPos,
+              null, null, null, null)
+          case TABLE_MAP_EVENT =>
+            val (tid, td) = decodeTableMap(c)
+            tables(tid) = td
+          case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 |
+              WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+            decodeRows(c, evType, tables, fileName, logPos).foreach(out += _)
+          case _ => // FORMAT_DESCRIPTION / QUERY / XID / …: no feed event
+        }
+        pos += evSize
       }
-      if (checksummed) {
-        bodyEnd -= 4
-        val crc = new CRC32()
-        crc.update(bytes, pos, evSize - 4)
-        val stored = new Cursor(bytes, bodyEnd, bodyEnd + 4).u32()
-        require(crc.getValue == stored,
-          s"$fileName: CRC32 mismatch on ${eventTypeName(evType)} at offset $pos")
-      }
-      val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
-      evType match {
-        case ROTATE_EVENT =>
-          val nextPos = c.i64()
-          val nextName = c.str(c.remaining)
-          out += FeedEvent(eventTypeName(evType), nextName, nextPos,
-            null, null, null, null)
-        case TABLE_MAP_EVENT =>
-          val (tid, td) = decodeTableMap(c)
-          tables(tid) = td
-        case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 |
-            WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
-          decodeRows(c, evType, tables, fileName, logPos).foreach(out += _)
-        case _ => // FORMAT_DESCRIPTION / QUERY / XID / …: no feed event
-      }
-      pos += evSize
+      out.result()
     }
-    out.result()
   }
 
   /** TABLE_MAP: identity, column types, per-type metadata, and (MySQL 8)

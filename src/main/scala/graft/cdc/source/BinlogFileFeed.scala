@@ -13,11 +13,14 @@ import scala.jdk.CollectionConverters._
   * feed through the unchanged DSv2 machinery.
   *
   * Binlog files are append-only (MySQL appends events, then rotates), so
-  * event indexes are stable; the decode of a (name, size) snapshot is
-  * cached per JVM and refreshed only when the file grows — a poll of an
-  * unchanged file costs a stat, not a re-parse. A torn tail (partially
-  * appended event) fails decode; the cache then serves the last complete
-  * snapshot, mirroring the replay feed's torn-line discard.
+  * event indexes are stable; decode state is cached per JVM behind a
+  * RESUMABLE decoder — a poll of an unchanged file costs a stat, and a
+  * poll of a grown file decodes only the appended bytes (the decoder
+  * carries the TABLE_MAP/checksum state across calls), so tailing cost
+  * is O(new events), never O(file). A torn tail (partially appended
+  * event) simply waits for the next poll, mirroring the replay feed's
+  * torn-line discard; structural corruption (CRC mismatch) still fails
+  * loudly.
   */
 final class BinlogFileFeed(path: String) extends EventFeed {
 
@@ -48,23 +51,31 @@ final class BinlogFileFeed(path: String) extends EventFeed {
     val p = Paths.get(path).resolve(segment)
     if (!Files.exists(p)) return Vector.empty
     val size = Files.size(p)
-    val cached = BinlogFileFeed.cache.get(p.toString)
-    if (cached != null && cached._1 == size) cached._2
-    else {
-      val events =
-        try BinlogBinary.decodeFile(Files.readAllBytes(p), segment)
-        catch {
-          case _: Exception if cached != null =>
-            // growing file with a torn tail: serve the last good snapshot
-            return cached._2
-        }
-      BinlogFileFeed.cache.put(p.toString, (size, events))
-      events
-    }
+    // compute() is atomic per key: concurrent partition readers never
+    // feed the same resumable decoder twice
+    BinlogFileFeed.cache.compute(p.toString, (_, cached) => {
+      if (cached != null && cached.size == size) cached
+      else if (cached != null && size > cached.size) {
+        // append-only growth: decode ONLY the new bytes — the resumable
+        // decoder carries the TABLE_MAP/checksum state and byte offset,
+        // so a tailing poll is O(appended), not O(file). Tail mode: a
+        // torn trailing event waits for the next poll (no error).
+        val more = cached.decoder.feed(Files.readAllBytes(p), strict = false)
+        BinlogFileFeed.Entry(size, cached.decoder, cached.events ++ more)
+      } else {
+        // new file, or a shrunk/rewritten one: fresh decoder
+        val d = new BinlogBinary.StreamDecoder(segment)
+        val events = d.feed(Files.readAllBytes(p), strict = false)
+        BinlogFileFeed.Entry(size, d, events)
+      }
+    }).events
   }
 }
 
 object BinlogFileFeed {
-  /** (absolute path) → (file size at decode, decoded events). */
-  private val cache = new ConcurrentHashMap[String, (Long, Vector[FeedEvent])]()
+  private case class Entry(size: Long,
+      decoder: BinlogBinary.StreamDecoder, events: Vector[FeedEvent])
+
+  /** (absolute path) → resumable decode state + events so far. */
+  private val cache = new ConcurrentHashMap[String, Entry]()
 }

@@ -290,6 +290,27 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(decoded >= 0)
   }
 
+  test("BinlogFileFeed tails a growing file incrementally, torn tail waits") {
+    val dir = Files.createTempDirectory("binfeed-grow")
+    val full = standardFile(true)
+    val feed = new BinlogFileFeed(dir.toString)
+    val seg = "mysql-bin.000001.binlog"
+    // write a prefix ending mid-event (torn tail): decode must serve the
+    // complete prefix events without error
+    Files.write(dir.resolve(seg), full.take(full.length - 7))
+    val n1 = feed.extent(seg)
+    assert(n1 >= 1 && n1 < 4, s"prefix should yield a strict subset, got $n1")
+    // append the rest: ONLY the new bytes decode (resumable decoder) and
+    // the tail events appear in order
+    Files.write(dir.resolve(seg), full)
+    assert(feed.extent(seg) == 4L)
+    val r = feed.open(seg, 0L, 4L)
+    val got = Iterator.continually(if (r.next()) Some(r.get()) else None)
+      .takeWhile(_.isDefined).flatten.toVector
+    assert(got.map(_.eventType) == Vector("WriteRowsEventV2",
+      "UpdateRowsEventV2", "DeleteRowsEventV2", "RotateEvent"))
+  }
+
   test("BinlogFileFeed: segments, extent, slice reads") {
     val dir = Files.createTempDirectory("binfeed")
     Files.write(dir.resolve("mysql-bin.000001.binlog"), standardFile(true))
