@@ -13,11 +13,13 @@ import java.util.zip.CRC32
   * Scope: FORMAT_DESCRIPTION (checksum negotiation), ROTATE, TABLE_MAP
   * (including the MySQL 8 optional-metadata COLUMN_NAME TLV — the
   * offline source of column names; the reference queries a live server's
-  * information_schema instead), and ROWS v1/v2 with the common column
-  * types (integers, float/double, year, varchar/var_string, char ≤ 255,
-  * blob/text, datetime2). Unknown critical structure throws — never a
-  * silent wrong decode. CRC32 trailers (checksum algorithm 1) are
-  * verified, not just skipped.
+  * information_schema instead), and ROWS v1/v2 with the full column-type
+  * surface go-mysql passes through (SURVEY §1.2): integers, float/double,
+  * year, varchar/var_string, char ≤ 255, blob/text, datetime2, date,
+  * time2, timestamp2 (rendered UTC), bit ≤ 64, NEWDECIMAL
+  * (decimal-as-string), and binary JSON ([[BinlogJson]]). Unknown
+  * critical structure throws — never a silent wrong decode. CRC32
+  * trailers (checksum algorithm 1) are verified, not just skipped.
   *
   * Event naming matches the replication library the reference logs
   * through ("WriteRowsEventV2", "RotateEvent", …) so decoded events are
@@ -372,17 +374,131 @@ object BinlogBinary {
       val hour = ((packed >> 12) & 0x1f).toInt
       val minute = ((packed >> 6) & 0x3f).toInt
       val second = (packed & 0x3f).toInt
-      val fspBytes = (meta + 1) / 2
-      val frac = if (fspBytes > 0) c.beUint(fspBytes) else 0L
       val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
-      if (meta > 0) {
-        val micros = frac * math.pow(100, 3 - fspBytes).toLong
-        base + "." + f"$micros%06d".take(meta)
-      } else base
+      base + fracSuffix(c, meta)
+    case T_DATE =>
+      // 3 bytes little-endian: 5 day + 4 month + 15 year bits
+      val v = c.u24()
+      f"${v >> 9}%04d-${(v >> 5) & 0x0f}%02d-${v & 0x1f}%02d"
+    case T_TIME2 =>
+      // TIME2 packs sign(1) + pad(1) + hour(10) + minute(6) + second(6)
+      // into 3 BE bytes stored as value + 0x800000 (so the byte order
+      // sorts); 5/6-digit fractions widen the offset to 6 bytes. A
+      // negative time with a fraction borrows one integer unit (the
+      // stored fraction is an unsigned complement).
+      val fspBytes = (meta + 1) / 2
+      var micros = 0L
+      var tmp = fspBytes match {
+        case 0 => (c.beUint(3) - 0x800000L) << 24
+        case 3 => c.beUint(6) - 0x800000000000L
+        case n => // 1 or 2 frac bytes ride outside the packed int
+          var intPart = c.beUint(3) - 0x800000L
+          var frac = c.beUint(n)
+          if (intPart < 0 && frac != 0) { intPart += 1; frac -= (1L << (8 * n)) }
+          (intPart << 24) + frac * (if (n == 1) 10000L else 100L)
+      }
+      val sign = if (tmp < 0) { tmp = -tmp; "-" } else ""
+      micros = tmp & 0xffffff
+      val hms = tmp >> 24
+      val base = f"$sign${(hms >> 12) & 0x3ff}%02d:${(hms >> 6) & 0x3f}%02d:${hms & 0x3f}%02d"
+      if (meta > 0) base + "." + f"$micros%06d".take(meta) else base
+    case T_TIMESTAMP2 =>
+      // 4 BE bytes of epoch seconds + datetime2-style fraction. Rendered
+      // in UTC — the feed's pass-through contract is timezone-free (the
+      // reference renders through go-mysql in the connection's location;
+      // UTC is the deterministic choice for a distributed decode).
+      val secs = c.beUint(4)
+      val frac = fracSuffix(c, meta)
+      val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+      f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
+        f"${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d" + frac
+    case T_BIT =>
+      // metadata = (bits % 8) | ((bits / 8) << 8); value is big-endian in
+      // ceil(bits / 8) bytes. Rendered as the unsigned integer (up to
+      // BIT(64), the MySQL maximum).
+      val nbits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
+      require(nbits >= 1 && nbits <= 64, s"bad BIT width $nbits")
+      java.lang.Long.toUnsignedString(c.beUint((nbits + 7) / 8))
+    case T_NEWDECIMAL =>
+      decodeDecimal(c, precision = meta & 0xff, scale = (meta >> 8) & 0xff)
+    case T_JSON =>
+      // meta = byte width of the length prefix (MySQL writes 4)
+      val len = (meta match {
+        case 1 => c.u8().toLong
+        case 2 => c.u16().toLong
+        case 3 => c.u24().toLong
+        case 4 => c.u32()
+        case n => throw new IllegalArgumentException(s"bad JSON meta $n")
+      }).toInt
+      BinlogJson.decode(c.bytes(len))
     case T_NULL => null
     case other =>
       throw new IllegalArgumentException(
         s"unsupported column type $other in rows event")
+  }
+
+  /** datetime2/timestamp2 fractional seconds: ceil(fsp/2) BE bytes
+    * holding the fraction in units of 10^(6 − 2·bytes) micros. */
+  private def fracSuffix(c: Cursor, fsp: Int): String = {
+    if (fsp == 0) return ""
+    val fspBytes = (fsp + 1) / 2
+    val micros = c.beUint(fspBytes) * math.pow(100, 3 - fspBytes).toLong
+    "." + f"$micros%06d".take(fsp)
+  }
+
+  /** Digits-per-byte-group table for the NEWDECIMAL base-10^9 packing:
+    * leftover digit counts 0–9 → bytes needed. */
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  private[cdc] def decimalBinSize(precision: Int, scale: Int): Int = {
+    val intg = precision - scale
+    (intg / 9) * 4 + Dig2Bytes(intg % 9) + (scale / 9) * 4 + Dig2Bytes(scale % 9)
+  }
+
+  /** NEWDECIMAL wire form → decimal string (go-mysql renders decimals as
+    * strings too — SURVEY §1.2 pass-through contract). Digits pack
+    * big-endian in base-10^9 groups of 4 bytes with shorter head/tail
+    * groups; the sign rides in the first byte's MSB (flipped for
+    * positive, whole buffer complemented for negative). */
+  private def decodeDecimal(c: Cursor, precision: Int, scale: Int): String = {
+    require(precision >= 1 && precision <= 65 && scale >= 0 && scale <= precision,
+      s"bad NEWDECIMAL precision/scale $precision/$scale")
+    val raw = c.bytes(decimalBinSize(precision, scale))
+    val negative = (raw(0) & 0x80) == 0
+    raw(0) = (raw(0) ^ 0x80).toByte
+    if (negative) { var i = 0; while (i < raw.length) { raw(i) = (~raw(i)).toByte; i += 1 } }
+    var p = 0
+    def group(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (raw(p + i) & 0xffL); i += 1 }
+      p += n; v
+    }
+    val intg = precision - scale
+    val sb = new java.lang.StringBuilder
+    if (negative) sb.append('-')
+    var started = false
+    if (intg % 9 > 0) {
+      val v = group(Dig2Bytes(intg % 9))
+      if (v != 0) { sb.append(v); started = true }
+    }
+    var g = 0
+    while (g < intg / 9) {
+      val v = group(4)
+      if (started) sb.append(f"$v%09d")
+      else if (v != 0) { sb.append(v); started = true }
+      g += 1
+    }
+    if (!started) sb.append('0')
+    if (scale > 0) {
+      sb.append('.')
+      g = 0
+      while (g < scale / 9) { sb.append(f"${group(4)}%09d"); g += 1 }
+      if (scale % 9 > 0) {
+        val digits = scale % 9
+        sb.append(("%0" + digits + "d").format(group(Dig2Bytes(digits))))
+      }
+    }
+    sb.toString
   }
 
   /** Float rendering: integral values print without an exponent or

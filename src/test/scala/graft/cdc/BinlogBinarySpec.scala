@@ -20,6 +20,71 @@ object BinlogFixture {
 
   case class Col(name: String, tpe: Int, meta: Int = 0)
 
+  /** Independent encoder of MySQL's binary JSON format (small object /
+    * array variants) — laid out from the public format description, not
+    * from the decoder under test. Offsets are relative to the container
+    * body start; literal/int16/uint16 inline into the offset slot. */
+  sealed trait JsonDoc {
+    def tpe: Int
+    def body: Array[Byte]
+    final def bytes: Array[Byte] = tpe.toByte +: body
+  }
+  object JsonDoc {
+    private def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    case object JNull extends JsonDoc { val tpe = 0x04; val body = Array(0x00.toByte) }
+    case class JBool(b: Boolean) extends JsonDoc {
+      val tpe = 0x04; val body = Array((if (b) 0x01 else 0x02).toByte)
+    }
+    case class JI16(v: Short) extends JsonDoc { val tpe = 0x05; val body = le(v.toLong, 2) }
+    case class JI32(v: Int) extends JsonDoc { val tpe = 0x07; val body = le(v.toLong, 4) }
+    case class JI64(v: Long) extends JsonDoc { val tpe = 0x09; val body = le(v, 8) }
+    case class JU64(v: Long) extends JsonDoc { val tpe = 0x0a; val body = le(v, 8) }
+    case class JD(v: Double) extends JsonDoc {
+      val tpe = 0x0b; val body = le(java.lang.Double.doubleToLongBits(v), 8)
+    }
+    case class JS(s: String) extends JsonDoc {
+      val tpe = 0x0c
+      val body = {
+        val b = s.getBytes("UTF-8")
+        require(b.length < 128, "fixture strings use the 1-byte varlen form")
+        b.length.toByte +: b
+      }
+    }
+    private def inlined(v: JsonDoc): Boolean = v.tpe == 0x04 || v.tpe == 0x05 || v.tpe == 0x06
+    private def container(isObj: Boolean, keys: Seq[String], vals: Seq[JsonDoc]): Array[Byte] = {
+      val n = vals.size
+      val keyBytes = keys.map(_.getBytes("UTF-8"))
+      val header = 4 + (if (isObj) 4 * n else 0) + 3 * n
+      val keysStart = header
+      var off = keysStart + keyBytes.map(_.length).sum
+      val valueEntries = vals.map { v =>
+        if (inlined(v)) {
+          val slot = v.body.padTo(2, 0.toByte)
+          (v.tpe, (slot(0) & 0xff) | ((slot(1) & 0xff) << 8), Array.empty[Byte])
+        } else { val o = off; off += v.body.length; (v.tpe, o, v.body) }
+      }
+      val size = off
+      val out = new ByteArrayOutputStream()
+      def w(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+      w(le(n.toLong, 2)); w(le(size.toLong, 2))
+      if (isObj) {
+        var ko = keysStart
+        keyBytes.foreach { kb => w(le(ko.toLong, 2)); w(le(kb.length.toLong, 2)); ko += kb.length }
+      }
+      valueEntries.foreach { case (t, slot, _) => out.write(t); w(le(slot.toLong, 2)) }
+      keyBytes.foreach(w)
+      valueEntries.foreach { case (_, _, b) => w(b) }
+      out.toByteArray
+    }
+    case class JArr(items: JsonDoc*) extends JsonDoc {
+      val tpe = 0x02; val body = container(isObj = false, Seq.empty, items)
+    }
+    case class JObj(fields: (String, JsonDoc)*) extends JsonDoc {
+      val tpe = 0x00; val body = container(isObj = true, fields.map(_._1), fields.map(_._2))
+    }
+  }
+
   final class Builder(checksum: Boolean, serverVersion: String = "8.0.32") {
     private val out = new ByteArrayOutputStream()
     out.write(Array(0xfe, 'b', 'i', 'n').map(_.toByte), 0, 4)
@@ -66,8 +131,11 @@ object BinlogFixture {
 
     private def metaBytes(c: Col): Array[Byte] = c.tpe match {
       case BinlogBinary.T_FLOAT | BinlogBinary.T_DOUBLE |
-          BinlogBinary.T_BLOB | BinlogBinary.T_DATETIME2 => Array(c.meta.toByte)
-      case BinlogBinary.T_VARCHAR => le(c.meta.toLong, 2)
+          BinlogBinary.T_BLOB | BinlogBinary.T_DATETIME2 |
+          BinlogBinary.T_TIMESTAMP2 | BinlogBinary.T_TIME2 |
+          BinlogBinary.T_JSON => Array(c.meta.toByte)
+      case BinlogBinary.T_VARCHAR | BinlogBinary.T_NEWDECIMAL |
+          BinlogBinary.T_BIT => le(c.meta.toLong, 2)
       case BinlogBinary.T_STRING => Array(BinlogBinary.T_STRING.toByte, c.meta.toByte)
       case _ => Array.empty
     }
@@ -125,7 +193,74 @@ object BinlogFixture {
         val fval = if (frac.isEmpty) 0L
           else frac.drop(1).padTo(6, '0').take(2 * fspBytes).toLong
         be(packed, 5) ++ (if (fspBytes > 0) be(fval, fspBytes) else Array.empty[Byte])
+      case (BinlogBinary.T_DATE, s: String) =>
+        val Array(y, m, d) = s.split('-').map(_.toInt)
+        le((y.toLong << 9) | (m.toLong << 5) | d.toLong, 3)
+      case (BinlogBinary.T_TIMESTAMP2, s: String) =>
+        // "epochSeconds[.micros]" — 4 BE bytes + datetime2-style fraction
+        val (sec, frac) = s.span(_ != '.')
+        val fspBytes = (c.meta + 1) / 2
+        val fval = if (frac.isEmpty) 0L
+          else frac.drop(1).padTo(6, '0').take(2 * fspBytes).toLong
+        be(sec.toLong, 4) ++ (if (fspBytes > 0) be(fval, fspBytes) else Array.empty[Byte])
+      case (BinlogBinary.T_TIME2, s: String) =>
+        // "[-]HH:MM:SS[.micros]" with meta = fsp
+        val neg = s.startsWith("-")
+        val (hms0, frac) = s.stripPrefix("-").span(_ != '.')
+        val Array(hh, mi, ss) = hms0.split(':').map(_.toInt)
+        val hms = (hh.toLong << 12) | (mi.toLong << 6) | ss.toLong
+        val micros = if (frac.isEmpty) 0L else frac.drop(1).padTo(6, '0').toLong
+        val fspBytes = (c.meta + 1) / 2
+        fspBytes match {
+          case 0 =>
+            be((if (neg) -hms else hms) + 0x800000L, 3)
+          case 3 =>
+            val tmp = (hms << 24) | micros
+            be((if (neg) -tmp else tmp) + 0x800000000000L, 6)
+          case n => // 1 or 2 frac bytes, units of 10^4 / 10^2 micros
+            val unit = if (n == 1) 10000L else 100L
+            val units = micros / unit
+            require(micros % unit == 0, s"fixture time fraction $micros not encodable at fsp ${c.meta}")
+            if (!neg) be(hms + 0x800000L, 3) ++ be(units, n)
+            else if (units == 0) be(0x800000L - hms, 3) ++ be(0L, n)
+            else be(0x800000L - hms - 1, 3) ++ be((1L << (8 * n)) - units, n)
+        }
+      case (BinlogBinary.T_BIT, l: Long) =>
+        val nbits = ((c.meta >> 8) & 0xff) * 8 + (c.meta & 0xff)
+        be(l, (nbits + 7) / 8)
+      case (BinlogBinary.T_NEWDECIMAL, s: String) =>
+        encodeDecimal(s, c.meta & 0xff, (c.meta >> 8) & 0xff)
+      case (BinlogBinary.T_JSON, doc: JsonDoc) =>
+        val b = doc.bytes
+        le(b.length.toLong, c.meta) ++ b
       case other => throw new IllegalArgumentException(s"fixture can't encode $other")
+    }
+
+    /** Independent NEWDECIMAL encoder: base-10^9 big-endian groups with
+      * short head/tail groups, MSB of byte 0 flipped, whole buffer
+      * complemented when negative — laid out from the format docs. */
+    private def encodeDecimal(s: String, precision: Int, scale: Int): Array[Byte] = {
+      val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+      val neg = s.startsWith("-")
+      val (ip0, fp0) = s.stripPrefix("-").span(_ != '.')
+      val intg = precision - scale
+      val ip = (("0" * intg) + ip0).takeRight(intg)
+      val fp = (fp0.drop(1) + "0" * scale).take(scale)
+      val out = java.nio.ByteBuffer.allocate(
+        (intg / 9) * 4 + dig2bytes(intg % 9) + (scale / 9) * 4 + dig2bytes(scale % 9))
+      def put(digits: String): Unit = if (digits.nonEmpty) {
+        val v = digits.toLong
+        (0 until dig2bytes(digits.length)).reverse
+          .foreach(i => out.put(((v >>> (8 * i)) & 0xff).toByte))
+      }
+      put(ip.take(intg % 9))
+      ip.drop(intg % 9).grouped(9).foreach(put)
+      fp.take(scale / 9 * 9).grouped(9).foreach(put)
+      put(fp.drop(scale / 9 * 9))
+      val raw = out.array()
+      raw(0) = (raw(0) ^ 0x80).toByte
+      if (neg) raw.indices.foreach(i => raw(i) = (~raw(i)).toByte)
+      raw
     }
 
     /** ROWS v2 body: images is the FLAT image list (for UPDATE pass
@@ -214,6 +349,69 @@ class BinlogBinarySpec extends SparkTestBase {
       val positions = evs.take(3).map(_.binlogPosition)
       assert(positions == positions.sorted && positions.distinct == positions)
     }
+  }
+
+  test("NEWDECIMAL/DATE/TIME2/TIMESTAMP2/BIT decode (go-mysql type parity)") {
+    val cols = Seq(
+      Col("price", T_NEWDECIMAL, 10 | (2 << 8)),      // DECIMAL(10,2)
+      Col("tiny_frac", T_NEWDECIMAL, 4 | (4 << 8)),   // DECIMAL(4,4)
+      Col("huge", T_NEWDECIMAL, 30 | (10 << 8)),      // DECIMAL(30,10)
+      Col("whole", T_NEWDECIMAL, 9 | (0 << 8)),       // DECIMAL(9,0)
+      Col("d", T_DATE),
+      Col("t0", T_TIME2, 0), Col("t2", T_TIME2, 2), Col("t6", T_TIME2, 6),
+      Col("ts", T_TIMESTAMP2, 0), Col("ts3", T_TIMESTAMP2, 3),
+      Col("flags", T_BIT, 4 | (0 << 8)),              // BIT(4)
+      Col("wide", T_BIT, 1 | (5 << 8)))               // BIT(41)
+    val rows = Seq(
+      Seq("12345678.90", "0.1234", "12345678901234567890.0000012345", "42",
+        "2024-02-29", "13:45:09", "23:59:58.99", "00:00:01.000001",
+        "1700000000", "1700000000.123",
+        11L, (1L << 40) | 123L),
+      Seq("-12345678.90", "-0.1234", "-12345678901234567890.0000012345", "-42",
+        "1999-12-31", "-13:45:09", "-00:00:01.50", "-838:59:58.999999",
+        "0", "86400.5",
+        0L, 0L))
+    val b = new Builder(true).fde()
+      .tableMap(41L, "testdb", "typed", cols)
+      .rows(WRITE_ROWS_V2, 41L, cols, rows)
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs.length == 1)
+    assert(evs(0).rows(0).toSeq == Seq(
+      "12345678.90", "0.1234", "12345678901234567890.0000012345", "42",
+      "2024-02-29", "13:45:09", "23:59:58.99", "00:00:01.000001",
+      "2023-11-14 22:13:20", "2023-11-14 22:13:20.123",
+      "11", ((1L << 40) | 123L).toString))
+    assert(evs(0).rows(1).toSeq == Seq(
+      "-12345678.90", "-0.1234", "-12345678901234567890.0000012345", "-42",
+      "1999-12-31", "-13:45:09", "-00:00:01.50", "-838:59:58.999999",
+      "1970-01-01 00:00:00", "1970-01-02 00:00:00.500",
+      "0", "0"))
+  }
+
+  test("binary JSON columns decode to JSON text (T=245)") {
+    import JsonDoc._
+    val doc = JObj(
+      "a" -> JI16(7),
+      "arr" -> JArr(JBool(true), JNull, JS("x\ny"), JI64(3000000000L), JD(2.5)),
+      "nested" -> JObj("k" -> JS("v"), "n" -> JI16(-5)),
+      "big" -> JU64(-1L), // 2^64 - 1
+      "s" -> JS("plain"))
+    val cols = Seq(Col("id", T_LONG), Col("payload", T_JSON, 4))
+    val b = new Builder(true).fde()
+      .tableMap(42L, "testdb", "docs", cols)
+      .rows(WRITE_ROWS_V2, 42L, cols, Seq(
+        Seq(1, doc), Seq(2, JArr(JI16(1), JI16(2))), Seq(3, JS("top")),
+        Seq(4, JI32(-100000)), Seq(5, null)))
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    val vals = evs(0).rows.map(_(1)).toSeq
+    assert(vals(0) ==
+      """{"a":7,"arr":[true,null,"x\ny",3000000000,2.5],"nested":{"k":"v","n":-5},"big":18446744073709551615,"s":"plain"}""")
+    assert(vals(1) == "[1,2]")
+    assert(vals(2) == "\"top\"")
+    assert(vals(3) == "-100000")
+    assert(vals(4) == null)
+    // round-trips through the template engine's JSON path byte-stable
+    assert(TemplateEngine.toJson("x\ny") == "\"x\\ny\"")
   }
 
   test("CRC32 trailers are verified, not skipped") {
