@@ -68,6 +68,10 @@ object CdcPipeline {
     var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
       .option("format", cfg.sourceFormat).option("flavor", cfg.startFlavor)
     if (cfg.socketSource.nonEmpty) reader = reader.option("socket", cfg.socketSource)
+    if (cfg.sourceFormat == "replication")
+      reader = reader.option("host", cfg.sourceHost)
+        .option("port", cfg.sourcePort.toString)
+        .option("user", cfg.sourceUser).option("password", cfg.sourcePassword)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
     cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))

@@ -28,9 +28,16 @@ final case class GraftConfig(
     // — the replication-protocol alternative to (file, position); replay
     // feeds have no GTID index, so it's threaded to the feed and ignored
     startGtid: Option[String] = None,
-    // segment encoding of sourcePath: "jsonl" replay fixtures or
-    // "binlog" real binary files (BinlogFileFeed)
+    // segment encoding of sourcePath: "jsonl" replay fixtures, "binlog"
+    // real binary files (BinlogFileFeed), or "replication" (live MySQL
+    // wire protocol spooling relay segments into sourcePath)
     sourceFormat: String = "jsonl",
+    // live replication endpoint (source.host/port/user/password —
+    // config.go:104-116); used when sourceFormat == "replication"
+    sourceHost: String = "",
+    sourcePort: Int = 3306,
+    sourceUser: String = "root",
+    sourcePassword: String = "",
     // sharding (config.go:42-47)
     shardingEnabled: Boolean = false,
     shardCount: Int = 1,
@@ -183,6 +190,10 @@ object Config {
       startPosition = at("source", "startLocation", "position").map(_.asLong()),
       startGtid = at("source", "startLocation", "gtid").map(_.asText()).filter(_.nonEmpty),
       sourceFormat = strAt("jsonl", "sourceFormat"),
+      sourceHost = strAt("", "source", "host"),
+      sourcePort = intAt(3306, "source", "port"),
+      sourceUser = strAt("root", "source", "user"),
+      sourcePassword = strAt("", "source", "password"),
       shardingEnabled = boolAt(dflt = false, "sharding", "enabled"),
       shardCount = intAt(1, "sharding", "count"),
       shardIndex = intAt(0, "sharding", "index"),
@@ -257,6 +268,10 @@ object Config {
       startPosition = Option.when(n.hasNonNull("startPosition"))(n.get("startPosition").asLong()),
       startGtid = Option.when(n.hasNonNull("startGtid"))(n.get("startGtid").asText()),
       sourceFormat = str("sourceFormat", "jsonl"),
+      sourceHost = str("sourceHost", ""),
+      sourcePort = if (n.hasNonNull("sourcePort")) n.get("sourcePort").asInt() else 3306,
+      sourceUser = str("sourceUser", "root"),
+      sourcePassword = str("sourcePassword", ""),
       shardingEnabled = bool("shardingEnabled", dflt = false),
       shardCount = if (n.hasNonNull("shardCount")) n.get("shardCount").asInt() else 1,
       shardIndex = if (n.hasNonNull("shardIndex")) n.get("shardIndex").asInt() else 0,

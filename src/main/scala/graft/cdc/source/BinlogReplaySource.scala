@@ -183,16 +183,20 @@ class BinlogReplayStream(path: String, options: CaseInsensitiveStringMap)
 object BinlogFeeds {
   private val socketFeeds =
     new java.util.concurrent.ConcurrentHashMap[(String, String), SpoolingSocketFeed]()
+  private val replicationFeeds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), ReplicationFeed]()
 
-  /** Segment encoding: "jsonl" (replay/spool fixtures) or "binlog"
-    * (real binary format via [[BinlogFileFeed]]). */
+  /** Segment encoding: "jsonl" (replay/spool fixtures), "binlog" (real
+    * binary files via [[BinlogFileFeed]]), or "replication" (live MySQL
+    * wire protocol via [[ReplicationFeed]], spooling binary relay
+    * segments under `path`). */
   def formatOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("format")).getOrElse("jsonl")
 
   def forOptions(path: String, options: CaseInsensitiveStringMap): EventFeed = {
     val feed = buildFeed(path, options)
     // thread the replication-dialect hints through the seam (no-op for
-    // file feeds, dialect/registration input for a live client)
+    // file feeds, dialect/registration/start input for the live client)
     feed.configure(Option(options.get("flavor")).getOrElse("mysql"),
       Option(options.get("startingGtid")))
     feed
@@ -200,6 +204,19 @@ object BinlogFeeds {
 
   private def buildFeed(path: String, options: CaseInsensitiveStringMap): EventFeed =
     if (formatOf(options) == "binlog") new BinlogFileFeed(path)
+    else if (formatOf(options) == "replication") {
+      val host = Option(options.get("host")).getOrElse(
+        sys.error("replication format requires a 'host' option"))
+      val port = Option(options.get("port")).map(_.toInt).getOrElse(3306)
+      // one live client per (endpoint, spool): repeated stream (re)starts
+      // share the connection and keep appending to the same relay
+      replicationFeeds.computeIfAbsent((s"$host:$port", path),
+        _ => new ReplicationFeed(host, port,
+          Option(options.get("user")).getOrElse("root"),
+          Option(options.get("password")).getOrElse(""),
+          Option(options.get("slaveServerId")).map(_.toLong).getOrElse(1001L),
+          path))
+    }
     else Option(options.get("socket")) match {
       case Some(hp) =>
         // host:port with a clear error (last ':' so IPv6 hosts parse)
@@ -227,8 +244,11 @@ case class FeedSlicePartition(path: String, segment: String,
 class ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedSlicePartition]
+    // "replication" partitions read the spooled binary relay segments —
+    // executors never touch the server connection (driver-side feed)
     val feed: EventFeed =
-      if (p.format == "binlog") new BinlogFileFeed(p.path) else new ReplayFeed(p.path)
+      if (p.format == "binlog" || p.format == "replication") new BinlogFileFeed(p.path)
+      else new ReplayFeed(p.path)
     new FeedPartitionReader(feed.open(p.segment, p.fromLine, p.toLine))
   }
 }
