@@ -33,17 +33,52 @@ object Similarity {
       .limit(k)
 
   /** Near-duplicate pairs by cosine >= minCosine: norms computed once per
-    * vector BEFORE the pair join (O(n·d)), one dot product per pair. The
-    * pair join is the scale guard's job — callers bound the id domain or
-    * pre-bucket (LSH/IVF) before calling. */
+    * vector BEFORE the pair join (O(n·d)), one dot product per pair.
+    *
+    * This is the EXACT ALL-PAIRS form — O(n²) by definition — so it
+    * REFUSES inputs above `maxRows` (an eager bounded count at call
+    * time: `limit(maxRows+1).count()`, which stops scanning as soon as
+    * the bound is exceeded). For unbounded inputs use
+    * [[nearDupPairsBucketed]], which generates candidates from a
+    * bucket-equality join instead of the cross product. */
   def nearDupPairs(base: DataFrame, idCol: String, vecCol: String,
       minCosine: Column,
-      scoreT: Column => Column = identity): DataFrame = {
+      scoreT: Column => Column = identity,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = base.limit((maxRows + 1).toInt).count()
+    require(n <= maxRows,
+      s"nearDupPairs is exact all-pairs (O(n^2)) and refuses > $maxRows rows " +
+        s"(got at least $n); pre-bucket the input or use nearDupPairsBucketed")
     val e = base.select(col(idCol), col(vecCol).as("v"),
       vectorNorm(col(vecCol)).as("nrm"))
     val a = e.select(col(idCol).as("i"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col(idCol).as("j"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("i") < col("j"))
+      .select(col("i"), col("j"),
+        scoreT(vectorDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
+  /** Scale-path near-duplicate pairs: candidates come from EQUALITY on a
+    * [[hyperplaneBucket]] id (both sides co-shuffled by bucket — the
+    * same candidate machinery as [[lshTopKBatch]]), then the exact
+    * cosine cut. Never materializes the cross product, so it runs at
+    * any scale; the trade is recall (a qualifying pair whose members
+    * land in different buckets is missed — union several seedOffset
+    * calls to recover, the standard LSH lever). Every emitted pair is
+    * exact: scores are identical to [[nearDupPairs]]'s on the shared
+    * candidate set. */
+  def nearDupPairsBucketed(base: DataFrame, idCol: String, vecCol: String,
+      minCosine: Column, nBits: Int, dim: Int, seedOffset: Int = 0,
+      scoreT: Column => Column = identity): DataFrame = {
+    val e = base.select(col(idCol), col(vecCol).as("v"),
+      vectorNorm(col(vecCol)).as("nrm"),
+      hyperplaneBucket(col(vecCol), nBits, dim, seedOffset).as("__bkt"))
+    val a = e.select(col(idCol).as("i"), col("v").as("va"),
+      col("nrm").as("na"), col("__bkt").as("__ba"))
+    val b = e.select(col(idCol).as("j"), col("v").as("vb"),
+      col("nrm").as("nb"), col("__bkt").as("__bb"))
+    a.join(b, col("__ba") === col("__bb") && col("i") < col("j"))
       .select(col("i"), col("j"),
         scoreT(vectorDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
       .filter(col("score") >= minCosine)
@@ -127,6 +162,36 @@ object Similarity {
       .withColumn("xi", floor(col("x").cast("double") * 1e6 + 0.5).cast("long"))
       .groupBy(col("cid"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx_1e6"))
+
+  /** Full Lloyd training loop over [[kmeansStep]] — the "trained
+    * offline" step the IVF index assumes, iterated to `iters` rounds:
+    * each round reassigns vectors to their nearest current centroid and
+    * replaces every non-empty centroid with its cluster mean
+    * (sx_1e6 / (n·1e6) per component — one exact IEEE divide of exact
+    * integers, so the updated centroids are bit-identical across
+    * engines and the loop's algebra stays oracle-checkable). Empty
+    * clusters keep their previous centroid. Returns the final (cid, cv)
+    * dim, `localCheckpoint`ed each round so the k×dim result is
+    * materialized and the lineage never stacks `iters` plans deep —
+    * the centroid dim stays a broadcast-sized input to the next round's
+    * narrow scoring pass, which is the only per-round full-data work. */
+  def kmeansTrain(base: DataFrame, idCol: String, vecCol: String,
+      initCentroids: DataFrame, iters: Int): DataFrame = {
+    var cent = initCentroids
+    for (_ <- 1 to iters) {
+      val upd = kmeansStep(base, idCol, vecCol, cent)
+        .withColumn("x",
+          col("sx_1e6").cast("double") / (col("n").cast("double") * 1e6))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cid"),
+          transform(col("px"), s => s.getField("x")).as("__ncv"))
+      cent = cent.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__ncv"), col("cv")).as("cv"))
+        .localCheckpoint(eager = true)
+    }
+    cent
+  }
 
   /** IVF-pruned ANN: assign base vectors to their nearest centroid
     * ([[assignToCentroids]]), probe the nprobe centroids closest to the

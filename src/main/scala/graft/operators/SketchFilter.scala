@@ -31,7 +31,14 @@ object SketchFilter {
     * Result is bit-identical to `left SEMI JOIN right` on the keys —
     * the sketch admits no false negatives and the exact join removes
     * its false positives. Keys must be BIGINT (the aggregate's input
-    * contract; hash wider keys first). */
+    * contract; hash wider keys first).
+    *
+    * EAGER-BUILD CONTRACT: the sketch is computed by a Spark action at
+    * CALL time (one aggregation pass over `right`), not at execution
+    * time — so this is a batch-only operator whose build side is frozen
+    * when called; a streaming or later-mutated `right` would probe a
+    * stale sketch. The freeze is deliberate: it is what lets the probe
+    * predicate be a plan literal that fuses into whole-stage codegen. */
   def bloomSemi(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
@@ -44,5 +51,23 @@ object SketchFilter {
     val pre = left.filter(Bridge.column(BloomFilterMightContain(
       Literal(sketch, BinaryType), Bridge.expression(col(leftKey)))))
     pre.join(right, col(leftKey) === col(rightKey), "leftsemi")
+  }
+
+  /** Cost-gated [[bloomSemi]]: the sketch-build pass over `right` only
+    * pays for itself when the probe side is big enough that shrinking
+    * its shuffle matters — below `minProbeBytes` (Catalyst's estimate
+    * for the optimized probe plan; localCheckpointed inputs keep their
+    * origin estimate) this falls back to the PLAIN semi join, which is
+    * the same answer through a cheaper plan at bench scale. An UNKNOWN
+    * estimate (Catalyst's Long.MaxValue default) counts as big — at
+    * real scale the conservative choice is the sketch. */
+  def bloomSemiAuto(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      minProbeBytes: Long = 256L << 20): DataFrame = {
+    val est = left.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(minProbeBytes))
+      left.join(right, col(leftKey) === col(rightKey), "leftsemi")
+    else bloomSemi(left, leftKey, right, rightKey, expectedItems, fpp)
   }
 }

@@ -172,21 +172,21 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
-    // Decontamination through the BLOOM-PREFILTERED semi join
-    // (SketchFilter.bloomSemi) — same answer as q70 by construction (no
-    // false negatives; false positives die in the exact semi join), but
-    // the 100 TB path: eval spans that cannot hit train are dropped by
-    // a codegen sketch probe BEFORE the semi join's shuffle, so the
-    // shuffled eval volume shrinks to ~the contamination rate. The
-    // oracle is q70's oracle verbatim — one physical plan swap, zero
-    // semantic drift, hash-checked. Like packSharded vs pack, the scale
-    // path costs MORE at bench scale (measured +35% over q70 same
-    // session: the sketch-build pass over train dominates when the
-    // whole semi join is half a second) — the win is proportional to
-    // probe-side shuffle volume, which is the 100 TB term. Sketch
-    // intentionally undersized (1M/2% for ~2.4M keys at sf0.1): an
-    // undersized Bloom filter only degrades prune selectivity, never
-    // correctness, and stays ~1 MB in the task binaries.
+    // Decontamination through the COST-GATED bloom-prefiltered semi
+    // join (SketchFilter.bloomSemiAuto) — same answer as q70 by
+    // construction (no false negatives; false positives die in the
+    // exact semi join). The 100 TB path: eval spans that cannot hit
+    // train are dropped by a codegen sketch probe BEFORE the semi
+    // join's shuffle, so the shuffled eval volume shrinks to ~the
+    // contamination rate. The oracle is q70's oracle verbatim — one
+    // physical plan swap, zero semantic drift, hash-checked. The gate
+    // (r4 verdict: the sketch-build pass over train dominated when the
+    // whole semi join was half a second — 2.78× vs DuckDB) picks the
+    // plain semi join below the probe-size threshold and the sketch
+    // above it, where its win term (probe-shuffle volume) lives.
+    // Sketch sizing when taken: an undersized Bloom filter only
+    // degrades prune selectivity, never correctness, and stays ~1 MB
+    // in the task binaries.
     "q76_decontamination_bloom" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
       val trainH = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 =!= 7), 5)
@@ -194,7 +194,7 @@ object DedupQueries extends QueryGroup {
         .localCheckpoint(eager = true)
       val evalSpans = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 === 7), 5)
         .localCheckpoint(eager = true)
-      val hits = graft.operators.SketchFilter.bloomSemi(
+      val hits = graft.operators.SketchFilter.bloomSemiAuto(
           evalSpans, "h", trainH, "th_", expectedItems = 1000000L, fpp = 0.02)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
       evalSpans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))

@@ -62,6 +62,20 @@ object VectorQueries extends QueryGroup {
           "vec_id", "embedding", lit(0.3), decD)
         .orderBy(col("i"), col("j"))),
 
+    // The SCALE form of q35 (r4 verdict item: nearDupPairs' O(n²) form
+    // now refuses unbounded inputs): candidates from a hyperplane-
+    // bucket EQUALITY self-join — co-shuffled, never a cross product —
+    // then the exact cosine cut. Same pair algebra as q35 on the
+    // candidate set; the bucket recall trade is the declared contract
+    // and the DuckDB twin computes the identical bucket family.
+    "q77_neardup_bucketed" -> ((s, d) =>
+      graft.operators.Similarity.nearDupPairsBucketed(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", lit(0.3), nBits = 4, dim = 64,
+          seedOffset = 0, decD)
+        .orderBy(col("i"), col("j"))),
+
     // Hyperplane-LSH ANN (the other scale path next to IVF): two 6-bit
     // sign-sketch tables; candidates = vectors sharing the query's
     // bucket in either table, ranked by exact cosine. At 100 TB the
@@ -126,6 +140,25 @@ object VectorQueries extends QueryGroup {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       graft.operators.Similarity.kmeansStep(
           e.filter(col("vec_id") < 500), "vec_id", "v", cent)
+        .orderBy(col("cid"), col("pos"))
+    }),
+
+    // The k-means TRAINING LOOP (Similarity.kmeansTrain — r4 verdict
+    // item 8): one full Lloyd round (assign → exact fixed-point means,
+    // empty clusters keep their centroid) and then a second assignment
+    // pass over the UPDATED centroids, so the loop's rebroadcast
+    // algebra — not just one step — is hash-checked against a manually
+    // unrolled two-round oracle. Output shape matches q67 (integer
+    // counts and fixed-point sums; the only doubles live inside the
+    // assignment compare, one IEEE op sequence in both engines).
+    "q78_kmeans_train" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent0 = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val base = e.filter(col("vec_id") < 500)
+      val trained = graft.operators.Similarity.kmeansTrain(
+        base, "vec_id", "v", cent0, iters = 1)
+      graft.operators.Similarity.kmeansStep(base, "vec_id", "v", trained)
         .orderBy(col("cid"), col("pos"))
     }),
 
@@ -230,6 +263,46 @@ object VectorQueries extends QueryGroup {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) >= 0.3
          |ORDER BY i, j""".stripMargin,
+
+    "q77_neardup_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings WHERE vec_id < 300),
+         |b AS (SELECT vec_id, v, ${duckBucket("v", 4, 0)} AS bkt FROM e)
+         |SELECT a.vec_id AS i, c.vec_id AS j,
+         |       CAST(CAST(${duckCos("a.v", "c.v")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |WHERE CAST(${duckCos("a.v", "c.v")} AS DECIMAL(18,4)) >= 0.3
+         |ORDER BY i, j""".stripMargin,
+
+    "q78_kmeans_train" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+         |asg1 AS (SELECT vec_id, cid, v FROM (
+         |  SELECT base.vec_id, cent.cid, base.v,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM base, cent) t WHERE rn = 1),
+         |px1 AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |               CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |        FROM asg1, unnest(range(1, len(v) + 1)) u(i)),
+         |upd1 AS (SELECT cid, list(CAST(sx AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS ncv
+         |         FROM (SELECT cid, pos, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx
+         |               FROM px1 GROUP BY 1, 2)
+         |         GROUP BY cid),
+         |cent2 AS (SELECT cent.cid, COALESCE(upd1.ncv, cent.cv) AS cv
+         |          FROM cent LEFT JOIN upd1 USING (cid)),
+         |asg2 AS (SELECT vec_id, cid, v FROM (
+         |  SELECT base.vec_id, cent2.cid, base.v,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent2.cv")} DESC, cent2.cid) AS rn
+         |  FROM base, cent2) t WHERE rn = 1),
+         |px2 AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |               CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |        FROM asg2, unnest(range(1, len(v) + 1)) u(i))
+         |SELECT cid, pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xi) AS BIGINT) AS sx_1e6
+         |FROM px2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q67_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

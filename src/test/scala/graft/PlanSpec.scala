@@ -90,11 +90,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
-  test("q76 bloom prefilter fuses into the scan side of the exact semi join") {
+  test("q76 cost gate picks the plain semi join below the probe threshold") {
+    // at fixture scale the probe side is tiny, so bloomSemiAuto must NOT
+    // pay the sketch-build pass — the plan is the plain exact semi join.
+    // The forced-on path's might_contain pin lives in SketchFilterSpec.
     val p = plan("q76_decontamination_bloom")
-    // the sketch probe is the codegen might_contain predicate, and the
-    // exact semi join still runs after it (exactness guarantee)
-    assert(p.contains("might_contain"), p)
+    assert(!p.contains("might_contain"), p)
     assert(p.contains("LeftSemi"), p)
   }
 

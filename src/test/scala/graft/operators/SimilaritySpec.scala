@@ -37,6 +37,63 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(0) == rows(1), "same vector, same buckets")
   }
 
+  test("nearDupPairs refuses inputs above the all-pairs bound") {
+    val df = vecDf((1 to 20).map(i =>
+      (i.toLong, (0 until 8).map(t => (i + t).toFloat))): _*)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(df, "vec_id", "v", lit(0.0), maxRows = 10L)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
+    // within the bound the same call succeeds
+    assert(Similarity.nearDupPairs(df, "vec_id", "v", lit(0.99), maxRows = 20L)
+      .count() > 0)
+  }
+
+  test("nearDupPairsBucketed emits a subset of brute force with identical scores") {
+    val rnd = new scala.util.Random(7)
+    val df = vecDf((1 to 40).map(i =>
+      (i.toLong, (0 until 16).map(_ => rnd.nextFloat() * 2 - 1))): _*)
+    val brute = Similarity.nearDupPairs(df, "vec_id", "v", lit(0.2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Similarity.nearDupPairsBucketed(df, "vec_id", "v", lit(0.2),
+        nBits = 2, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(bucketed.nonEmpty, "2-bit buckets must collide on 40 vectors")
+    bucketed.foreach { case (pair, score) =>
+      assert(brute.contains(pair), s"$pair not in brute-force result")
+      assert(brute(pair) == score, s"$pair: score drift")
+    }
+    // the bucket join never materializes a cross product
+    val plan = Similarity.nearDupPairsBucketed(df, "vec_id", "v", lit(0.2),
+      nBits = 2, dim = 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("kmeansTrain equals manually unrolled kmeansStep rounds") {
+    val rnd = new scala.util.Random(11)
+    val df = vecDf((1 to 60).map(i =>
+      (i.toLong, (0 until 8).map(_ => rnd.nextFloat() * 2 - 1))): _*)
+    val cent0 = df.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def unrollOnce(c: org.apache.spark.sql.DataFrame) = {
+      val upd = Similarity.kmeansStep(df, "vec_id", "v", c)
+        .withColumn("x", col("sx_1e6").cast("double") / (col("n").cast("double") * 1e6))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cid"), transform(col("px"), s => s.getField("x")).as("ncv"))
+      c.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+    }
+    val manual = Similarity.kmeansStep(df, "vec_id", "v",
+        unrollOnce(unrollOnce(cent0)))
+      .orderBy("cid", "pos").collect().toSeq
+    val trained = Similarity.kmeansStep(df, "vec_id", "v",
+        Similarity.kmeansTrain(df, "vec_id", "v", cent0, iters = 2))
+      .orderBy("cid", "pos").collect().toSeq
+    assert(trained == manual)
+    assert(trained.nonEmpty)
+  }
+
   test("cosineTopK ranks an exact duplicate first") {
     val q = (0 until 64).map(t => (t + 1).toFloat)
     val near = q.map(x => x * 2.0f) // cosine 1.0 (colinear)

@@ -26,6 +26,24 @@ class SketchFilterSpec extends SparkTestBase {
     assert(SketchFilter.bloomSemi(left, "k", right, "rk", 10L).count() == 0)
   }
 
+  test("bloomSemiAuto gates on the probe estimate: plain when small, sketch when forced") {
+    val s = spark
+    import s.implicits._
+    val left = spark.range(1, 101).select(col("id").as("k"))
+    val right = Seq(3L, 5L, 97L).toDF("rk")
+    // small probe: below the default threshold → NO sketch build, plain
+    // semi join plan
+    val gated = SketchFilter.bloomSemiAuto(left, "k", right, "rk", 10L)
+    assert(!gated.queryExecution.executedPlan.toString.contains("might_contain"))
+    // forced on (threshold 0): sketch path, identical answer
+    val forced = SketchFilter.bloomSemiAuto(left, "k", right, "rk", 10L,
+      minProbeBytes = 0L)
+    assert(forced.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(forced.collect().map(_.getLong(0)).sorted.toSeq ==
+      gated.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(gated.count() == 3)
+  }
+
   test("the prefilter predicate is the codegen might_contain, not a UDF") {
     val s = spark
     import s.implicits._
