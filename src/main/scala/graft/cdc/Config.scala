@@ -82,6 +82,8 @@ final case class ConnectorConfig(
     headers: Map[String, String] = Map.empty,
     basicAuthUser: Option[String] = None,
     basicAuthPass: Option[String] = None,
+    // webhook TLS verification skip (connectors.webhook.go:38-39)
+    tlsSkipVerify: Boolean = false,
     maxInFlight: Int = 64,
     // google_pubsub (config.go:135-139: Pubsub.ProjectID / Pubsub.TopicID)
     projectId: String = "",
@@ -162,6 +164,7 @@ object Config {
             .getOrElse(Map.empty),
           basicAuthUser = cAt("webhook", "credentials", "username").map(_.asText()).filter(_.nonEmpty),
           basicAuthPass = cAt("webhook", "credentials", "password").map(_.asText()).filter(_.nonEmpty),
+          tlsSkipVerify = cAt("webhook", "tlsSkipVerify").exists(_.asBoolean()),
           projectId = cAt("pubsub", "projectID").map(_.asText()).getOrElse(""),
           topicId = cAt("pubsub", "topicID").map(_.asText()).getOrElse(""))
       }.toSeq)
@@ -252,6 +255,7 @@ object Config {
               else Map.empty,
             basicAuthUser = Option.when(c.hasNonNull("basicAuthUser"))(c.get("basicAuthUser").asText()),
             basicAuthPass = Option.when(c.hasNonNull("basicAuthPass"))(c.get("basicAuthPass").asText()),
+            tlsSkipVerify = c.hasNonNull("tlsSkipVerify") && c.get("tlsSkipVerify").asBoolean(),
             maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64,
             projectId = if (c.hasNonNull("projectId")) c.get("projectId").asText() else "",
             topicId = if (c.hasNonNull("topicId")) c.get("topicId").asText() else "",

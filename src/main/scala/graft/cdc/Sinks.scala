@@ -51,12 +51,19 @@ final class WebhookConnector(
     headers: Map[String, String] = Map.empty,
     basicAuth: Option[(String, String)] = None,
     timeout: Duration = Duration.ofSeconds(10),
-    maxInFlight: Int = 64) extends Connector {
+    maxInFlight: Int = 64,
+    // connectors.webhook.go:38-39 (tls.Config.InsecureSkipVerify):
+    // accept untrusted/self-signed server certificates. Slightly
+    // STRICTER than Go's flag: hostname verification against the
+    // presented cert stays on (disabling it in java.net.http needs a
+    // JVM-global property — a side effect a library shouldn't make).
+    tlsSkipVerify: Boolean = false) extends Connector {
 
   // One HttpClient per executor JVM (not per deserialized task closure):
   // keeps the keep-alive connection pool warm across partitions and
   // micro-batches instead of re-handshaking per task.
-  @transient private lazy val client: HttpClient = WebhookConnector.shared
+  @transient private lazy val client: HttpClient =
+    if (tlsSkipVerify) WebhookConnector.sharedInsecure else WebhookConnector.shared
   // Per-task-instance window (task closures are deserialized per task,
   // and a task is single-threaded, so no synchronization needed). The
   // request rides along with its future so a connection-level failure
@@ -104,6 +111,25 @@ object WebhookConnector {
     .version(HttpClient.Version.HTTP_1_1)
     .connectTimeout(Duration.ofSeconds(10))
     .build()
+
+  /** Trust-all twin of [[shared]] for `tlsSkipVerify` connectors. */
+  lazy val sharedInsecure: HttpClient = {
+    val trustAll = new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+        Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll), new java.security.SecureRandom())
+    HttpClient.newBuilder()
+      .version(HttpClient.Version.HTTP_1_1)
+      .connectTimeout(Duration.ofSeconds(10))
+      .sslContext(ctx)
+      .build()
+  }
 }
 
 /** GCP Pub/Sub connector (A14) — semantics parity with

@@ -3,7 +3,7 @@ package graft.cdc
 import java.net.InetSocketAddress
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicInteger
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import org.scalatest.funsuite.AnyFunSuite
 import scala.jdk.CollectionConverters._
 
@@ -78,6 +78,60 @@ class WebhookConnectorSpec extends AnyFunSuite {
       (1 to 50).foreach(i => c.send(s"p-$i".getBytes, s"k$i"))
       c.flush()
       assert(got.asScala.map(_.body).toSeq === (1 to 50).map(i => s"p-$i"))
+    }
+  }
+
+  /** Self-signed HTTPS server (keytool-generated PKCS12, SAN=localhost)
+    * — the endpoint shape tlsSkipVerify exists for. */
+  private def withTlsServer(f: (String, ConcurrentLinkedQueue[Recorded]) => Unit): Unit = {
+    val ks = java.nio.file.Files.createTempDirectory("wh-tls").resolve("ks.p12")
+    val keytool = new ProcessBuilder(
+      "keytool", "-genkeypair", "-alias", "wh", "-keyalg", "RSA", "-keysize", "2048",
+      "-validity", "1", "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1",
+      "-keystore", ks.toString, "-storetype", "PKCS12", "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(keytool.waitFor() == 0, "keytool failed")
+    val keyStore = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ks)
+    try keyStore.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val got = new ConcurrentLinkedQueue[Recorded]()
+    val server = HttpsServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new HttpsConfigurator(ctx))
+    server.createContext("/hook", (x: HttpExchange) => {
+      got.add(Recorded(x.getRequestMethod, Map.empty,
+        new String(x.getRequestBody.readAllBytes(), "UTF-8")))
+      x.sendResponseHeaders(200, 2)
+      x.getResponseBody.write("ok".getBytes); x.close()
+    })
+    server.start()
+    try f(s"https://localhost:${server.getAddress.getPort}/hook", got)
+    finally server.stop(0)
+  }
+
+  test("tlsSkipVerify=true delivers to a self-signed HTTPS endpoint") {
+    withTlsServer { (url, got) =>
+      val c = new WebhookConnector("w", url, tlsSkipVerify = true)
+      c.send("tls-payload".getBytes, "k1")
+      c.flush()
+      assert(got.size === 1 && got.poll().body === "tls-payload")
+    }
+  }
+
+  test("default verification refuses the self-signed certificate") {
+    withTlsServer { (url, got) =>
+      val c = new WebhookConnector("w", url) // tlsSkipVerify = false
+      val e = intercept[Exception] { c.send("x".getBytes, "k2"); c.flush() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[javax.net.ssl.SSLException]),
+        s"expected an SSL failure, got $e")
+      assert(got.isEmpty, "nothing may be delivered over an unverified channel")
     }
   }
 
