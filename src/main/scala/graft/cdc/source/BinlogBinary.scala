@@ -151,8 +151,18 @@ object BinlogBinary {
     def bytesDone: Int = pos
 
     /** Decode complete events from the FULL current file contents,
-      * resuming after the bytes consumed by previous calls. */
-    def feed(bytes: Array[Byte], strict: Boolean): Vector[FeedEvent] =
+      * resuming after the bytes consumed by previous calls.
+      *
+      * TRANSACTIONAL: a failure part-way through restores the decoder
+      * to its pre-call state (offset, checksum mode, TABLE_MAP
+      * registry), so events decoded before the failure are not silently
+      * lost — a later successful call re-decodes and re-emits them. */
+    def feed(bytes: Array[Byte], strict: Boolean): Vector[FeedEvent] = {
+      val (pos0, magic0, ck0, tables0) = (pos, magicSeen, checksummed, tables.toMap)
+      def rollback(): Unit = {
+        pos = pos0; magicSeen = magic0; checksummed = ck0
+        tables.clear(); tables ++= tables0
+      }
       try feed0(bytes, strict)
       catch {
         // malformed length fields walk a cursor out of bounds before a
@@ -160,12 +170,18 @@ object BinlogBinary {
         // callers (and the feed's torn-tail fallback) have a stable
         // contract
         case e: IndexOutOfBoundsException =>
+          rollback()
           throw new IllegalArgumentException(
             s"$fileName: malformed binlog structure (${e.getMessage})", e)
         case e: NegativeArraySizeException =>
+          rollback()
           throw new IllegalArgumentException(
             s"$fileName: malformed binlog length field (${e.getMessage})", e)
+        case e: Throwable =>
+          rollback()
+          throw e
       }
+    }
 
     private def feed0(bytes: Array[Byte], strict: Boolean): Vector[FeedEvent] = {
       if (!magicSeen) {

@@ -27,9 +27,11 @@ final class BinlogFileFeed(path: String) extends EventFeed {
   private def dirFiles: Seq[Path] = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.toSeq
+    val st = Files.list(dir)
+    try st.iterator().asScala.toSeq
       .filter(p => p.getFileName.toString.endsWith(".binlog"))
       .sortBy(_.getFileName.toString)
+    finally st.close()
   }
 
   override def segments(): Seq[String] = dirFiles.map(_.getFileName.toString)

@@ -63,9 +63,11 @@ final class ReplayFeed(path: String) extends EventFeed {
   private def dirFiles: Seq[Path] = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.toSeq
+    val st = Files.list(dir)
+    try st.iterator().asScala.toSeq
       .filter(p => p.getFileName.toString.endsWith(".jsonl"))
       .sortBy(_.getFileName.toString)
+    finally st.close()
   }
 
   override def segments(): Seq[String] = dirFiles.map(_.getFileName.toString)

@@ -46,10 +46,13 @@ final class SpoolingSocketFeed(host: String, port: Int, spoolDir: String,
   // dedicated-dir contract: mixed content would interleave foreign
   // segments into the offset order and silently strand appends
   locally {
-    val foreign = Files.list(Paths.get(spoolDir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".jsonl") && !n.matches("spool-[0-9]{6}\\.jsonl"))
-      .toSeq
+    val st = Files.list(Paths.get(spoolDir))
+    val foreign =
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".jsonl") && !n.matches("spool-[0-9]{6}\\.jsonl"))
+        .toSeq
+      finally st.close()
     require(foreign.isEmpty,
       s"spool dir $spoolDir must contain only spool-NNNNNN.jsonl segments, found: $foreign")
   }

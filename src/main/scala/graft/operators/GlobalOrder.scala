@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.logging.log4j.{Level, LogManager}
-import org.apache.logging.log4j.core.config.Configurator
+import org.apache.logging.log4j.LogManager
+import org.apache.logging.log4j.core.{Filter, LoggerContext}
+import org.apache.logging.log4j.core.config.LoggerConfig
+import org.apache.logging.log4j.core.filter.RegexFilter
 
 /** Explicit opt-in gate for the repo's two DECLARED global-order forms —
   * `SequencePacking.pack` (oracle-friendly whole-corpus packing) and the
@@ -13,26 +15,44 @@ import org.apache.logging.log4j.core.config.Configurator
   * Spark logs `WARN WindowExec: No Partition Defined` for every such
   * window. For these two audited call sites the warning is noise that a
   * REAL regression could hide behind (11 repeats in a full test run), so
-  * the gate logs the rationale once and then mutes that one logger. Any
-  * accidental partition-less window elsewhere is still caught by
-  * PlanSpec's no-WindowExec plan pins, which is the stronger check.
+  * the gate logs the rationale once and then drops THAT ONE MESSAGE on
+  * the WindowExec logger via a regex filter — every other WindowExec
+  * warning still flows (the r4 advisory against muting the whole
+  * logger). Any accidental partition-less window elsewhere is still
+  * caught by PlanSpec's no-WindowExec plan pins, the stronger check.
   */
 object GlobalOrder {
 
   @volatile private var enabled = false
 
-  /** Record (once) that a declared global-order form is in use and mute
-    * WindowExec's partition-less warning. Call from the opt-in paths
-    * only — never from a default path. */
+  /** Record (once) that a declared global-order form is in use and
+    * filter WindowExec's no-partition warning. Call from the opt-in
+    * paths only — never from a default path. */
   def allow(form: String): Unit = if (!enabled) synchronized {
     if (!enabled) {
       LogManager.getLogger(getClass).info(
         s"global-order form '$form' enabled: partition-less window is " +
-          "intentional (bounded input, documented contract); muting " +
-          "WindowExec's no-partition warning — scale-safe twins exist " +
-          "(packSharded / itemID off)")
-      Configurator.setLevel(
-        "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+          "intentional (bounded input, documented contract); filtering " +
+          "WindowExec's no-partition warning (other WindowExec warnings " +
+          "still log) — scale-safe twins exist (packSharded / itemID off)")
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.sql.execution.window.WindowExec"
+      val filter = RegexFilter.createFilter(
+        ".*No Partition Defined for Window operation.*", null, false,
+        Filter.Result.DENY, Filter.Result.NEUTRAL)
+      val existing = cfg.getLoggerConfig(name)
+      val lc =
+        if (existing.getName == name) existing
+        else {
+          // no config node for this logger yet: add one that inherits
+          // level + appenders from the root (additive)
+          val fresh = new LoggerConfig(name, existing.getLevel, true)
+          cfg.addLogger(name, fresh)
+          fresh
+        }
+      lc.addFilter(filter)
+      ctx.updateLoggers()
       enabled = true
     }
   }

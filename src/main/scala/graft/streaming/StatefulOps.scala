@@ -10,9 +10,17 @@ import java.sql.Timestamp
   * close conditions, emitting the session only when it closes).
   *
   * Scale shape: state lives in the state store, partitioned by key —
-  * one entry per active session per user; event-time timeout expires
-  * idle sessions as the watermark advances, so state is bounded by
+  * one entry per PENDING session interval per user; event-time timers
+  * expire intervals as the watermark advances, so state is bounded by
   * active users, not history.
+  *
+  * Emission contract (matches `session_window`'s emit-on-watermark): a
+  * session row is emitted only once the WATERMARK passes its close
+  * deadline (last event + gap), never merely because a later-timed
+  * event arrived in the same batch — so a late-but-admissible event in
+  * a later micro-batch that falls within the gap of a pending interval
+  * extends (or bridges) it instead of finding it already emitted (the
+  * r4 advisory's cross-batch out-of-order case).
   */
 object StatefulOps {
 
@@ -20,55 +28,85 @@ object StatefulOps {
 
   case class SessionState(start: Long, last: Long, n: Long)
 
+  /** All not-yet-emittable intervals of one key, ascending by start;
+    * the last one is the open session. */
+  case class SessionBuf(intervals: List[SessionState])
+
   case class ClosedSession(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Long)
+
+  /** Gap-merge a batch of events into the pending intervals: an
+    * out-of-order event more than gapMs before an interval's start
+    * forms its own earlier interval (session_window's overlap rule) —
+    * and one event can BRIDGE two pending intervals into one. */
+  private def mergeIntervals(pending: Seq[SessionState], events: Seq[SessionState],
+      gapMs: Long): List[SessionState] = {
+    val intervals = (pending ++ events).sortBy(s => (s.start, s.last))
+    intervals.foldLeft(List.empty[SessionState]) { (acc, iv) =>
+      acc match {
+        case h :: tail if iv.start - h.last <= gapMs =>
+          SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: tail
+        case _ => iv :: acc
+      }
+    }.reverse
+  }
+
+  /** An interval is safe to emit once no admissible event (ts >=
+    * watermark) can still land within gapMs of its end. */
+  private def ripe(s: SessionState, gapMs: Long, watermarkMs: Long): Boolean =
+    s.last + gapMs < watermarkMs
+
+  private def emit(user: Long, s: SessionState): ClosedSession =
+    ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
 
   /** The Spark-4-native form of the sessionizer on the
     * `transformWithState` StatefulProcessor API (the successor to
     * flatMapGroupsWithState: typed per-key state handles + explicit
     * event-time TIMERS instead of a single timeout slot; requires the
-    * RocksDB state store provider). Same interval-merge algebra and the
-    * same emit-on-close contract as [[sessionize]] — the spec asserts
+    * RocksDB state store provider). Same interval algebra and the same
+    * emit-on-watermark contract as [[sessionize]] — the spec asserts
     * both implementations produce identical sessions. */
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, ClosedSession] {
 
-    @transient private var session: ValueState[SessionState] = _
+    @transient private var buf: ValueState[SessionBuf] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      session = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
+      buf = getHandle.getValueState[SessionBuf]("sessions",
+        Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    /** One live timer per key, at the earliest pending close deadline. */
+    private def rearm(prevDeadline: Option[Long], kept: List[SessionState],
+        watermarkMs: Long): Unit = {
+      prevDeadline.foreach(getHandle.deleteTimer)
+      if (kept.nonEmpty) {
+        val next = kept.map(_.last + gapMs).min
+        getHandle.registerTimer(math.max(next, watermarkMs + 1))
+      }
+    }
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[ClosedSession] = {
-      val prev = if (session.exists()) Some(session.get()) else None
-      val intervals =
-        (prev.toSeq ++ rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
-          .sortBy(s => (s.start, s.last))
-      val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, iv) =>
-        acc match {
-          case h :: tail if iv.start - h.last <= gapMs =>
-            SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: tail
-          case _ => iv :: acc
-        }
-      }
-      val open = merged.head
-      // one live timer per key: drop the previous close deadline
-      prev.foreach(s => getHandle.deleteTimer(s.last + gapMs))
-      session.update(open)
-      getHandle.registerTimer(open.last + gapMs)
-      merged.tail.reverseIterator.map(s =>
-        ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      val prev = if (buf.exists()) buf.get().intervals else Nil
+      val wm = tv.getCurrentWatermarkInMs()
+      val merged = mergeIntervals(prev,
+        rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq, gapMs)
+      val (done, kept) = merged.partition(ripe(_, gapMs, wm))
+      if (kept.isEmpty) buf.clear() else buf.update(SessionBuf(kept))
+      rearm(prev.headOption.map(_ => prev.map(_.last + gapMs).min), kept, wm)
+      done.iterator.map(emit(user, _))
     }
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      if (!session.exists()) return Iterator.empty
-      val s = session.get()
-      if (info.getExpiryTimeInMs() >= s.last + gapMs) {
-        session.clear()
-        Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
-      } else Iterator.empty // stale timer from before the session extended
+      if (!buf.exists()) return Iterator.empty
+      val pending = buf.get().intervals
+      val wm = tv.getCurrentWatermarkInMs()
+      val (done, kept) = pending.partition(ripe(_, gapMs, wm))
+      if (kept.isEmpty) buf.clear() else buf.update(SessionBuf(kept))
+      // the fired timer is gone; arm the next deadline if any remain
+      rearm(None, kept, wm)
+      done.iterator.map(emit(user, _))
     }
   }
 
@@ -94,38 +132,26 @@ object StatefulOps {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val pending = state.getOption.map(_.intervals).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) pending
+            else mergeIntervals(pending,
+              rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq, gapMs)
+          val (done, kept) = merged.partition(ripe(_, gapMs, wm))
+          if (kept.isEmpty) {
+            if (state.exists) state.remove()
           } else {
-            // Gap-merge the open session with the batch as INTERVALS: an
-            // out-of-order event more than gapMs before the open session's
-            // start must form its own earlier session (session_window's
-            // overlap rule), not stretch the open one backward.
-            val intervals =
-              (state.getOption.toSeq ++ rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
-                .sortBy(s => (s.start, s.last))
-            // fold ascending; head of acc is the latest merged interval
-            val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, iv) =>
-              acc match {
-                case h :: tail if iv.start - h.last <= gapMs =>
-                  SessionState(h.start, math.max(h.last, iv.last), h.n + iv.n) :: tail
-                case _ => iv :: acc
-              }
-            }
-            val open = merged.head
-            state.update(open)
-            // close when the watermark passes last-event + gap
-            state.setTimeoutTimestamp(open.last + gapMs)
-            // everything except the latest interval can no longer grow
-            // within this key's sorted timeline — emit as closed
-            merged.tail.reverseIterator.map(s =>
-              ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            state.update(SessionBuf(kept))
+            // wake when the earliest pending deadline passes the
+            // watermark (must be strictly ahead of the current one)
+            state.setTimeoutTimestamp(
+              math.max(kept.map(_.last + gapMs).min, wm + 1))
           }
+          done.iterator.map(emit(user, _))
       }
   }
 }

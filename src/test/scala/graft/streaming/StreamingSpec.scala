@@ -155,6 +155,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sessionizers: a late admissible event bridges pending intervals (no overlap rows)") {
+    // r4 advisory scenario: 10:00 and 10:50 arrive in separate batches
+    // (gap 30 min apart > 50 min — two pending intervals), then a LATE
+    // but admissible 10:20 arrives and bridges them. Emitting tail
+    // intervals eagerly would have already surfaced [10:00,10:00]; the
+    // emit-on-watermark contract must yield exactly ONE merged session.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    type Mk = (org.apache.spark.sql.SparkSession, org.apache.spark.sql.Dataset[StatefulOps.Event]) => org.apache.spark.sql.Dataset[StatefulOps.ClosedSession]
+    val variants: Seq[(String, Mk)] = Seq(
+      "fmgws_bridge" -> ((sp, ds) => StatefulOps.sessionize(sp, ds, 30L * 60 * 1000, "40 minutes")),
+      "tws_bridge" -> ((sp, ds) => StatefulOps.sessionizeTws(sp, ds, 30L * 60 * 1000, "40 minutes")))
+    for ((name, mk) <- variants) {
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      if (name.startsWith("tws"))
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[StatefulOps.Event]
+        val q = mk(spark, in.toDS()).writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        in.addData(StatefulOps.Event(1L, ts(0)))          // 10:00
+        q.processAllAvailable()
+        in.addData(StatefulOps.Event(1L, ts(50)))         // 10:50 — separate interval
+        q.processAllAvailable()
+        in.addData(StatefulOps.Event(1L, ts(20)))         // LATE 10:20 — bridges
+        q.processAllAvailable()
+        // push the watermark far past every deadline to flush
+        in.addData(StatefulOps.Event(9L, Timestamp.valueOf("2024-01-01 15:00:00")))
+        q.processAllAvailable()
+        in.addData(StatefulOps.Event(9L, Timestamp.valueOf("2024-01-01 17:00:00")))
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.table(name).filter(col("user_id") === 1L)
+          .select("start", "end", "n_events").collect()
+          .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSeq
+        assert(got == Seq((ts(0), ts(50), 3L)),
+          s"$name: bridged session must be the ONLY row, got $got")
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+  }
+
   test("B27: dropDuplicatesWithinWatermark dedups replayed event ids") {
     val s = spark
     import s.implicits._
