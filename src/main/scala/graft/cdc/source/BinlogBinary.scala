@@ -15,7 +15,8 @@ import java.util.zip.CRC32
   * offline source of column names; the reference queries a live server's
   * information_schema instead), and ROWS v1/v2 with the full column-type
   * surface go-mysql passes through (SURVEY §1.2): integers, float/double,
-  * year, varchar/var_string, char ≤ 255, blob/text, datetime2, date,
+  * year, varchar/var_string, char (incl. >255-byte capacities), enum and
+  * set (as their index/bitmask integers), blob/text, datetime2, date,
   * time2, timestamp2 (rendered UTC), bit ≤ 64, NEWDECIMAL
   * (decimal-as-string), and binary JSON ([[BinlogJson]]). Unknown
   * critical structure throws — never a silent wrong decode. CRC32
@@ -49,7 +50,8 @@ object BinlogBinary {
   val T_INT24 = 9; val T_DATE = 10; val T_TIME = 11; val T_DATETIME = 12
   val T_YEAR = 13; val T_VARCHAR = 15; val T_BIT = 16
   val T_TIMESTAMP2 = 17; val T_DATETIME2 = 18; val T_TIME2 = 19
-  val T_JSON = 245; val T_NEWDECIMAL = 246; val T_BLOB = 252
+  val T_JSON = 245; val T_NEWDECIMAL = 246
+  val T_ENUM = 247; val T_SET = 248; val T_BLOB = 252
   val T_VAR_STRING = 253; val T_STRING = 254; val T_GEOMETRY = 255
 
   def eventTypeName(t: Int): String = t match {
@@ -361,16 +363,32 @@ object BinlogBinary {
       val len = if (meta > 255) c.u16() else c.u8()
       c.str(len)
     case T_STRING =>
-      // CHAR(n): TABLE_MAP metadata is [real_type, length] in byte order,
-      // which the little-endian u16 read puts at (low, high). For n ≤ 255
-      // the second byte IS the field length; longer CHAR packs extra bits
-      // into the type byte — refuse rather than misparse.
-      val realType = meta & 0xff
-      if (realType != T_STRING && realType != 0)
-        throw new IllegalArgumentException(
-          s"unsupported STRING real type $realType (ENUM/SET not implemented)")
-      val len = c.u8() // field length ≤ 255 ⇒ 1 length byte on the value
-      c.str(len)
+      // CHAR/ENUM/SET share the STRING type code; TABLE_MAP metadata is
+      // [real_type, length] in byte order (LE u16 → low byte = real
+      // type). CHAR capacities > 255 XOR the length's high bits into
+      // the unused 0x30 bits of the type byte — undo that packing.
+      val b0 = meta & 0xff
+      val b1 = (meta >> 8) & 0xff
+      if (b0 == 0) c.str(c.u8()) // legacy: no real type recorded
+      else {
+        val (realType, fieldLen) =
+          if ((b0 & 0x30) != 0x30) (b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4))
+          else (b0, b1)
+        realType match {
+          case T_ENUM => // 1- or 2-byte index (pack length in fieldLen)
+            (if (fieldLen == 1) c.u8().toLong else c.u16().toLong).toString
+          case T_SET => // fieldLen-byte little-endian member bitmask
+            var v = 0L; var i = 0
+            while (i < fieldLen) { v |= (c.u8().toLong << (8 * i)); i += 1 }
+            v.toString
+          case T_STRING =>
+            val len = if (fieldLen > 255) c.u16() else c.u8()
+            c.str(len)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported STRING real type $other")
+        }
+      }
     case T_BLOB =>
       val len = (meta match {
         case 1 => c.u8().toLong

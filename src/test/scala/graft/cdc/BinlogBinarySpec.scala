@@ -136,7 +136,7 @@ object BinlogFixture {
           BinlogBinary.T_JSON => Array(c.meta.toByte)
       case BinlogBinary.T_VARCHAR | BinlogBinary.T_NEWDECIMAL |
           BinlogBinary.T_BIT => le(c.meta.toLong, 2)
-      case BinlogBinary.T_STRING => Array(BinlogBinary.T_STRING.toByte, c.meta.toByte)
+      case BinlogBinary.T_STRING => le(c.meta.toLong, 2) // [b0, b1] raw
       case _ => Array.empty
     }
 
@@ -176,8 +176,19 @@ object BinlogFixture {
       case (BinlogBinary.T_VARCHAR, s: String) =>
         val b = s.getBytes("UTF-8")
         (if (c.meta > 255) le(b.length.toLong, 2) else Array(b.length.toByte)) ++ b
-      case (BinlogBinary.T_STRING, s: String) =>
-        val b = s.getBytes("UTF-8"); Array(b.length.toByte) ++ b
+      case (BinlogBinary.T_STRING, v: Any) =>
+        // metadata byte0 selects the real type: 247 ENUM (index, pack
+        // length in byte1), 248 SET (byte1-byte LE bitmask), else CHAR
+        // (high capacity bits folded into byte0's 0x30 slot)
+        (c.meta & 0xff, v) match {
+          case (247, i: Int) =>
+            if ((c.meta >> 8) == 1) Array(i.toByte) else le(i.toLong, 2)
+          case (248, l: Long) => le(l, c.meta >> 8)
+          case (b0, s: String) =>
+            // b0 == 254 exactly ⇔ capacity ≤ 255 ⇔ 1-byte value prefix
+            val b = s.getBytes("UTF-8")
+            (if (b0 != 254) le(b.length.toLong, 2) else Array(b.length.toByte)) ++ b
+        }
       case (BinlogBinary.T_BLOB, s: String) =>
         val b = s.getBytes("UTF-8"); le(b.length.toLong, c.meta) ++ b
       case (BinlogBinary.T_DATETIME2, s: String) =>
@@ -386,6 +397,28 @@ class BinlogBinarySpec extends SparkTestBase {
       "1999-12-31", "-13:45:09", "-00:00:01.50", "-838:59:58.999999",
       "1970-01-01 00:00:00", "1970-01-02 00:00:00.500",
       "0", "0"))
+  }
+
+  test("ENUM/SET/CHAR>255 decode through the STRING real-type packing") {
+    // metadata helpers laid out from the format docs, independent of the
+    // decoder: CHAR folds capacity bits 8-9 into the type byte's 0x30
+    // slot; ENUM/SET record the real type in byte0, pack size in byte1
+    def charMeta(len: Int): Int =
+      (T_STRING ^ (((len >> 8) & 0x3) << 4)) | ((len & 0xff) << 8)
+    val cols = Seq(
+      Col("status", T_STRING, T_ENUM | (1 << 8)),   // ENUM, 1-byte index
+      Col("status2", T_STRING, T_ENUM | (2 << 8)),  // ENUM, 2-byte index
+      Col("flags", T_STRING, T_SET | (2 << 8)),     // SET of ≤16 members
+      Col("code", T_STRING, charMeta(20)),          // CHAR(20), 1-byte prefix
+      Col("wide", T_STRING, charMeta(600)))         // CHAR capacity 600
+    val longStr = "x" * 300
+    val b = new Builder(true).fde()
+      .tableMap(51L, "testdb", "enums", cols)
+      .rows(WRITE_ROWS_V2, 51L, cols, Seq(
+        Seq(3, 300, 0x8001L, "ok", longStr)))
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs(0).rows(0).toSeq ==
+      Seq("3", "300", "32769", "ok", longStr))
   }
 
   test("binary JSON columns decode to JSON text (T=245)") {
