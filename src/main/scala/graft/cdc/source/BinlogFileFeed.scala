@@ -55,7 +55,7 @@ final class BinlogFileFeed(path: String) extends EventFeed {
     val size = Files.size(p)
     // compute() is atomic per key: concurrent partition readers never
     // feed the same resumable decoder twice
-    BinlogFileFeed.cache.compute(p.toString, (_, cached) => {
+    val entry = BinlogFileFeed.cache.compute(p.toString, (_, cached) => {
       if (cached != null && cached.size == size) cached
       else if (cached != null && size > cached.size) {
         // append-only growth: decode ONLY the new bytes — the resumable
@@ -70,14 +70,39 @@ final class BinlogFileFeed(path: String) extends EventFeed {
         val events = d.feed(Files.readAllBytes(p), strict = false)
         BinlogFileFeed.Entry(size, d, events)
       }
-    }).events
+    })
+    entry.tick = BinlogFileFeed.clock.incrementAndGet()
+    BinlogFileFeed.prune()
+    entry.events
   }
 }
 
 object BinlogFileFeed {
   private case class Entry(size: Long,
-      decoder: BinlogBinary.StreamDecoder, events: Vector[FeedEvent])
+      decoder: BinlogBinary.StreamDecoder, events: Vector[FeedEvent]) {
+    @volatile var tick: Long = 0L
+  }
 
-  /** (absolute path) → resumable decode state + events so far. */
+  /** (absolute path) → resumable decode state + events so far. Bounded:
+    * decoded events live on the heap, and a long binlog history would
+    * otherwise pin every segment ever read (a relay tail only needs the
+    * active segment plus whatever replays are in flight). Evicted
+    * segments simply re-decode on the next read — decode is
+    * deterministic, so extents and event indexes are unaffected. */
   private val cache = new ConcurrentHashMap[String, Entry]()
+  private val clock = new java.util.concurrent.atomic.AtomicLong()
+  private[cdc] val MaxCachedSegments = 8
+
+  private def prune(): Unit =
+    while (cache.size > MaxCachedSegments) {
+      var oldest: String = null
+      var oldestTick = Long.MaxValue
+      cache.forEach { (k, e) =>
+        if (e.tick < oldestTick) { oldestTick = e.tick; oldest = k }
+      }
+      if (oldest == null) return
+      cache.remove(oldest)
+    }
+
+  private[cdc] def cachedSegments: Int = cache.size
 }
