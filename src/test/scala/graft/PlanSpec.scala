@@ -99,6 +99,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q77 bucketed near-dup candidates come from an equality join") {
+    val p = plan("q77_neardup_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q67 k-means assignment aggregates, never window-sorts the expansion") {
     val plan = SparkEntry.queries("q67_kmeans_step")(spark, sf001)
       .queryExecution.executedPlan
