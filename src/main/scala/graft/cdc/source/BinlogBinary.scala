@@ -398,6 +398,18 @@ object BinlogBinary {
         case n => throw new IllegalArgumentException(s"bad BLOB meta $n")
       }).toInt
       c.str(len) // TEXT columns; true binary payloads are opaque bytes-as-utf8
+    case T_GEOMETRY =>
+      // blob-framed WKB (with MySQL's 4-byte SRID prefix); rendered as
+      // lowercase hex — WKB is not UTF-8-safe and the feed's contract
+      // is a string pass-through
+      val len = (meta match {
+        case 1 => c.u8().toLong
+        case 2 => c.u16().toLong
+        case 3 => c.u24().toLong
+        case 4 => c.u32()
+        case n => throw new IllegalArgumentException(s"bad GEOMETRY meta $n")
+      }).toInt
+      c.bytes(len).map(b => f"${b & 0xff}%02x").mkString
     case T_DATETIME2 =>
       // 5 bytes big-endian: 1 sign + 17 yearmonth + 5 day + 5 hour +
       // 6 minute + 6 second; fractional part is ceil(fsp/2) BE bytes.

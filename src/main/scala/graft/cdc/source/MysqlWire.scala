@@ -32,28 +32,50 @@ object MysqlWire {
     (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
 
   /** Packet framing: 3-byte LE length + 1-byte sequence id + payload.
-    * Replication streams stay far below the 16 MB continuation limit
-    * (events cap at binlog-row-image size); a max-length packet is
-    * refused rather than half-read. */
+    * Payloads of 0xffffff bytes continue in the next packet (and a
+    * payload of EXACTLY n·0xffffff is followed by an empty terminator
+    * packet) — row events carrying large blobs genuinely exceed 16 MB,
+    * so both directions speak the continuation protocol. */
   final class PacketIO(rawIn: InputStream, out: OutputStream) {
     private val in = new DataInputStream(rawIn)
 
-    def read(): (Int, Array[Byte]) = {
+    private def readOne(): (Int, Array[Byte]) = {
       val h = new Array[Byte](4)
       in.readFully(h)
       val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
-      if (len == 0xffffff)
-        throw new IllegalArgumentException("16MB packet continuation not supported")
       val p = new Array[Byte](len)
       in.readFully(p)
       ((h(3) & 0xff), p)
     }
 
+    def read(): (Int, Array[Byte]) = {
+      val (seq, first) = readOne()
+      if (first.length < 0xffffff) return (seq, first)
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(first)
+      var cont = true
+      while (cont) {
+        val (_, next) = readOne()
+        buf.write(next)
+        cont = next.length == 0xffffff
+      }
+      (seq, buf.toByteArray)
+    }
+
     def write(seq: Int, payload: Array[Byte]): Unit = {
-      require(payload.length < 0xffffff, "packet too large")
-      out.write(le(payload.length.toLong, 3))
-      out.write(seq & 0xff)
-      out.write(payload)
+      var off = 0
+      var s = seq
+      var more = true
+      while (more) {
+        val n = math.min(payload.length - off, 0xffffff)
+        out.write(le(n.toLong, 3))
+        out.write(s & 0xff)
+        out.write(payload, off, n)
+        off += n
+        s += 1
+        // a full-length chunk needs a follow-up (possibly empty) packet
+        more = n == 0xffffff
+      }
       out.flush()
     }
   }

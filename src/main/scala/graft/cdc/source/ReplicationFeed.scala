@@ -52,6 +52,9 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   private var currentFile: String = _
   private var currentPos: Long = 4L
   private var executed: GtidSet = GtidSet.empty
+  // mariadb dialect: latest (serverId, seqNo) per replication domain —
+  // exactly the shape @slave_connect_state takes ("domain-server-seq")
+  private var mariadbExec: Map[Long, (Long, Long)] = Map.empty
   private var checksummed = false // from the streamed FDE
 
   override def segments(): Seq[String] = files.segments()
@@ -79,13 +82,43 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   private def recoverFromSpool(): Unit = {
     val segs = files.segments()
     segs.foreach { seg =>
-      scanSegment(Paths.get(spoolDir).resolve(seg)) { (evType, body, logPos) =>
+      scanSegment(Paths.get(spoolDir).resolve(seg)) { (evType, serverId, body, logPos) =>
         if (evType == 33 && body.length >= 25)
           executed = executed.add(GtidSet.uuidString(body, 1), gnoOf(body))
+        if (evType == 162 && body.length >= 12)
+          trackMariadb(leU32(body, 8), serverId, leU64(body, 0))
         if (logPos > 0) currentPos = logPos
       }
     }
     segs.lastOption.foreach(s => currentFile = s.stripSuffix(".binlog"))
+  }
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def leU64(b: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  private def trackMariadb(domain: Long, server: Long, seq: Long): Unit =
+    if (mariadbExec.get(domain).forall(_._2 < seq))
+      mariadbExec = mariadbExec.updated(domain, (server, seq))
+
+  /** @slave_connect_state value: startGtid entries ("d-s-seq[,...]")
+    * merged with what the relay has seen, latest seq per domain. */
+  private def mariadbState: String = {
+    val start = startGtid.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map { g =>
+        val Array(d, s, q) = g.split('-').map(_.toLong)
+        (d, (s, q))
+      }
+    val merged = (start ++ mariadbExec.toSeq)
+      .groupMapReduce(_._1)(_._2)((a, b) => if (a._2 >= b._2) a else b)
+    merged.toSeq.sortBy(_._1)
+      .map { case (d, (s, q)) => s"$d-$s-$q" }.mkString(",")
   }
 
   private def gnoOf(gtidBody: Array[Byte]): Long = {
@@ -112,18 +145,19 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   }
 
   /** Walk complete events of one relay segment (header-level only). */
-  private def scanSegment(p: Path)(f: (Int, Array[Byte], Long) => Unit): Unit = {
+  private def scanSegment(p: Path)(f: (Int, Long, Array[Byte], Long) => Unit): Unit = {
     if (!Files.exists(p)) return
     val b = Files.readAllBytes(p)
     var pos = 4
     while (pos + 19 <= b.length) {
       val evType = b(pos + 4) & 0xff
+      val serverId = leU32(b, pos + 5)
       val evSize = (b(pos + 9) & 0xff) | ((b(pos + 10) & 0xff) << 8) |
         ((b(pos + 11) & 0xff) << 16) | ((b(pos + 12) & 0xff) << 24)
       if (evSize < 19 || pos + evSize > b.length) return
       val logPos = (b(pos + 13) & 0xffL) | ((b(pos + 14) & 0xffL) << 8) |
         ((b(pos + 15) & 0xffL) << 16) | ((b(pos + 16) & 0xffL) << 24)
-      f(evType, java.util.Arrays.copyOfRange(b, pos + 19, pos + evSize), logPos)
+      f(evType, serverId, java.util.Arrays.copyOfRange(b, pos + 19, pos + evSize), logPos)
       pos += evSize
     }
   }
@@ -170,8 +204,12 @@ final class ReplicationFeed(host: String, port: Int, user: String,
       io.write(0, MysqlWire.comQuery(
         "SET @master_binlog_checksum= @@global.binlog_checksum"))
       MysqlWire.expectOk(io.read()._2, "set checksum")
-      if (flavor == "mariadb") startGtid.foreach { g =>
-        io.write(0, MysqlWire.comQuery(s"SET @slave_connect_state='$g'"))
+      // mariadb dialect: announce the GTID position (start ∪ relay) —
+      // the server resolves the dump start from it
+      val mariadbGtidMode = flavor == "mariadb" &&
+        (startGtid.nonEmpty || mariadbExec.nonEmpty)
+      if (mariadbGtidMode) {
+        io.write(0, MysqlWire.comQuery(s"SET @slave_connect_state='$mariadbState'"))
         MysqlWire.expectOk(io.read()._2, "set slave_connect_state")
       }
       // 3. register as a replica
@@ -182,6 +220,9 @@ final class ReplicationFeed(host: String, port: Int, user: String,
       if (gtidMode) {
         val set = GtidSet.parse(startGtid.get).merge(executed)
         io.write(0, MysqlWire.comBinlogDumpGtid(slaveServerId, set))
+      } else if (mariadbGtidMode) {
+        // position comes from the announced GTID state
+        io.write(0, MysqlWire.comBinlogDump(slaveServerId, "", 4L))
       } else {
         io.write(0, MysqlWire.comBinlogDump(
           slaveServerId, Option(currentFile).getOrElse(""), currentPos))
@@ -237,9 +278,11 @@ final class ReplicationFeed(host: String, port: Int, user: String,
                   if (BinlogBinary.versionAtLeast561(serverVersion))
                     checksummed = (ev(ev.length - 5) & 0xff) == 1
                 }
-                if (evType == 33 && ev.length >= 19 + 25) // GTID_EVENT
+                if (evType == 33 && ev.length >= 19 + 25) // GTID_EVENT (mysql)
                   executed = executed.add(
                     GtidSet.uuidString(ev, 19 + 1), gnoLe(ev, 19 + 17))
+                if (evType == 162 && ev.length >= 19 + 12) // GTID (mariadb)
+                  trackMariadb(leU32(ev, 19 + 8), leU32(ev, 5), leU64(ev, 19))
                 if (channel == null)
                   throw new IOException("event stream started without a ROTATE")
                 channel.write(ByteBuffer.wrap(ev))

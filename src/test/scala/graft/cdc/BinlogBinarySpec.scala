@@ -133,7 +133,7 @@ object BinlogFixture {
       case BinlogBinary.T_FLOAT | BinlogBinary.T_DOUBLE |
           BinlogBinary.T_BLOB | BinlogBinary.T_DATETIME2 |
           BinlogBinary.T_TIMESTAMP2 | BinlogBinary.T_TIME2 |
-          BinlogBinary.T_JSON => Array(c.meta.toByte)
+          BinlogBinary.T_JSON | BinlogBinary.T_GEOMETRY => Array(c.meta.toByte)
       case BinlogBinary.T_VARCHAR | BinlogBinary.T_NEWDECIMAL |
           BinlogBinary.T_BIT => le(c.meta.toLong, 2)
       case BinlogBinary.T_STRING => le(c.meta.toLong, 2) // [b0, b1] raw
@@ -243,6 +243,8 @@ object BinlogFixture {
         encodeDecimal(s, c.meta & 0xff, (c.meta >> 8) & 0xff)
       case (BinlogBinary.T_JSON, doc: JsonDoc) =>
         val b = doc.bytes
+        le(b.length.toLong, c.meta) ++ b
+      case (BinlogBinary.T_GEOMETRY, b: Array[Byte]) =>
         le(b.length.toLong, c.meta) ++ b
       case other => throw new IllegalArgumentException(s"fixture can't encode $other")
     }
@@ -419,6 +421,18 @@ class BinlogBinarySpec extends SparkTestBase {
     val evs = BinlogBinary.decodeFile(b.bytes, "f")
     assert(evs(0).rows(0).toSeq ==
       Seq("3", "300", "32769", "ok", longStr))
+  }
+
+  test("GEOMETRY columns decode to hex WKB (binary-safe pass-through)") {
+    val cols = Seq(Col("id", T_LONG), Col("geo", T_GEOMETRY, 4))
+    // SRID 0 + WKB for POINT(1 2), little-endian
+    val wkb = Array[Int](0, 0, 0, 0, 0x01, 0x01, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0xf0, 0x3f, 0, 0, 0, 0, 0, 0, 0, 0x40).map(_.toByte)
+    val b = new Builder(true).fde()
+      .tableMap(61L, "testdb", "places", cols)
+      .rows(WRITE_ROWS_V2, 61L, cols, Seq(Seq(1, wkb)))
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs(0).rows(0)(1) == wkb.map(x => f"${x & 0xff}%02x").mkString)
   }
 
   test("binary JSON columns decode to JSON text (T=245)") {

@@ -95,11 +95,15 @@ final class FakeMysqlServer(password: String,
     io.write(2, okPacket)
     // ---- command loop ----
     var open = true
+    var connectState: Option[String] = None // mariadb @slave_connect_state
     while (open && !closed) {
       val (_, cmd) = io.read()
       (cmd(0) & 0xff) match {
         case MysqlWire.COM_QUERY =>
-          queries.add(new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8))
+          val q = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
+          queries.add(q)
+          if (q.contains("@slave_connect_state"))
+            connectState = Some(q.split('\'')(1))
           io.write(1, okPacket)
         case MysqlWire.COM_REGISTER_SLAVE =>
           registered.add((cmd(1) & 0xffL) | ((cmd(2) & 0xffL) << 8) |
@@ -110,7 +114,7 @@ final class FakeMysqlServer(password: String,
             ((cmd(3) & 0xffL) << 16) | ((cmd(4) & 0xffL) << 24)
           val file = new String(cmd, 11, cmd.length - 11, StandardCharsets.UTF_8)
           dumps.add((file, pos))
-          streamFileMode(io, file, pos)
+          streamFileMode(io, file, pos, connectState)
           open = endStream(io, sock)
         case MysqlWire.COM_BINLOG_DUMP_GTID =>
           // [cmd][flags 2][serverId 4][nameLen 4 = 0][pos 8][setLen 4][set]
@@ -168,14 +172,39 @@ final class FakeMysqlServer(password: String,
     sendEvent(io, header ++ body ++ le(crc.getValue, 4))
   }
 
-  private def streamFileMode(io: MysqlWire.PacketIO, reqFile: String, reqPos: Long): Unit = {
+  private def streamFileMode(io: MysqlWire.PacketIO, reqFile: String, reqPos: Long,
+      connectState: Option[String] = None): Unit = {
     seq = 0
     val names = binlogs.keys.toSeq.sorted
     val name = if (reqFile.isEmpty) names.head else reqFile
     val evs = splitEvents(binlogs(name))
     artificialRotate(io, name, math.max(reqPos, 4L))
-    sendEvent(io, evs.head._3) // FDE always re-sent
-    evs.tail.filter(_._2 > math.max(reqPos, evs.head._2)).foreach(e => sendEvent(io, e._3))
+    connectState match {
+      case None =>
+        sendEvent(io, evs.head._3) // FDE always re-sent
+        evs.tail.filter(_._2 > math.max(reqPos, evs.head._2))
+          .foreach(e => sendEvent(io, e._3))
+      case Some(state) =>
+        // mariadb dialect: transaction groups delimited by GTID events
+        // (type 162, body = seq u64 LE + domain u32 LE); serve a group
+        // iff its seq is past the announced per-domain position
+        val doneSeq: Map[Long, Long] = state.split(',').filter(_.nonEmpty).map { g =>
+          val Array(d, _, q) = g.split('-').map(_.toLong); d -> q
+        }.toMap
+        val (preamble, rest) = evs.span(_._1 != 162)
+        preamble.foreach(e => sendEvent(io, e._3))
+        var skip = false
+        rest.foreach { case (t, _, bytes) =>
+          if (t == 162) {
+            var sq = 0L; var i = 19 + 7
+            while (i >= 19) { sq = (sq << 8) | (bytes(i) & 0xffL); i -= 1 }
+            val domain = (bytes(19 + 8) & 0xffL) | ((bytes(19 + 9) & 0xffL) << 8) |
+              ((bytes(19 + 10) & 0xffL) << 16) | ((bytes(19 + 11) & 0xffL) << 24)
+            skip = doneSeq.get(domain).exists(sq <= _)
+          }
+          if (!skip) sendEvent(io, bytes)
+        }
+    }
   }
 
   /** GTID mode: transaction groups are delimited by GTID events; a group

@@ -154,6 +154,68 @@ class ReplicationFeedSpec extends SparkTestBase {
     } finally { feed2.close(); server.close() }
   }
 
+  /** fde + tableMap + 3 MariaDB-GTID-delimited single-row transactions
+    * (type 162: body = seq u64 LE + domain u32 LE + flags). */
+  private def mariadbFixture: Array[Byte] = {
+    val b = new Builder(true).fde().tableMap(7L, "testdb", "users", cols)
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    (1 to 3).foreach { seqNo =>
+      b.event(162, le(seqNo.toLong, 8) ++ le(0L, 4) ++ Array(0.toByte))
+      b.rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(seqNo, s"u$seqNo")))
+    }
+    b.bytes
+  }
+
+  test("mariadb dialect: @slave_connect_state resume from start ∪ relay GTIDs") {
+    val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> mariadbFixture))
+    val dir = Files.createTempDirectory("repl-mariadb").toString
+    val feed1 = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 3L, dir)
+    try {
+      feed1.configure("mariadb", Some("0-1-1"))
+      awaitEvents(feed1, 3) // rotate + writes for seqs 2, 3
+      assert(drain(feed1).filter(_.eventType == "WriteRowsEventV2")
+        .map(_.rows(0)(0)) == Seq("2", "3"))
+      assert(server.queries.toArray.exists(
+        _.toString.contains("@slave_connect_state='0-1-1'")))
+    } finally feed1.close()
+    // fresh process over the same relay: recovery merges the spooled
+    // mariadb GTIDs (seq 3, server id from the event header) into the
+    // announced state, so nothing is re-served
+    val feed2 = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 3L, dir)
+    try {
+      feed2.configure("mariadb", Some("0-1-1"))
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (!server.queries.toArray.exists(
+          _.toString.contains("@slave_connect_state='0-1-3'")) &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      assert(server.queries.toArray.exists(
+        _.toString.contains("@slave_connect_state='0-1-3'")))
+      Thread.sleep(200)
+      assert(feed2.segments().map(feed2.extent).sum == 3L, "no duplicates on resume")
+    } finally { feed2.close(); server.close() }
+  }
+
+  test("packet framing speaks the 16MB continuation protocol both ways") {
+    import graft.cdc.source.MysqlWire
+    // 0xffffff + 5 bytes: one full chunk + a 5-byte continuation; the
+    // exact-boundary case needs a trailing EMPTY terminator packet
+    for (size <- Seq(0xffffff + 5, 0xffffff, 1, 0)) {
+      val payload = Array.tabulate[Byte](size)(i => (i * 31).toByte)
+      val sink = new java.io.ByteArrayOutputStream()
+      new MysqlWire.PacketIO(
+        new java.io.ByteArrayInputStream(Array.empty), sink).write(3, payload)
+      val framed = sink.toByteArray
+      if (size == 0xffffff) // full chunk ⇒ header(4) + chunk + empty packet header(4)
+        assert(framed.length == 4 + size + 4)
+      val (seq, got) = new MysqlWire.PacketIO(
+        new java.io.ByteArrayInputStream(framed),
+        new java.io.ByteArrayOutputStream()).read()
+      assert(seq == 3 && got.length == size)
+      assert(java.util.Arrays.equals(got, payload), s"payload mismatch at size $size")
+    }
+  }
+
   test("replication feed drives the full config-driven sync pipeline") {
     CollectingConnector.clear()
     val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> fixture(5)))
