@@ -2,9 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -30,15 +29,19 @@ object SketchFilter {
   /** Left-semi join with a Bloom prefilter on the probe (left) side.
     * Result is bit-identical to `left SEMI JOIN right` on the keys —
     * the sketch admits no false negatives and the exact join removes
-    * its false positives. Keys must be BIGINT (the aggregate's input
-    * contract; hash wider keys first).
+    * its false positives (an EMPTY build side yields a null sketch,
+    * whose probe is null, filtering everything — the correct empty semi
+    * join). Keys must be BIGINT (the aggregate's input contract; hash
+    * wider keys first).
     *
-    * EAGER-BUILD CONTRACT: the sketch is computed by a Spark action at
-    * CALL time (one aggregation pass over `right`), not at execution
-    * time — so this is a batch-only operator whose build side is frozen
-    * when called; a streaming or later-mutated `right` would probe a
-    * stale sketch. The freeze is deliberate: it is what lets the probe
-    * predicate be a plan literal that fuses into whole-stage codegen. */
+    * LAZY: the sketch rides as a ScalarSubquery over the build
+    * aggregate — the exact shape Spark's own InjectRuntimeFilter emits
+    * — so nothing executes at construction time (plan-only inspection
+    * is free, r4 advisory) and the build side is read when the query
+    * runs, not when it is assembled. At execution the subquery result
+    * still materializes on the driver and ships with the task binaries,
+    * so size the sketch like a broadcast dim (fpp/expectedItems — an
+    * undersized sketch only loses selectivity, never correctness). */
   def bloomSemi(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
@@ -46,10 +49,10 @@ object SketchFilter {
     val agg = new BloomFilterAggregate(
       Bridge.expression(col(rightKey)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val sketch = right.select(Bridge.column(agg)).head().getAs[Array[Byte]](0)
-    if (sketch == null) return left.limit(0) // empty build side: empty semi join
+    val sketchPlan = Bridge.logicalPlan(
+      right.select(Bridge.column(agg).as("__sketch")))
     val pre = left.filter(Bridge.column(BloomFilterMightContain(
-      Literal(sketch, BinaryType), Bridge.expression(col(leftKey)))))
+      ScalarSubquery(sketchPlan), Bridge.expression(col(leftKey)))))
     pre.join(right, col(leftKey) === col(rightKey), "leftsemi")
   }
 

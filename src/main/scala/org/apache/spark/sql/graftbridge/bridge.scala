@@ -22,6 +22,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame — the input shape subquery
+    * expressions (e.g. a ScalarSubquery carrying a sketch aggregate)
+    * are built from. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   /** Rewrite a result-rendering global sort (the determinism protocol's
     * trailing ORDER BY) into shuffle-to-one-partition + local sort: the
     * same total order without RangePartitioning's extra row-sampling

@@ -3,7 +3,28 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+object SketchFilterSpec {
+  val buildTouches = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 class SketchFilterSpec extends SparkTestBase {
+
+  test("bloomSemi is lazy: no job runs at construction (r4 advisory)") {
+    val s = spark
+    import s.implicits._
+    SketchFilterSpec.buildTouches.set(0)
+    val touch = udf { (x: Long) => SketchFilterSpec.buildTouches.incrementAndGet(); x }
+    // spark.range, not a local Seq: the optimizer eagerly evaluates
+    // projections over LocalRelation, which would count as touches
+    val right = spark.range(3, 7, 2).select(touch(col("id")).as("rk"))
+    val left = spark.range(1, 20).select(col("id").as("k"))
+    val joined = SketchFilter.bloomSemi(left, "k", right, "rk", 10L)
+    joined.queryExecution.executedPlan // plan-only inspection
+    assert(SketchFilterSpec.buildTouches.get() == 0,
+      "sketch build must not execute at construction/planning time")
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L))
+    assert(SketchFilterSpec.buildTouches.get() > 0)
+  }
 
   test("bloomSemi is bit-identical to a plain left-semi join") {
     val s = spark
