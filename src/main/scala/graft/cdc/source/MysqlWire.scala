@@ -27,6 +27,7 @@ object MysqlWire {
   val CLIENT_PLUGIN_AUTH = 0x00080000L
 
   val NativePasswordPlugin = "mysql_native_password"
+  val CachingSha2Plugin = "caching_sha2_password"
 
   private def le(v: Long, n: Int): Array[Byte] =
     (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
@@ -153,16 +154,72 @@ object MysqlWire {
     p1
   }
 
-  /** HandshakeResponse41 (the client's reply). */
-  def handshakeResponse(user: String, password: String, seed: Array[Byte]): Array[Byte] = {
+  /** caching_sha2_password token (MySQL 8's default plugin):
+    * SHA256(password) XOR SHA256(SHA256(SHA256(password)) ++ seed). */
+  def cachingSha2Token(password: String, seed: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val sha = MessageDigest.getInstance("SHA-256")
+    val p1 = sha.digest(password.getBytes(StandardCharsets.UTF_8))
+    sha.reset()
+    val p2 = sha.digest(sha.digest(p1))
+    sha.reset()
+    sha.update(p2)
+    sha.update(seed.take(20))
+    val mix = sha.digest()
+    p1.indices.foreach(i => p1(i) = (p1(i) ^ mix(i)).toByte)
+    p1
+  }
+
+  def tokenFor(plugin: String, password: String, seed: Array[Byte]): Array[Byte] =
+    plugin match {
+      case NativePasswordPlugin => nativePasswordToken(password, seed)
+      case CachingSha2Plugin => cachingSha2Token(password, seed)
+      case other =>
+        throw new java.io.IOException(s"unsupported auth plugin $other")
+    }
+
+  /** HandshakeResponse41 (the client's reply), speaking the server's
+    * advertised plugin. */
+  def handshakeResponse(user: String, password: String, seed: Array[Byte],
+      plugin: String = NativePasswordPlugin): Array[Byte] = {
     val caps = CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 |
       CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
-    val token = nativePasswordToken(password, seed)
+    val token = tokenFor(plugin, password, seed)
     le(caps, 4) ++ le(1L << 24, 4) ++ Array(33.toByte) ++ // max packet, utf8
       Array.fill(23)(0.toByte) ++
       user.getBytes(StandardCharsets.UTF_8) ++ Array(0.toByte) ++
       Array(token.length.toByte) ++ token ++
-      NativePasswordPlugin.getBytes(StandardCharsets.UTF_8) ++ Array(0.toByte)
+      plugin.getBytes(StandardCharsets.UTF_8) ++ Array(0.toByte)
+  }
+
+  /** Drive the post-handshake auth dialogue to an OK packet: handles
+    * caching_sha2's fast-auth-success marker (0x01 0x03), its
+    * perform-full-auth request (0x01 0x04 — REFUSED: full auth sends
+    * the cleartext password and needs TLS or the server's RSA key),
+    * and an auth-switch request (0xfe + plugin + fresh seed). */
+  def completeAuth(io: PacketIO, password: String): Unit = {
+    var done = false
+    while (!done) {
+      val (seq, p) = io.read()
+      checkNotErr(p, "auth")
+      (p(0) & 0xff) match {
+        case 0x00 => done = true
+        case 0x01 if p.length >= 2 && (p(1) & 0xff) == 0x03 => // fast auth ok; OK follows
+        case 0x01 if p.length >= 2 && (p(1) & 0xff) == 0x04 =>
+          throw new java.io.IOException(
+            "caching_sha2_password full authentication requires TLS (server cache miss)")
+        case 0xfe => // auth switch: [0xfe][plugin NUL][seed]
+          val pluginEnd = {
+            var i = 1; while (i < p.length && p(i) != 0) i += 1; i
+          }
+          val plugin = new String(p, 1, pluginEnd - 1, StandardCharsets.UTF_8)
+          val seed = java.util.Arrays.copyOfRange(p, pluginEnd + 1,
+            math.max(pluginEnd + 1, p.length - (if (p.last == 0) 1 else 0)))
+          io.write(seq + 1, tokenFor(plugin, password, seed))
+        case other =>
+          throw new java.io.IOException(s"unexpected auth packet 0x${other.toHexString}")
+      }
+    }
   }
 
   def comQuery(sql: String): Array[Byte] =

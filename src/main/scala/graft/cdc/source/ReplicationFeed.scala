@@ -193,13 +193,13 @@ final class ReplicationFeed(host: String, port: Int, user: String,
     var channel: FileChannel = null
     try {
       val io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
-      // 1. handshake + auth
+      // 1. handshake + auth (native or caching_sha2 fast path, with
+      // auth-switch handling — the MySQL 8 default dialogue)
       val (hsSeq, hs) = io.read()
       val h = MysqlWire.parseHandshake(hs)
-      require(h.authPlugin == MysqlWire.NativePasswordPlugin,
-        s"unsupported auth plugin ${h.authPlugin}")
-      io.write(hsSeq + 1, MysqlWire.handshakeResponse(user, password, h.seed))
-      MysqlWire.expectOk(io.read()._2, "auth")
+      io.write(hsSeq + 1,
+        MysqlWire.handshakeResponse(user, password, h.seed, h.authPlugin))
+      MysqlWire.completeAuth(io, password)
       // 2. declare checksum awareness (go-mysql parity) + mariadb GTID pos
       io.write(0, MysqlWire.comQuery(
         "SET @master_binlog_checksum= @@global.binlog_checksum"))

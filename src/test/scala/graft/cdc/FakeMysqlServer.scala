@@ -21,7 +21,13 @@ import graft.cdc.source.{GtidSet, MysqlWire}
   */
 final class FakeMysqlServer(password: String,
     binlogs: => Map[String, Array[Byte]],
-    closeAfterStream: Boolean = false) extends AutoCloseable {
+    closeAfterStream: Boolean = false,
+    // advertised auth plugin (MySQL 8 defaults to caching_sha2_password)
+    authPlugin: String = MysqlWire.NativePasswordPlugin,
+    // ask the client to re-authenticate with native + a fresh seed
+    forceAuthSwitch: Boolean = false,
+    // caching_sha2 server cache miss: demand full authentication
+    sha2FullAuth: Boolean = false) extends AutoCloseable {
 
   val registered = new CopyOnWriteArrayList[Long]()
   val queries = new CopyOnWriteArrayList[String]()
@@ -66,6 +72,18 @@ final class FakeMysqlServer(password: String,
     h1.zip(mix).map { case (a, b) => (a ^ b).toByte }
   }
 
+  /** Expected caching_sha2 token, computed independently:
+    * SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) ++ seed). */
+  private def expectedSha2Token(seed: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val d = MessageDigest.getInstance("SHA-256")
+    val h1 = d.digest(password.getBytes(StandardCharsets.UTF_8))
+    d.reset(); val h2 = d.digest(d.digest(h1))
+    d.reset(); d.update(h2); d.update(seed)
+    val mix = d.digest()
+    h1.zip(mix).map { case (a, b) => (a ^ b).toByte }
+  }
+
   private def serve(sock: Socket): Unit = {
     val io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
     val rnd = new scala.util.Random()
@@ -78,7 +96,7 @@ final class FakeMysqlServer(password: String,
       le((MysqlWire.CLIENT_PLUGIN_AUTH >> 16) & 0xffff, 2) ++
       Array(21.toByte) ++ Array.fill[Byte](10)(0) ++
       seed.drop(8) ++ Array[Byte](0) ++
-      MysqlWire.NativePasswordPlugin.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
+      authPlugin.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
     io.write(0, hs)
     val (_, resp) = io.read()
     // HandshakeResponse41: caps(4) maxPacket(4) charset(1) filler(23) user\0 authLen token
@@ -86,13 +104,39 @@ final class FakeMysqlServer(password: String,
     val userEnd = resp.indexOf(0.toByte, i)
     i = userEnd + 1
     val tokenLen = resp(i) & 0xff
-    val token = java.util.Arrays.copyOfRange(resp, i + 1, i + 1 + tokenLen)
-    if (!java.util.Arrays.equals(token, expectedToken(seed))) {
+    var token = java.util.Arrays.copyOfRange(resp, i + 1, i + 1 + tokenLen)
+    var verifySeed = seed
+    var verifyPlugin = authPlugin
+    var seqOut = 2
+    if (forceAuthSwitch) {
+      // AuthSwitchRequest: 0xfe + plugin NUL + fresh seed NUL
+      val seed2 = Array.fill[Byte](20)((rnd.nextInt(94) + 33).toByte)
+      io.write(seqOut, Array(0xfe.toByte) ++
+        MysqlWire.NativePasswordPlugin.getBytes(StandardCharsets.UTF_8) ++
+        Array[Byte](0) ++ seed2 ++ Array[Byte](0))
+      val (s2, reply) = io.read()
+      token = reply
+      verifySeed = seed2
+      verifyPlugin = MysqlWire.NativePasswordPlugin
+      seqOut = s2 + 1
+    }
+    val expected =
+      if (verifyPlugin == MysqlWire.CachingSha2Plugin) expectedSha2Token(verifySeed)
+      else expectedToken(verifySeed)
+    if (!java.util.Arrays.equals(token, expected)) {
       authFailures += 1
-      io.write(2, errPacket(1045, "Access denied for replication user"))
+      io.write(seqOut, errPacket(1045, "Access denied for replication user"))
       return
     }
-    io.write(2, okPacket)
+    if (verifyPlugin == MysqlWire.CachingSha2Plugin) {
+      if (sha2FullAuth) {
+        io.write(seqOut, Array(0x01.toByte, 0x04.toByte)) // perform full auth
+        return // client must refuse without TLS
+      }
+      io.write(seqOut, Array(0x01.toByte, 0x03.toByte)) // fast auth success
+      seqOut += 1
+    }
+    io.write(seqOut, okPacket)
     // ---- command loop ----
     var open = true
     var connectState: Option[String] = None // mariadb @slave_connect_state

@@ -79,6 +79,46 @@ class ReplicationFeedSpec extends SparkTestBase {
     } finally { feed.close(); server.close() }
   }
 
+  test("caching_sha2_password fast path (MySQL 8 default plugin)") {
+    val server = new FakeMysqlServer("s3cr3t", Map("mysql-bin.000001" -> fixture(2)),
+      authPlugin = graft.cdc.source.MysqlWire.CachingSha2Plugin)
+    val dir = Files.createTempDirectory("repl-sha2").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "s3cr3t", 4L, dir)
+    try {
+      feed.configure("mysql", None)
+      awaitEvents(feed, 3)
+      assert(drain(feed).count(_.eventType == "WriteRowsEventV2") == 2)
+      assert(server.authFailures == 0)
+    } finally { feed.close(); server.close() }
+  }
+
+  test("auth-switch request re-authenticates with the named plugin and fresh seed") {
+    val server = new FakeMysqlServer("pw2", Map("mysql-bin.000001" -> fixture(1)),
+      authPlugin = graft.cdc.source.MysqlWire.CachingSha2Plugin, forceAuthSwitch = true)
+    val dir = Files.createTempDirectory("repl-switch").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw2", 5L, dir)
+    try {
+      feed.configure("mysql", None)
+      awaitEvents(feed, 2)
+      assert(drain(feed).count(_.eventType == "WriteRowsEventV2") == 1)
+      assert(server.authFailures == 0)
+    } finally { feed.close(); server.close() }
+  }
+
+  test("caching_sha2 full-auth demand is refused loudly (needs TLS)") {
+    val server = new FakeMysqlServer("pw3", Map("mysql-bin.000001" -> fixture(1)),
+      authPlugin = graft.cdc.source.MysqlWire.CachingSha2Plugin, sha2FullAuth = true)
+    val dir = Files.createTempDirectory("repl-fullauth").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw3", 6L, dir)
+    try {
+      feed.configure("mysql", None)
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (feed.lastError == null && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(Option(feed.lastError).exists(_.contains("full authentication")))
+      assert(feed.segments().map(feed.extent).sum == 0L)
+    } finally { feed.close(); server.close() }
+  }
+
   test("reconnect resumes the dump from the last spooled position, no duplicates") {
     // server hard-closes after each stream (no EOF packet) — the client
     // must reconnect with backoff and continue where the relay ends
