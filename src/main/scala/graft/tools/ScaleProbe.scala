@@ -88,6 +88,45 @@ object ScaleProbe {
       val (sec, rows) = time(op(d))
       println(s"""{"op":"$name","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
+
+    // ---- vector operators over scaled embeddings ----
+    // Copies are dimension-ROTATED (a cyclic shift of the 64 dims per
+    // copy): rotation is an isometry, so every within-copy dot/norm/
+    // pair is EXACTLY preserved, while cross-copy cosines between
+    // rotated twins behave like random vectors and stay below the
+    // near-dup cut — growth isolates the engine, not new pair structure.
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    def scaledEmb(factor: Int): DataFrame =
+      (0 until factor).map { k =>
+        val shift = (k * 7) % 64
+        val rot = (0 until 64).map(i => col("embedding")((i + shift) % 64))
+        embBase.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          array(rot: _*).as("embedding"))
+      }.reduce(_ union _)
+
+    for (f <- factors) {
+      val d = scaledEmb(f)
+      // occupancy-preserving bits: +log2(factor) keeps per-bucket counts
+      // flat as the corpus grows — the operating rule at real scale
+      val nBits = 6 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt
+      def run(): Long = graft.operators.Similarity.nearDupPairsBucketed(
+        d, "vec_id", "embedding", lit(0.3), nBits, 64).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"neardup_bucketed","factor":$f,"bits":$nBits,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    for (f <- factors) {
+      val d = scaledEmb(f)
+      val cent = embBase.filter(col("vec_id") % 200 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      def run(): Long = graft.operators.Similarity.kmeansTrain(
+        d, "vec_id", "embedding", cent, iters = 2).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"kmeans_train2","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
     spark.stop()
   }
 }
