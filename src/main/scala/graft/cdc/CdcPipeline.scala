@@ -72,6 +72,7 @@ object CdcPipeline {
       reader = reader.option("host", cfg.sourceHost)
         .option("port", cfg.sourcePort.toString)
         .option("user", cfg.sourceUser).option("password", cfg.sourcePassword)
+        .option("slaveServerId", cfg.sourceServerId.toString)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
     cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))

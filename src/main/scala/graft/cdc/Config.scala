@@ -38,6 +38,11 @@ final case class GraftConfig(
     sourcePort: Int = 3306,
     sourceUser: String = "root",
     sourcePassword: String = "",
+    // replica server id registered with the master (source.serverID —
+    // go-mysql BinlogSyncerConfig.ServerID): MUST be unique among ALL
+    // replicas of one master; a duplicate makes the master kill the
+    // other replica's connection on every (re)connect
+    sourceServerId: Long = 1001L,
     // sharding (config.go:42-47)
     shardingEnabled: Boolean = false,
     shardCount: Int = 1,
@@ -197,6 +202,7 @@ object Config {
       sourcePort = intAt(3306, "source", "port"),
       sourceUser = strAt("root", "source", "user"),
       sourcePassword = strAt("", "source", "password"),
+      sourceServerId = at("source", "serverID").map(_.asLong()).getOrElse(1001L),
       shardingEnabled = boolAt(dflt = false, "sharding", "enabled"),
       shardCount = intAt(1, "sharding", "count"),
       shardIndex = intAt(0, "sharding", "index"),
@@ -276,6 +282,8 @@ object Config {
       sourcePort = if (n.hasNonNull("sourcePort")) n.get("sourcePort").asInt() else 3306,
       sourceUser = str("sourceUser", "root"),
       sourcePassword = str("sourcePassword", ""),
+      sourceServerId =
+        if (n.hasNonNull("sourceServerId")) n.get("sourceServerId").asLong() else 1001L,
       shardingEnabled = bool("shardingEnabled", dflt = false),
       shardCount = if (n.hasNonNull("shardCount")) n.get("shardCount").asInt() else 1,
       shardIndex = if (n.hasNonNull("shardIndex")) n.get("shardIndex").asInt() else 0,

@@ -83,26 +83,38 @@ object BinlogFileFeed {
     @volatile var tick: Long = 0L
   }
 
-  /** (absolute path) → resumable decode state + events so far. Bounded:
-    * decoded events live on the heap, and a long binlog history would
-    * otherwise pin every segment ever read (a relay tail only needs the
-    * active segment plus whatever replays are in flight). Evicted
-    * segments simply re-decode on the next read — decode is
+  /** (absolute path) → resumable decode state + events so far. Bounded
+    * by total cached EVENTS (the heap proxy), not segment count: a poll
+    * touching many small segments (planInputPartitions reads every
+    * extent) must keep them all cached or each batch degrades from the
+    * O(appended) resumable path to a full re-decode sweep; eviction
+    * should only start when the decoded history genuinely outgrows the
+    * budget. Evicted segments re-decode on the next read — decode is
     * deterministic, so extents and event indexes are unaffected. */
   private val cache = new ConcurrentHashMap[String, Entry]()
   private val clock = new java.util.concurrent.atomic.AtomicLong()
-  private[cdc] val MaxCachedSegments = 8
+  /** Decoded-event budget (heap proxy); JVM-level knob. */
+  @volatile private[cdc] var maxCachedEvents = 2000000L
 
-  private def prune(): Unit =
-    while (cache.size > MaxCachedSegments) {
+  private def prune(): Unit = {
+    var total = 0L
+    cache.forEach { (_, e) => total += e.events.length }
+    while (total > maxCachedEvents && cache.size > 1) {
       var oldest: String = null
       var oldestTick = Long.MaxValue
       cache.forEach { (k, e) =>
         if (e.tick < oldestTick) { oldestTick = e.tick; oldest = k }
       }
       if (oldest == null) return
-      cache.remove(oldest)
+      val removed = cache.remove(oldest)
+      if (removed != null) total -= removed.events.length
     }
+  }
 
   private[cdc] def cachedSegments: Int = cache.size
+  private[cdc] def cachedEvents: Long = {
+    var total = 0L
+    cache.forEach { (_, e) => total += e.events.length }
+    total
+  }
 }

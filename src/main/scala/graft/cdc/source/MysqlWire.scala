@@ -96,9 +96,10 @@ object MysqlWire {
   /** OK packet (0x00) expected; ERR explained, anything else refused. */
   def expectOk(p: Array[Byte], stage: String): Unit = {
     checkNotErr(p, stage)
-    if (p.isEmpty || (p(0) & 0xff) != 0x00)
-      throw new java.io.IOException(
-        s"mysql $stage: expected OK packet, got 0x${(p(0) & 0xff).toHexString}")
+    if (p.isEmpty || (p(0) & 0xff) != 0x00) {
+      val first = if (p.isEmpty) "<empty>" else s"0x${(p(0) & 0xff).toHexString}"
+      throw new java.io.IOException(s"mysql $stage: expected OK packet, got $first")
+    }
   }
 
   final case class Handshake(serverVersion: String, threadId: Long,

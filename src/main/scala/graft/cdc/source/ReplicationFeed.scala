@@ -55,6 +55,12 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   // mariadb dialect: latest (serverId, seqNo) per replication domain —
   // exactly the shape @slave_connect_state takes ("domain-server-seq")
   private var mariadbExec: Map[Long, (Long, Long)] = Map.empty
+  // a GTID only joins the executed state once its TRANSACTION COMPLETES
+  // (XID commit) — counting it at GTID-event time would let a reconnect
+  // skip a transaction whose rows were only partially received (real
+  // replicas track Retrieved_Gtid_Set the same way)
+  private var pendingGtid: Option[(String, Long)] = None
+  private var pendingMariadb: Option[(Long, Long, Long)] = None
   private var checksummed = false // from the streamed FDE
 
   override def segments(): Seq[String] = files.segments()
@@ -77,21 +83,44 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   }
 
   /** Resume point from existing relay segments: last segment name + the
-    * end offset of its last complete event, and the GTIDs its bytes
-    * carry (for GTID-mode resume across process restarts). */
+    * end offset of its last complete event IN THAT SEGMENT (positions
+    * reset at each rotation — carrying one across would resume a fresh
+    * file at the previous file's offset and skip its head), and the
+    * COMMITTED GTIDs the bytes carry (GTID-mode resume across process
+    * restarts; a trailing uncommitted transaction stays un-counted so
+    * the server re-serves it). */
   private def recoverFromSpool(): Unit = {
     val segs = files.segments()
     segs.foreach { seg =>
+      currentPos = 4L // each segment starts over; only ITS events count
       scanSegment(Paths.get(spoolDir).resolve(seg)) { (evType, serverId, body, logPos) =>
-        if (evType == 33 && body.length >= 25)
-          executed = executed.add(GtidSet.uuidString(body, 1), gnoOf(body))
-        if (evType == 162 && body.length >= 12)
-          trackMariadb(leU32(body, 8), serverId, leU64(body, 0))
+        trackGtidEvent(evType, serverId, body)
         if (logPos > 0) currentPos = logPos
       }
     }
+    // an uncommitted trailing transaction never joins the resume state
+    pendingGtid = None
+    pendingMariadb = None
     segs.lastOption.foreach(s => currentFile = s.stripSuffix(".binlog"))
   }
+
+  /** Shared GTID bookkeeping for the live stream and spool recovery:
+    * GTID events PEND, the XID commit (type 16) PROMOTES. A new GTID
+    * event discards an unpromoted predecessor (its transaction was cut
+    * short and will be re-fetched). */
+  private def trackGtidEvent(evType: Int, serverId: Long, body: Array[Byte]): Unit =
+    evType match {
+      case 33 if body.length >= 25 =>
+        pendingGtid = Some((GtidSet.uuidString(body, 1), leU64(body, 17)))
+      case 162 if body.length >= 12 =>
+        pendingMariadb = Some((leU32(body, 8), serverId, leU64(body, 0)))
+      case 16 => // XID: the open transaction is durable in the relay
+        pendingGtid.foreach { case (uuid, gno) => executed = executed.add(uuid, gno) }
+        pendingMariadb.foreach { case (d, s, q) => trackMariadb(d, s, q) }
+        pendingGtid = None
+        pendingMariadb = None
+      case _ => ()
+    }
 
   private def leU32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
@@ -119,12 +148,6 @@ final class ReplicationFeed(host: String, port: Int, user: String,
       .groupMapReduce(_._1)(_._2)((a, b) => if (a._2 >= b._2) a else b)
     merged.toSeq.sortBy(_._1)
       .map { case (d, (s, q)) => s"$d-$s-$q" }.mkString(",")
-  }
-
-  private def gnoOf(gtidBody: Array[Byte]): Long = {
-    var v = 0L; var i = 24
-    while (i >= 17) { v = (v << 8) | (gtidBody(i) & 0xffL); i -= 1 }
-    v
   }
 
   /** Drop a torn (incomplete) trailing event from a relay segment. */
@@ -257,7 +280,10 @@ final class ReplicationFeed(host: String, port: Int, user: String,
               case 27 => // heartbeat: keepalive only, never spooled
               case 4 => // ROTATE
                 val artificial = ts == 0L && logPos == 0L
-                val (nextPos, nextFile) = parseRotate(ev, artificial)
+                // strip a verified CRC once; reused for the name parse
+                // and (on a fresh segment) the spool write
+                val stripped = if (artificial) stripChecksumIfPresent(ev) else ev
+                val (nextPos, nextFile) = parseRotate(ev, stripped, artificial)
                 if (!artificial && channel != null)
                   channel.write(ByteBuffer.wrap(ev)) // real rotate ends the old file
                 if (currentFile != nextFile) {
@@ -267,7 +293,7 @@ final class ReplicationFeed(host: String, port: Int, user: String,
                   // write the artificial rotate once per fresh segment so
                   // replayed file bookkeeping (A18) survives in the relay
                   if (artificial && fresh)
-                    channel.write(ByteBuffer.wrap(stripChecksumIfPresent(ev)))
+                    channel.write(ByteBuffer.wrap(stripped))
                 }
                 currentFile = nextFile
                 currentPos = math.max(nextPos, 4L)
@@ -278,11 +304,10 @@ final class ReplicationFeed(host: String, port: Int, user: String,
                   if (BinlogBinary.versionAtLeast561(serverVersion))
                     checksummed = (ev(ev.length - 5) & 0xff) == 1
                 }
-                if (evType == 33 && ev.length >= 19 + 25) // GTID_EVENT (mysql)
-                  executed = executed.add(
-                    GtidSet.uuidString(ev, 19 + 1), gnoLe(ev, 19 + 17))
-                if (evType == 162 && ev.length >= 19 + 12) // GTID (mariadb)
-                  trackMariadb(leU32(ev, 19 + 8), leU32(ev, 5), leU64(ev, 19))
+                if (evType == 33 || evType == 162 || evType == 16)
+                  trackGtidEvent(evType, leU32(ev, 5),
+                    if (evType == 16) Array.empty
+                    else java.util.Arrays.copyOfRange(ev, 19, ev.length))
                 if (channel == null)
                   throw new IOException("event stream started without a ROTATE")
                 channel.write(ByteBuffer.wrap(ev))
@@ -302,24 +327,18 @@ final class ReplicationFeed(host: String, port: Int, user: String,
     }
   }
 
-  private def gnoLe(b: Array[Byte], off: Int): Long = {
-    var v = 0L; var i = 7
-    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
-    v
-  }
-
   /** ROTATE body → (next position, next file name). The artificial
     * rotate arrives BEFORE the FDE, so its checksum presence is unknown;
-    * detect a CRC32 trailer by verification (false positive odds 2^-32).
-    * Mid-stream rotates use the FDE-declared mode. */
-  private def parseRotate(ev: Array[Byte], artificial: Boolean): (Long, String) = {
+    * the caller passes the verification-stripped bytes (false positive
+    * odds 2^-32). Mid-stream rotates use the FDE-declared mode. */
+  private def parseRotate(ev: Array[Byte], stripped: Array[Byte],
+      artificial: Boolean): (Long, String) = {
     val end =
-      if (artificial) stripChecksumIfPresent(ev).length
+      if (artificial) stripped.length
       else if (checksummed) ev.length - 4
       else ev.length
-    var pos = 0L; var i = 19 + 7
-    while (i >= 19) { pos = (pos << 8) | (ev(i) & 0xffL); i -= 1 }
-    (pos, new String(ev, 19 + 8, end - 19 - 8, java.nio.charset.StandardCharsets.UTF_8))
+    (leU64(ev, 19),
+      new String(ev, 19 + 8, end - 19 - 8, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Return the event without its CRC32 trailer if one verifies — with

@@ -45,7 +45,9 @@ object Similarity {
       minCosine: Column,
       scoreT: Column => Column = identity,
       maxRows: Long = 100000L): DataFrame = {
-    val n = base.limit((maxRows + 1).toInt).count()
+    require(maxRows >= 1 && maxRows < Int.MaxValue,
+      s"maxRows must be in [1, ${Int.MaxValue - 1}], got $maxRows")
+    val n = base.limit(maxRows.toInt + 1).count()
     require(n <= maxRows,
       s"nearDupPairs is exact all-pairs (O(n^2)) and refuses > $maxRows rows " +
         s"(got at least $n); pre-bucket the input or use nearDupPairsBucketed")

@@ -29,8 +29,12 @@ object StatefulOps {
   case class SessionState(start: Long, last: Long, n: Long)
 
   /** All not-yet-emittable intervals of one key, ascending by start;
-    * the last one is the open session. */
-  case class SessionBuf(intervals: List[SessionState])
+    * the last one is the open session. `armedAt` records the event-time
+    * timer actually registered (which may be clamped past the raw min
+    * deadline), so the next batch deletes the REAL timer — deleting a
+    * recomputed deadline would miss a clamped registration and leak
+    * timers. Used by the transformWithState form; −1 = none. */
+  case class SessionBuf(intervals: List[SessionState], armedAt: Long = -1L)
 
   case class ClosedSession(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Long)
@@ -75,37 +79,44 @@ object StatefulOps {
       buf = getHandle.getValueState[SessionBuf]("sessions",
         Encoders.product[SessionBuf], TTLConfig.NONE)
 
-    /** One live timer per key, at the earliest pending close deadline. */
-    private def rearm(prevDeadline: Option[Long], kept: List[SessionState],
-        watermarkMs: Long): Unit = {
-      prevDeadline.foreach(getHandle.deleteTimer)
-      if (kept.nonEmpty) {
-        val next = kept.map(_.last + gapMs).min
-        getHandle.registerTimer(math.max(next, watermarkMs + 1))
+    /** One live timer per key, at the earliest pending close deadline;
+      * returns the registered timestamp (−1 if none) for the state. */
+    private def rearm(prevArmed: Long, kept: List[SessionState],
+        watermarkMs: Long): Long = {
+      if (prevArmed >= 0) getHandle.deleteTimer(prevArmed)
+      if (kept.isEmpty) -1L
+      else {
+        val t = math.max(kept.map(_.last + gapMs).min, watermarkMs + 1)
+        getHandle.registerTimer(t)
+        t
       }
     }
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[ClosedSession] = {
-      val prev = if (buf.exists()) buf.get().intervals else Nil
+      val prev = if (buf.exists()) buf.get() else SessionBuf(Nil)
       val wm = tv.getCurrentWatermarkInMs()
-      val merged = mergeIntervals(prev,
+      val merged = mergeIntervals(prev.intervals,
         rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq, gapMs)
       val (done, kept) = merged.partition(ripe(_, gapMs, wm))
-      if (kept.isEmpty) buf.clear() else buf.update(SessionBuf(kept))
-      rearm(prev.headOption.map(_ => prev.map(_.last + gapMs).min), kept, wm)
+      val armed = rearm(prev.armedAt, kept, wm)
+      if (kept.isEmpty) buf.clear() else buf.update(SessionBuf(kept, armed))
       done.iterator.map(emit(user, _))
     }
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[ClosedSession] = {
       if (!buf.exists()) return Iterator.empty
-      val pending = buf.get().intervals
+      val prev = buf.get()
       val wm = tv.getCurrentWatermarkInMs()
-      val (done, kept) = pending.partition(ripe(_, gapMs, wm))
-      if (kept.isEmpty) buf.clear() else buf.update(SessionBuf(kept))
-      // the fired timer is gone; arm the next deadline if any remain
-      rearm(None, kept, wm)
+      val (done, kept) = prev.intervals.partition(ripe(_, gapMs, wm))
+      // the FIRED timer is consumed by the runtime; a stale armed one
+      // (from before a reschedule) still needs explicit deletion
+      val stillArmed =
+        if (prev.armedAt >= 0 && prev.armedAt != info.getExpiryTimeInMs()) prev.armedAt
+        else -1L
+      val armed = rearm(stillArmed, kept, wm)
+      if (kept.isEmpty) buf.clear() else buf.update(SessionBuf(kept, armed))
       done.iterator.map(emit(user, _))
     }
   }

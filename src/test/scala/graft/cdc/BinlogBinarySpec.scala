@@ -568,21 +568,24 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(got.map(_.eventType) == Vector("UpdateRowsEventV2", "DeleteRowsEventV2"))
   }
 
-  test("BinlogFileFeed decode cache is bounded; evicted segments re-decode correctly") {
+  test("BinlogFileFeed decode cache is bounded by events; evicted segments re-decode") {
     val dir = Files.createTempDirectory("binfeed-evict")
-    val bytes = standardFile(true)
-    val n = graft.cdc.source.BinlogFileFeed.MaxCachedSegments + 4
-    (1 to n).foreach(i => Files.write(dir.resolve(f"mysql-bin.$i%06d.binlog"), bytes))
-    val feed = new BinlogFileFeed(dir.toString)
-    feed.segments().foreach(s => assert(feed.extent(s) == 4L))
-    assert(graft.cdc.source.BinlogFileFeed.cachedSegments <=
-      graft.cdc.source.BinlogFileFeed.MaxCachedSegments)
-    // the first segment was evicted — reading it again re-decodes fully
-    val r = feed.open("mysql-bin.000001.binlog", 0L, 4L)
-    val got = Iterator.continually(if (r.next()) Some(r.get()) else None)
-      .takeWhile(_.isDefined).flatten.toVector
-    assert(got.map(_.eventType) == Vector("WriteRowsEventV2",
-      "UpdateRowsEventV2", "DeleteRowsEventV2", "RotateEvent"))
+    val bytes = standardFile(true) // 4 feed events per segment
+    (1 to 12).foreach(i => Files.write(dir.resolve(f"mysql-bin.$i%06d.binlog"), bytes))
+    val prev = graft.cdc.source.BinlogFileFeed.maxCachedEvents
+    graft.cdc.source.BinlogFileFeed.maxCachedEvents = 16L // = 4 segments
+    try {
+      val feed = new BinlogFileFeed(dir.toString)
+      feed.segments().foreach(s => assert(feed.extent(s) == 4L))
+      assert(graft.cdc.source.BinlogFileFeed.cachedEvents <= 16L)
+      assert(graft.cdc.source.BinlogFileFeed.cachedSegments < 12)
+      // the first segment was evicted — reading it again re-decodes fully
+      val r = feed.open("mysql-bin.000001.binlog", 0L, 4L)
+      val got = Iterator.continually(if (r.next()) Some(r.get()) else None)
+        .takeWhile(_.isDefined).flatten.toVector
+      assert(got.map(_.eventType) == Vector("WriteRowsEventV2",
+        "UpdateRowsEventV2", "DeleteRowsEventV2", "RotateEvent"))
+    } finally graft.cdc.source.BinlogFileFeed.maxCachedEvents = prev
   }
 
   test("binary feed drives the unchanged decode pipeline: after-image-only UPDATE") {

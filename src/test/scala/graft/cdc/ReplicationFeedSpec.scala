@@ -146,7 +146,9 @@ class ReplicationFeedSpec extends SparkTestBase {
 
   private val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
 
-  /** fde + tableMap + 3 GTID-delimited single-row transactions. */
+  /** fde + tableMap + 3 GTID-delimited single-row transactions, each
+    * closed by its XID commit (the event that promotes a GTID into the
+    * client's executed set — an uncommitted tail must be re-fetched). */
   private def gtidFixture: Array[Byte] = {
     val b = new Builder(true).fde().tableMap(7L, "testdb", "users", cols)
     def le8(v: Long): Array[Byte] =
@@ -154,6 +156,7 @@ class ReplicationFeedSpec extends SparkTestBase {
     (1 to 3).foreach { gno =>
       b.event(33, Array(1.toByte) ++ GtidSet.uuidBytes(uuid) ++ le8(gno.toLong))
       b.rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(gno, s"u$gno")))
+      b.event(16, le8(gno.toLong)) // XID
     }
     b.bytes
   }
@@ -203,6 +206,7 @@ class ReplicationFeedSpec extends SparkTestBase {
     (1 to 3).foreach { seqNo =>
       b.event(162, le(seqNo.toLong, 8) ++ le(0L, 4) ++ Array(0.toByte))
       b.rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(seqNo, s"u$seqNo")))
+      b.event(16, le(seqNo.toLong, 8)) // XID commit promotes the GTID
     }
     b.bytes
   }
@@ -254,6 +258,52 @@ class ReplicationFeedSpec extends SparkTestBase {
       assert(seq == 3 && got.length == size)
       assert(java.util.Arrays.equals(got, payload), s"payload mismatch at size $size")
     }
+  }
+
+  test("a partially received transaction's GTID is NOT counted as executed") {
+    // fixture's last transaction has its GTID + rows but NO XID commit —
+    // as if the connection died mid-transaction. The reconnect's dump
+    // set must exclude it so the server re-serves the whole transaction.
+    def le8(v: Long): Array[Byte] =
+      (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    val b = new Builder(true).fde().tableMap(7L, "testdb", "users", cols)
+    b.event(33, Array(1.toByte) ++ GtidSet.uuidBytes(uuid) ++ le8(3L))
+    b.rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(3, "u3")))
+    // no XID — transaction torn here
+    val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> b.bytes),
+      closeAfterStream = true)
+    val dir = Files.createTempDirectory("repl-torn-trx").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 9L, dir)
+    try {
+      feed.configure("mysql", Some(s"$uuid:1-2"))
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (server.gtidDumps.size < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      // BOTH dump requests carry only the committed set — gno 3 pends
+      // forever until an XID arrives, so it is always re-fetched
+      assert(server.gtidDumps.get(0) == s"$uuid:1-2")
+      assert(server.gtidDumps.get(1) == s"$uuid:1-2")
+    } finally { feed.close(); server.close() }
+  }
+
+  test("recovery after a rotation resumes the NEW file at position 4") {
+    // relay state after a rotation + crash: segment 1 holds real events
+    // (high end positions), segment 2 only the magic so far. Resuming
+    // must ask for (file 2, pos 4) — carrying file 1's offset into file
+    // 2 would silently skip the head of the new file.
+    val server = new FakeMysqlServer("pw",
+      Map("mysql-bin.000001" -> fixture(2), "mysql-bin.000002" -> fixture(1)))
+    val dir = Files.createTempDirectory("repl-rotate-recover")
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), fixture(2))
+    Files.write(dir.resolve("mysql-bin.000002.binlog"),
+      Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte))
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 10L, dir.toString)
+    try {
+      feed.configure("mysql", None)
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (server.dumps.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(server.dumps.get(0) == (("mysql-bin.000002", 4L)),
+        s"dump must restart the rotated-to file at 4, got ${server.dumps.get(0)}")
+    } finally { feed.close(); server.close() }
   }
 
   test("replication feed drives the full config-driven sync pipeline") {
