@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * bottom-up BGR rows padded to 4 bytes) — through a per-partition
   * mapPartitions with no shuffle. Both containers round-trip through
   * [[ImageCodecs]] and decode to the same row-major RGB, so the same
-  * pixel stats come out of either. Audio/video codecs (JPEG/ffmpeg)
-  * stay out of scope in this container; their seam is the same
-  * mapPartitions shape with a codec call per record.
+  * pixel stats come out of either. Audio (RIFF/WAVE PCM) and video
+  * (YUV4MPEG2) get the same treatment in [[AudioVideo]]; compressed
+  * codecs (JPEG/ffmpeg) stay out of scope in this container — their
+  * seam is the same mapPartitions shape with a codec call per record.
   */
 object Multimodal {
 

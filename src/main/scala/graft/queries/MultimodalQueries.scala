@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{AudioVideo, Multimodal}
 
 /** Multimodal pipeline as declared queries: deterministic image
   * synthesis from the corpus (even doc_ids encode as binary PPM, odd as
@@ -39,6 +39,52 @@ object MultimodalQueries extends QueryGroup {
           (sum(when(col("frame_idx") % 4 === 0, col("fsum")).otherwise(0L)) % 1000000007L)
             .cast("long").as("samp_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Audio features from REAL decoded RIFF/WAVE PCM: header fields,
+    // integer duration, peak, exact sum-of-squares energy, sign-flip
+    // zero crossings. The fixture WAVs carry an odd-sized JUNK chunk, so
+    // a fixed-44-byte-header parser would fail here.
+    "q79_audio_features" -> ((s, d) => {
+      val media = AudioVideo.attachAudio(s, Tables.documents(s, d))
+      AudioVideo.audioFeatures(s, media)
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("duration_ms"), col("peak"), col("energy"), col("zero_cross"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Acoustic frame sampling over the decoded PCM: 160-sample frames
+    // (20 ms @ 8 kHz), keep every 3rd, per-doc aggregate. Documents
+    // shorter than one frame drop out (oracle floor-divides the same).
+    "q80_audio_frames" -> ((s, d) => {
+      val media = AudioVideo.attachAudio(s, Tables.documents(s, d))
+      AudioVideo.audioFrames(s, media)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          count(when(col("frame_idx") % 3 === 0, 1)).as("n_sampled"),
+          sum(when(col("frame_idx") % 3 === 0, col("fenergy")).otherwise(0L))
+            .cast("long").as("samp_energy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Video frame stats from REAL decoded Y4M luma planes. Even docs are
+    // C444, odd C420jpeg — wrong chroma plane math desyncs the frame
+    // walk, but the luma algebra (and hence the oracle) is identical.
+    "q81_video_frames" -> ((s, d) => {
+      val media = AudioVideo.attachVideo(s, Tables.documents(s, d))
+      AudioVideo.videoFrames(s, media)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("ysum")).cast("long").as("luma_sum"),
+          sum(when(col("frame_idx") % 2 === 0, col("ysum")).otherwise(0L))
+            .cast("long").as("samp_sum"),
+          sum(col("bright")).cast("long").as("n_bright"))
+        .withColumn("kind",
+          when(col("doc_id") % 2 === 0, lit("c444")).otherwise(lit("c420")))
+        .withColumn("width", lit(8L)).withColumn("height", lit(4L))
+        .select(col("doc_id"), col("kind"), col("n_frames"), col("width"),
+          col("height"), col("luma_sum"), col("samp_sum"), col("n_bright"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -51,6 +97,15 @@ object MultimodalQueries extends QueryGroup {
       |bs AS (SELECT doc_id, h, list_transform(range(0, 24 * h),
       |         j -> CAST(ascii(text[(j % len) + 1]) AS BIGINT)) AS b
       |       FROM dims)""".stripMargin
+
+  /** Shared audio CTE: sample j = (text byte (j mod len) − 96) · 256,
+    * n_samples = 2·len (the synthesis in [[AudioVideo.synthesizePcm]]). */
+  private val audioCtes: String =
+    """d AS (SELECT doc_id, text, strlen(text) AS len
+      |      FROM documents WHERE strlen(text) > 0),
+      |s AS (SELECT doc_id, len, list_transform(range(0, 2 * len),
+      |        j -> (CAST(ascii(text[(j % len) + 1]) AS BIGINT) - 96) * 256) AS sm
+      |      FROM d)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q41_multimodal_features" ->
@@ -82,6 +137,50 @@ object MultimodalQueries extends QueryGroup {
          |       CAST(COUNT(*) AS BIGINT) AS n_frames,
          |       CAST(COUNT(CASE WHEN k % 4 = 0 THEN 1 END) AS BIGINT) AS n_sampled,
          |       CAST(SUM(CASE WHEN k % 4 = 0 THEN fsum ELSE 0 END) % 1000000007 AS BIGINT) AS samp_sum
-         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q79_audio_features" ->
+      s"""WITH $audioCtes
+         |SELECT doc_id,
+         |  CAST(2 * len AS BIGINT) AS n_samples,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST((2 * len * 1000) // 8000 AS BIGINT) AS duration_ms,
+         |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+         |  CAST(list_reduce(list_transform(sm, x -> x * x), (a, b) -> a + b) AS BIGINT) AS energy,
+         |  CAST(len(list_filter(range(1, 2 * len),
+         |    j -> (sm[j + 1] >= 0) != (sm[j] >= 0))) AS BIGINT) AS zero_cross
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q80_audio_frames" ->
+      s"""WITH $audioCtes,
+         |f AS (SELECT doc_id, u.k AS k,
+         |        list_reduce(list_transform(range(160 * u.k, 160 * (u.k + 1)),
+         |                                   j -> sm[j + 1] * sm[j + 1]),
+         |                    (a, b) -> a + b) AS fe
+         |      FROM s, unnest(range(0, (2 * len) // 160)) u(k))
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |       CAST(COUNT(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT) AS n_sampled,
+         |       CAST(SUM(CASE WHEN k % 3 = 0 THEN fe ELSE 0 END) AS BIGINT) AS samp_energy
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q81_video_frames" ->
+      s"""WITH d AS (SELECT doc_id, text, strlen(text) AS len
+         |           FROM documents WHERE strlen(text) > 0),
+         |v AS (SELECT doc_id, text, len, (len + 47) // 48 AS nf FROM d),
+         |y AS (SELECT doc_id, u.f AS f,
+         |        list_transform(range(0, 32),
+         |          j -> CAST(ascii(text[((96 * u.f + j) % len) + 1]) AS BIGINT)) AS ys
+         |      FROM v, unnest(range(0, nf)) u(f))
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'c444' ELSE 'c420' END AS kind,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+         |  CAST(SUM(list_reduce(ys, (a, b) -> a + b)) AS BIGINT) AS luma_sum,
+         |  CAST(SUM(CASE WHEN f % 2 = 0
+         |             THEN list_reduce(ys, (a, b) -> a + b) ELSE 0 END)
+         |    AS BIGINT) AS samp_sum,
+         |  CAST(SUM(len(list_filter(ys, x -> x >= 96))) AS BIGINT) AS n_bright
+         |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
