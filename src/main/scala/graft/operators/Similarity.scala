@@ -195,6 +195,37 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-prune, after
+    * Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    * nearest centroid, then within each cluster mark as duplicates the
+    * non-minimal members of every pair whose cosine clears `minCosine`.
+    * The clustering is the method's scale lever: pair candidates come
+    * from EQUALITY on the assigned cluster id (both sides co-shuffled
+    * on it), so pair work is O(Σ|cluster|²) — bounded by clustering
+    * granularity, set by the centroid count — never corpus-O(n²). The
+    * assignment pass feeds three consumers, so it is localCheckpointed
+    * once (same contract as [[kmeansTrain]]'s rounds: batch inputs,
+    * materialized at call time). Returns (idCol, cid, keep∈{0,1})
+    * covering every input vector; keep=1 rows are the deduplicated
+    * corpus — a duplicate survives only as the smallest id of its
+    * qualifying pairs, matching the common "keep first" policy. */
+  def semanticDedup(base: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, minCosine: Column,
+      scoreT: Column => Column = identity): DataFrame = {
+    val asg = assignToCentroids(base, idCol, vecCol, centroids)
+      .localCheckpoint(eager = true)
+    val a = asg.select(col(idCol).as("__i"), col("acid").as("__ca"),
+      col("__v").as("__va"))
+    val b = asg.select(col(idCol).as("__j"), col("acid").as("__cb"),
+      col("__v").as("__vb"))
+    val dup = a.join(b, col("__ca") === col("__cb") && col("__i") < col("__j"))
+      .filter(scoreT(cosine(col("__va"), col("__vb"))) >= minCosine)
+      .select(col("__j")).distinct()
+    asg.join(dup, col(idCol) === col("__j"), "left")
+      .select(col(idCol), col("acid").as("cid"),
+        when(col("__j").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** IVF-pruned ANN: assign base vectors to their nearest centroid
     * ([[assignToCentroids]]), probe the nprobe centroids closest to the
     * query, brute-force only inside the probed clusters. Centroids are

@@ -38,6 +38,33 @@ object PipelineQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("split"))),
 
+    // Corpus mixture re-weighting (the balancing step of a training-data
+    // recipe): give every language an equal share of the token budget,
+    // downsample-only (weight = min(1, target/actual)). Two tiny
+    // aggregations — per-group token totals, then a 1-row broadcast of
+    // the grand total back onto the groups; the corpus-sized pass is the
+    // narrow token count feeding the first groupBy. All ratio math is
+    // one identical IEEE op sequence from exact BIGINTs in both engines.
+    "q84_mixture_weights" -> ((s, d) => {
+      val perLang = Tables.spread(Tables.documents(s, d))
+        .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tok"))
+      val tot = perLang.agg(
+        sum(col("n_tok")).cast("long").as("total_tok"),
+        count(lit(1)).as("n_langs"))
+      // `div` = exact integral division (matches DuckDB's `//`); a
+      // double divide-then-truncate could round differently at scale.
+      val target = expr("total_tok div n_langs").cast("long")
+      val w = least(lit(1.0), target.cast("double") / col("n_tok").cast("double"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tok"),
+          target.as("target_tok"),
+          ratio1e4(w).as("w_1e4"),
+          floor(col("n_tok").cast("double") * w + 0.5).cast("long").as("exp_tok"))
+        .orderBy(col("lang"))
+    }),
+
     // Sequence packing: assign docs (in doc_id order) to fixed
     // token-budget bins of 512 by cumulative token count — the window
     // formulation of streaming greedy packing (library operator
@@ -122,6 +149,22 @@ object PipelineQueries extends QueryGroup {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_mixture_weights" ->
+      """WITH t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                      x -> x <> ''))) AS BIGINT) AS n_tok
+        |           FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+        |               CAST(COUNT(*) AS BIGINT) AS n_langs FROM t)
+        |SELECT lang, n_docs, n_tok,
+        |  CAST(total_tok // n_langs AS BIGINT) AS target_tok,
+        |  CAST(floor(LEAST(1.0, CAST(total_tok // n_langs AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |    * 10000 + 0.5) AS BIGINT) AS w_1e4,
+        |  CAST(floor(CAST(n_tok AS DOUBLE)
+        |    * LEAST(1.0, CAST(total_tok // n_langs AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |    + 0.5) AS BIGINT) AS exp_tok
+        |FROM t, tot ORDER BY lang""".stripMargin,
 
     "q47_sequence_packing" ->
       """WITH t AS (SELECT doc_id,

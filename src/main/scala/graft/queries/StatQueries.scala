@@ -90,6 +90,35 @@ object StatQueries extends QueryGroup {
           sqrt(col("n").cast("double") * col("syy").cast("double") -
             col("sy").cast("double") * col("sy").cast("double"))).as("corr_1e4"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Single-pass data profiling (the ANALYZE/quality-gate pass a
+    // pipeline runs before training): per-column row/non-null/distinct
+    // counts and min/max for a set of columns, computed in ONE scan.
+    // Multiple exact count-distincts in one Aggregate go through
+    // Spark's Expand (4× row multiplication, each copy keeping one
+    // column) + two-phase aggregate — at 100 TB that is one pass over
+    // the fact table instead of one scan per profiled column; the
+    // Expand rows are (key, null-mask) tuples, far narrower than the
+    // source rows. The single-row result then unpivots driver-side.
+    "q83_column_profile" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col("n_rows"),
+          col(s"nn_$c").cast("long").as("n_nonnull"),
+          col(s"nd_$c").cast("long").as("n_distinct"),
+          col(s"mn_$c").as("min_d"),
+          col(s"mx_$c").as("max_d"))): _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -137,6 +166,19 @@ object StatQueries extends QueryGroup {
         |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
         |    * 10000 + 0.5) AS BIGINT) AS corr_1e4
-        |FROM m ORDER BY 1""".stripMargin
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q83_column_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_d,
+           |  CAST(MAX($c) AS DOUBLE) AS max_d
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }

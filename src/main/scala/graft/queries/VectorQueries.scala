@@ -162,6 +162,23 @@ object VectorQueries extends QueryGroup {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // SemDeDup-style semantic dedup (Similarity.semanticDedup): nearest-
+    // centroid clustering, then within-cluster cosine pruning — pair
+    // candidates come from EQUALITY on the assigned cluster id, the
+    // method's whole point at 100 TB (pair work bounded by cluster
+    // granularity, never corpus-O(n²)). Output covers every vector:
+    // keep=1 rows are the deduplicated corpus, keep=0 rows lost to a
+    // smaller-id near-twin in their cluster. Assignment tie-break and
+    // the DECIMAL-rendered threshold cut match q35/q67 conventions.
+    "q82_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      graft.operators.Similarity.semanticDedup(
+          e, "vec_id", "v", cent, lit(0.3), decD)
+        .orderBy(col("vec_id"))
+    }),
+
     // Symmetric int8 scalar quantization of embeddings + exact
     // reconstruction error — the compression step in front of a
     // billion-vector ANN index (quantized vectors are 4× smaller; the
@@ -273,6 +290,23 @@ object VectorQueries extends QueryGroup {
          |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
          |WHERE CAST(${duckCos("a.v", "c.v")} AS DECIMAL(18,4)) >= 0.3
          |ORDER BY i, j""".stripMargin,
+
+    "q82_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |asg AS (SELECT vec_id, cid, v FROM (
+         |  SELECT e.vec_id, cent.cid, e.v,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM e, cent) t WHERE rn = 1),
+         |dup AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+         |        ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |        WHERE CAST(${duckCos("a.v", "b.v")} AS DECIMAL(18,4)) >= 0.3)
+         |SELECT asg.vec_id, asg.cid,
+         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
 
     "q78_kmeans_train" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -105,6 +105,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q82 semantic-dedup pair candidates come from a cluster-equality join") {
+    // the only loop join is the broadcast centroid expansion; the pair
+    // stage must co-shuffle on the assigned cluster id, never cross the
+    // corpus with itself
+    val p = plan("q82_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q83 profile runs ONE scan; multi-distinct goes through Expand") {
+    val p = plan("q83_column_profile")
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 1,
+      s"profile must read the fact table once:\n$p")
+  }
+
   test("q67 k-means assignment aggregates, never window-sorts the expansion") {
     val plan = SparkEntry.queries("q67_kmeans_step")(spark, sf001)
       .queryExecution.executedPlan

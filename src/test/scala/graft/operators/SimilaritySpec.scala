@@ -69,6 +69,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("semanticDedup keeps the minimal id of each within-cluster dup pair") {
+    // two well-separated clusters; vectors 1/2 and 4/5 are near-twins
+    val df = vecDf(
+      (1L, Seq(1f, 0.010f, 0f, 0f)), // cluster A
+      (2L, Seq(1f, 0.011f, 0f, 0f)), // near-twin of 1 → dropped
+      (3L, Seq(0.9f, 0.4f, 0f, 0f)), // cluster A, but below the cut → kept
+      (4L, Seq(0.010f, 1f, 0f, 0f)), // cluster B
+      (5L, Seq(0.012f, 1f, 0f, 0f))) // near-twin of 4 → dropped
+    val s = spark
+    import s.implicits._
+    val cent = Seq((10L, Seq(1f, 0f, 0f, 0f)), (20L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cv")
+    val out = Similarity.semanticDedup(df, "vec_id", "v", cent, lit(0.999))
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map(
+      1L -> (10L, 1L), 2L -> (10L, 0L), 3L -> (10L, 1L),
+      4L -> (20L, 1L), 5L -> (20L, 0L)))
+    // candidates come from cluster-id equality, never a corpus cross
+    // product (the centroid expansion is the only broadcast loop)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kmeansTrain equals manually unrolled kmeansStep rounds") {
     val rnd = new scala.util.Random(11)
     val df = vecDf((1 to 60).map(i =>
