@@ -73,6 +73,9 @@ object CdcPipeline {
         .option("port", cfg.sourcePort.toString)
         .option("user", cfg.sourceUser).option("password", cfg.sourcePassword)
         .option("slaveServerId", cfg.sourceServerId.toString)
+        .option("tlsMode", cfg.sourceTlsMode)
+    if (cfg.sourceFormat == "replication" && cfg.sourceTlsCa.nonEmpty)
+      reader = reader.option("tlsCa", cfg.sourceTlsCa)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
     cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))

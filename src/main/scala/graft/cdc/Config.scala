@@ -43,6 +43,12 @@ final case class GraftConfig(
     // replicas of one master; a duplicate makes the master kill the
     // other replica's connection on every (re)connect
     sourceServerId: Long = 1001L,
+    // connection TLS (an extension: the reference never exposes
+    // go-mysql's TLSConfig) — the mysql-client --ssl-mode family:
+    // disabled | required | verify_ca | verify_identity, with
+    // source.tlsCa naming the CA certificate file for the verify modes
+    sourceTlsMode: String = "disabled",
+    sourceTlsCa: String = "",
     // sharding (config.go:42-47)
     shardingEnabled: Boolean = false,
     shardCount: Int = 1,
@@ -203,6 +209,8 @@ object Config {
       sourceUser = strAt("root", "source", "user"),
       sourcePassword = strAt("", "source", "password"),
       sourceServerId = at("source", "serverID").map(_.asLong()).getOrElse(1001L),
+      sourceTlsMode = strAt("disabled", "source", "tlsMode"),
+      sourceTlsCa = strAt("", "source", "tlsCa"),
       shardingEnabled = boolAt(dflt = false, "sharding", "enabled"),
       shardCount = intAt(1, "sharding", "count"),
       shardIndex = intAt(0, "sharding", "index"),

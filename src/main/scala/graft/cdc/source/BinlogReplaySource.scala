@@ -215,7 +215,9 @@ object BinlogFeeds {
           Option(options.get("user")).getOrElse("root"),
           Option(options.get("password")).getOrElse(""),
           Option(options.get("slaveServerId")).map(_.toLong).getOrElse(1001L),
-          path))
+          path,
+          Option(options.get("tlsMode")).getOrElse("disabled"),
+          Option(options.get("tlsCa"))))
     }
     else Option(options.get("socket")) match {
       case Some(hp) =>

@@ -22,6 +22,7 @@ object MysqlWire {
 
   // capability flags (the minimal modern-client set)
   val CLIENT_LONG_PASSWORD = 0x00000001L
+  val CLIENT_SSL = 0x00000800L
   val CLIENT_PROTOCOL_41 = 0x00000200L
   val CLIENT_SECURE_CONNECTION = 0x00008000L
   val CLIENT_PLUGIN_AUTH = 0x00080000L
@@ -103,7 +104,7 @@ object MysqlWire {
   }
 
   final case class Handshake(serverVersion: String, threadId: Long,
-      seed: Array[Byte], authPlugin: String)
+      seed: Array[Byte], authPlugin: String, capabilities: Long = 0L)
 
   /** Initial handshake packet (protocol version 10): server version,
     * thread id, and the 20-byte auth seed split across two fields. */
@@ -119,11 +120,14 @@ object MysqlWire {
     i += 4
     val seed1 = java.util.Arrays.copyOfRange(p, i, i + 8)
     i += 8 + 1 // seed part 1 + filler
-    i += 2 // capability flags (lower)
+    var caps = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) // capability flags (lower)
+    i += 2
     var plugin = NativePasswordPlugin
     var seed2 = Array.empty[Byte]
     if (p.length > i) {
-      i += 1 + 2 + 2 // charset, status, capability flags (upper)
+      i += 1 + 2 // charset, status
+      caps |= ((p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8)) << 16 // flags (upper)
+      i += 2
       val authDataLen = p(i) & 0xff
       i += 1 + 10 // len + reserved
       // part 2 is max(13, len-8) bytes, NUL-padded; the seed is 20 total
@@ -136,7 +140,7 @@ object MysqlWire {
           StandardCharsets.UTF_8)
       }
     }
-    Handshake(version, threadId, seed1 ++ seed2, plugin)
+    Handshake(version, threadId, seed1 ++ seed2, plugin, caps)
   }
 
   /** mysql_native_password token:
@@ -179,14 +183,25 @@ object MysqlWire {
         throw new java.io.IOException(s"unsupported auth plugin $other")
     }
 
+  private def clientCaps(ssl: Boolean): Long =
+    CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 |
+      CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH |
+      (if (ssl) CLIENT_SSL else 0L)
+
+  /** SSLRequest: the 32-byte HandshakeResponse41 prefix (capabilities
+    * with CLIENT_SSL, max packet, charset, filler) sent in place of the
+    * full response; the client then upgrades the socket to TLS and sends
+    * the real response (next sequence id) over the encrypted stream. */
+  def sslRequest(): Array[Byte] =
+    le(clientCaps(ssl = true), 4) ++ le(1L << 24, 4) ++ Array(33.toByte) ++
+      Array.fill(23)(0.toByte)
+
   /** HandshakeResponse41 (the client's reply), speaking the server's
     * advertised plugin. */
   def handshakeResponse(user: String, password: String, seed: Array[Byte],
-      plugin: String = NativePasswordPlugin): Array[Byte] = {
-    val caps = CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 |
-      CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+      plugin: String = NativePasswordPlugin, ssl: Boolean = false): Array[Byte] = {
     val token = tokenFor(plugin, password, seed)
-    le(caps, 4) ++ le(1L << 24, 4) ++ Array(33.toByte) ++ // max packet, utf8
+    le(clientCaps(ssl), 4) ++ le(1L << 24, 4) ++ Array(33.toByte) ++ // max packet, utf8
       Array.fill(23)(0.toByte) ++
       user.getBytes(StandardCharsets.UTF_8) ++ Array(0.toByte) ++
       Array(token.length.toByte) ++ token ++
@@ -195,10 +210,13 @@ object MysqlWire {
 
   /** Drive the post-handshake auth dialogue to an OK packet: handles
     * caching_sha2's fast-auth-success marker (0x01 0x03), its
-    * perform-full-auth request (0x01 0x04 — REFUSED: full auth sends
-    * the cleartext password and needs TLS or the server's RSA key),
-    * and an auth-switch request (0xfe + plugin + fresh seed). */
-  def completeAuth(io: PacketIO, password: String): Unit = {
+    * perform-full-auth request (0x01 0x04 — over TLS the client answers
+    * with the NUL-terminated cleartext password, which the encrypted
+    * channel is what makes safe; on a plain connection it is REFUSED,
+    * since sending it would leak the password and the RSA-key exchange
+    * alternative is out of scope), and an auth-switch request
+    * (0xfe + plugin + fresh seed). */
+  def completeAuth(io: PacketIO, password: String, tls: Boolean = false): Unit = {
     var done = false
     while (!done) {
       val (seq, p) = io.read()
@@ -207,8 +225,10 @@ object MysqlWire {
         case 0x00 => done = true
         case 0x01 if p.length >= 2 && (p(1) & 0xff) == 0x03 => // fast auth ok; OK follows
         case 0x01 if p.length >= 2 && (p(1) & 0xff) == 0x04 =>
-          throw new java.io.IOException(
+          if (!tls) throw new java.io.IOException(
             "caching_sha2_password full authentication requires TLS (server cache miss)")
+          io.write(seq + 1,
+            password.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
         case 0xfe => // auth switch: [0xfe][plugin NUL][seed]
           val pluginEnd = {
             var i = 1; while (i < p.length && p(i) != 0) i += 1; i

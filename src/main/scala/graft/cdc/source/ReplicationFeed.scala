@@ -33,9 +33,21 @@ import java.util.zip.CRC32
   * dropped; an artificial ROTATE (timestamp 0) switches the spool
   * segment without being written twice into an existing segment.
   */
+/** @param tlsMode the mysql-client `--ssl-mode` family (an extension —
+  *   the reference never exposes go-mysql's TLSConfig): "disabled"
+  *   (default), "required" (encrypt WITHOUT certificate verification —
+  *   MySQL's documented REQUIRED semantics, not a shortcut), "verify_ca"
+  *   (validate the chain against `tlsCa` or the JVM default trust
+  *   store), or "verify_identity" (verify_ca + hostname check).
+  * @param tlsCa X.509 certificate file (PEM or DER) to trust for
+  *   verify_ca / verify_identity — the `--ssl-ca` analog. */
 final class ReplicationFeed(host: String, port: Int, user: String,
-    password: String, slaveServerId: Long, spoolDir: String)
+    password: String, slaveServerId: Long, spoolDir: String,
+    tlsMode: String = "disabled", tlsCa: Option[String] = None)
     extends EventFeed with AutoCloseable {
+
+  require(Set("disabled", "required", "verify_ca", "verify_identity")(tlsMode),
+    s"unsupported tlsMode '$tlsMode'")
 
   private val files = new BinlogFileFeed(spoolDir)
   Files.createDirectories(Paths.get(spoolDir))
@@ -208,21 +220,77 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   }, s"replication-feed-$host:$port")
   tail.setDaemon(true)
 
+  /** TLS client upgrade of the already-connected socket, per `tlsMode`.
+    * "required" trusts any certificate (MySQL's REQUIRED = encryption
+    * only); verify_ca/verify_identity build the trust from `tlsCa`
+    * (one PEM/DER certificate) or fall back to the JVM default. */
+  private def upgradeTls(plain: Socket): javax.net.ssl.SSLSocket = {
+    import javax.net.ssl._
+    val trust: Array[TrustManager] =
+      if (tlsMode == "required")
+        Array(new X509TrustManager {
+          override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        })
+      else tlsCa match {
+        case Some(path) =>
+          val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+          val in = Files.newInputStream(Paths.get(path))
+          val cert = try cf.generateCertificate(in) finally in.close()
+          val ks = java.security.KeyStore.getInstance(
+            java.security.KeyStore.getDefaultType)
+          ks.load(null, null)
+          ks.setCertificateEntry("ca", cert)
+          val tmf = TrustManagerFactory.getInstance(
+            TrustManagerFactory.getDefaultAlgorithm)
+          tmf.init(ks)
+          tmf.getTrustManagers
+        case None => null // JVM default trust store
+      }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, trust, null)
+    val ssl = ctx.getSocketFactory
+      .createSocket(plain, host, port, true).asInstanceOf[SSLSocket]
+    if (tlsMode == "verify_identity") {
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(params)
+    }
+    ssl.startHandshake()
+    ssl
+  }
+
   /** One connection lifetime: dialogue + event stream until EOF/error. */
   private def streamOnce(): Unit = {
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(host, port), 5000)
-    liveSocket = sock
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), 5000)
+    liveSocket = plain
+    var sock: Socket = plain
     var channel: FileChannel = null
     try {
-      val io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
+      var io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
       // 1. handshake + auth (native or caching_sha2 fast path, with
-      // auth-switch handling — the MySQL 8 default dialogue)
+      // auth-switch handling — the MySQL 8 default dialogue); with TLS
+      // on, an SSLRequest goes out first and the socket upgrades before
+      // any credential material flows
       val (hsSeq, hs) = io.read()
       val h = MysqlWire.parseHandshake(hs)
-      io.write(hsSeq + 1,
-        MysqlWire.handshakeResponse(user, password, h.seed, h.authPlugin))
-      MysqlWire.completeAuth(io, password)
+      val tls = tlsMode != "disabled"
+      var respSeq = hsSeq + 1
+      if (tls) {
+        if ((h.capabilities & MysqlWire.CLIENT_SSL) == 0L)
+          throw new IOException(
+            s"tlsMode=$tlsMode but the server does not advertise CLIENT_SSL")
+        io.write(respSeq, MysqlWire.sslRequest())
+        sock = upgradeTls(plain)
+        liveSocket = sock
+        io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
+        respSeq += 1
+      }
+      io.write(respSeq,
+        MysqlWire.handshakeResponse(user, password, h.seed, h.authPlugin, ssl = tls))
+      MysqlWire.completeAuth(io, password, tls)
       // 2. declare checksum awareness (go-mysql parity) + mariadb GTID pos
       io.write(0, MysqlWire.comQuery(
         "SET @master_binlog_checksum= @@global.binlog_checksum"))

@@ -26,14 +26,19 @@ final class FakeMysqlServer(password: String,
     authPlugin: String = MysqlWire.NativePasswordPlugin,
     // ask the client to re-authenticate with native + a fresh seed
     forceAuthSwitch: Boolean = false,
-    // caching_sha2 server cache miss: demand full authentication
-    sha2FullAuth: Boolean = false) extends AutoCloseable {
+    // caching_sha2 server cache miss: demand full authentication (the
+    // client refuses on a plain connection; over TLS it answers with
+    // the NUL-terminated cleartext password, verified here)
+    sha2FullAuth: Boolean = false,
+    // server-side TLS: accept an SSLRequest and upgrade the connection
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   val registered = new CopyOnWriteArrayList[Long]()
   val queries = new CopyOnWriteArrayList[String]()
   val dumps = new CopyOnWriteArrayList[(String, Long)]()
   val gtidDumps = new CopyOnWriteArrayList[String]()
   @volatile var authFailures = 0
+  @volatile var tlsSessions = 0
 
   private val server = new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -84,21 +89,37 @@ final class FakeMysqlServer(password: String,
     h1.zip(mix).map { case (a, b) => (a ^ b).toByte }
   }
 
-  private def serve(sock: Socket): Unit = {
-    val io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
+  private def serve(plainSock: Socket): Unit = {
+    var sock = plainSock
+    var io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
     val rnd = new scala.util.Random()
     val seed = Array.fill[Byte](20)((rnd.nextInt(94) + 33).toByte) // printable, no NULs
     // ---- handshake (protocol v10) ----
     val hs = Array[Byte](10) ++
       "8.0.32-fake".getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
       le(42L, 4) ++ seed.take(8) ++ Array[Byte](0) ++
-      le(0xffffL, 2) ++ Array(33.toByte) ++ le(2L, 2) ++
+      le(0xffffL, 2) ++ Array(33.toByte) ++ le(2L, 2) ++ // lower caps incl CLIENT_SSL
       le((MysqlWire.CLIENT_PLUGIN_AUTH >> 16) & 0xffff, 2) ++
       Array(21.toByte) ++ Array.fill[Byte](10)(0) ++
       seed.drop(8) ++ Array[Byte](0) ++
       authPlugin.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
     io.write(0, hs)
-    val (_, resp) = io.read()
+    var (_, resp) = io.read()
+    // a 32-byte response with CLIENT_SSL set is an SSLRequest: upgrade
+    // the socket server-side, then read the real HandshakeResponse41
+    val respCaps = (resp(0) & 0xffL) | ((resp(1) & 0xffL) << 8) |
+      ((resp(2) & 0xffL) << 16) | ((resp(3) & 0xffL) << 24)
+    if (resp.length == 32 && (respCaps & MysqlWire.CLIENT_SSL) != 0L) {
+      val ctx = tls.getOrElse(sys.error("client sent SSLRequest but server has no TLS"))
+      val ssl = ctx.getSocketFactory.createSocket(sock, null, 0, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(false)
+      ssl.startHandshake()
+      tlsSessions += 1
+      sock = ssl
+      io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
+      resp = io.read()._2
+    }
     // HandshakeResponse41: caps(4) maxPacket(4) charset(1) filler(23) user\0 authLen token
     var i = 32
     val userEnd = resp.indexOf(0.toByte, i)
@@ -131,10 +152,22 @@ final class FakeMysqlServer(password: String,
     if (verifyPlugin == MysqlWire.CachingSha2Plugin) {
       if (sha2FullAuth) {
         io.write(seqOut, Array(0x01.toByte, 0x04.toByte)) // perform full auth
-        return // client must refuse without TLS
+        if (!sock.isInstanceOf[javax.net.ssl.SSLSocket])
+          return // client must refuse without TLS
+        // over TLS the client answers with the NUL-terminated cleartext
+        val (s3, clear) = io.read()
+        val sent = new String(clear, 0, math.max(0, clear.length - 1),
+          StandardCharsets.UTF_8)
+        if (sent != password) {
+          authFailures += 1
+          io.write(s3 + 1, errPacket(1045, "Access denied (full auth)"))
+          return
+        }
+        seqOut = s3 + 1
+      } else {
+        io.write(seqOut, Array(0x01.toByte, 0x03.toByte)) // fast auth success
+        seqOut += 1
       }
-      io.write(seqOut, Array(0x01.toByte, 0x03.toByte)) // fast auth success
-      seqOut += 1
     }
     io.write(seqOut, okPacket)
     // ---- command loop ----

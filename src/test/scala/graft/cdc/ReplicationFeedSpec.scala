@@ -335,4 +335,104 @@ class ReplicationFeedSpec extends SparkTestBase {
       assert(got == (1 to 5).map(i => s"$i:u$i").sorted)
     } finally server.close()
   }
+
+  /** Self-signed server TLS material (keytool PKCS12, SAN=localhost +
+    * 127.0.0.1) + the exported CA certificate PEM — the --ssl-ca shape. */
+  private def tlsMaterial(): (javax.net.ssl.SSLContext, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("repl-tls-ks")
+    val ks = dir.resolve("ks.p12")
+    val gen = new ProcessBuilder(
+      "keytool", "-genkeypair", "-alias", "my", "-keyalg", "RSA", "-keysize", "2048",
+      "-validity", "1", "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1",
+      "-keystore", ks.toString, "-storetype", "PKCS12", "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool -genkeypair failed")
+    val pem = dir.resolve("ca.pem")
+    val exp = new ProcessBuilder(
+      "keytool", "-exportcert", "-rfc", "-alias", "my",
+      "-keystore", ks.toString, "-storepass", "changeit", "-file", pem.toString)
+      .redirectErrorStream(true).start()
+    assert(exp.waitFor() == 0, "keytool -exportcert failed")
+    val keyStore = java.security.KeyStore.getInstance("PKCS12")
+    val in = Files.newInputStream(ks)
+    try keyStore.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    (ctx, pem)
+  }
+
+  test("tlsMode=required: SSLRequest upgrade, credentials flow encrypted") {
+    val (ctx, _) = tlsMaterial()
+    val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> fixture(2)),
+      tls = Some(ctx))
+    val dir = Files.createTempDirectory("repl-tls").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 8L, dir,
+      tlsMode = "required")
+    try {
+      feed.configure("mysql", None)
+      awaitEvents(feed, 3)
+      assert(drain(feed).filter(_.eventType == "WriteRowsEventV2")
+        .map(_.rows(0)(0)) == Seq("1", "2"))
+      assert(server.tlsSessions >= 1, "the dialogue must have upgraded to TLS")
+      assert(server.authFailures == 0)
+    } finally { feed.close(); server.close() }
+  }
+
+  test("caching_sha2 full authentication completes over TLS") {
+    val (ctx, _) = tlsMaterial()
+    val server = new FakeMysqlServer("fullpw", Map("mysql-bin.000001" -> fixture(1)),
+      authPlugin = graft.cdc.source.MysqlWire.CachingSha2Plugin,
+      sha2FullAuth = true, tls = Some(ctx))
+    val dir = Files.createTempDirectory("repl-tls-full").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "fullpw", 9L, dir,
+      tlsMode = "required")
+    try {
+      feed.configure("mysql", None)
+      awaitEvents(feed, 2) // the plain-connection twin of this test refuses
+      assert(drain(feed).count(_.eventType == "WriteRowsEventV2") == 1)
+      assert(server.tlsSessions >= 1 && server.authFailures == 0)
+    } finally { feed.close(); server.close() }
+  }
+
+  test("verify_ca trusts the announced CA; verify_identity also checks the host") {
+    val (ctx, pem) = tlsMaterial()
+    for (mode <- Seq("verify_ca", "verify_identity")) {
+      val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> fixture(1)),
+        tls = Some(ctx))
+      val dir = Files.createTempDirectory(s"repl-$mode").toString
+      // SAN carries ip:127.0.0.1, so verify_identity passes against the ip
+      val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 10L, dir,
+        tlsMode = mode, tlsCa = Some(pem.toString))
+      try {
+        feed.configure("mysql", None)
+        awaitEvents(feed, 2)
+        assert(drain(feed).count(_.eventType == "WriteRowsEventV2") == 1, mode)
+        assert(server.authFailures == 0, mode)
+      } finally { feed.close(); server.close() }
+    }
+  }
+
+  test("verify_ca rejects a server whose chain the CA did not sign") {
+    val (serverCtx, _) = tlsMaterial()
+    val (_, strangerPem) = tlsMaterial() // an unrelated CA
+    val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> fixture(1)),
+      tls = Some(serverCtx))
+    val dir = Files.createTempDirectory("repl-badca").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 11L, dir,
+      tlsMode = "verify_ca", tlsCa = Some(strangerPem.toString))
+    try {
+      feed.configure("mysql", None)
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (feed.lastError == null && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(Option(feed.lastError).exists(e =>
+        e.contains("PKIX") || e.toLowerCase.contains("certif")), feed.lastError)
+      Thread.sleep(200)
+      assert(feed.segments().map(feed.extent).sum == 0L,
+        "no events may flow over an unverified channel")
+    } finally { feed.close(); server.close() }
+  }
 }
