@@ -92,34 +92,17 @@ object StatQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Single-pass data profiling (the ANALYZE/quality-gate pass a
-    // pipeline runs before training): per-column row/non-null/distinct
-    // counts and min/max for a set of columns, computed in ONE scan.
-    // Multiple exact count-distincts in one Aggregate go through
-    // Spark's Expand (4× row multiplication, each copy keeping one
-    // column) + two-phase aggregate — at 100 TB that is one pass over
-    // the fact table instead of one scan per profiled column; the
-    // Expand rows are (key, null-mask) tuples, far narrower than the
-    // source rows. The single-row result then unpivots driver-side.
-    "q83_column_profile" -> ((s, d) => {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      val aggs = cols.flatMap(c => Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c")))
-      Tables.lineitem(s, d)
-        .agg(count(lit(1)).as("n_rows"), aggs: _*)
-        .select(explode(array(cols.map(c => struct(
-          lit(c).as("col_name"),
-          col("n_rows"),
-          col(s"nn_$c").cast("long").as("n_nonnull"),
-          col(s"nd_$c").cast("long").as("n_distinct"),
-          col(s"mn_$c").as("min_d"),
-          col(s"mx_$c").as("max_d"))): _*)).as("p"))
-        .select(col("p.*"))
-        .orderBy(col("col_name"))
-    })
+    // Data profiling (the ANALYZE/quality-gate pass a pipeline runs
+    // before training): per-column row/non-null/exact-distinct counts
+    // and min/max, through the COST-GATED Profiling operator — one
+    // Expand-based pass of the fact table at scale, k pruned per-column
+    // scans when the input is small enough that Expand's k× row
+    // multiplication costs more than the extra scans (both forms'
+    // answers are identical; the gate mirrors bloomSemiAuto's).
+    "q83_column_profile" -> ((s, d) =>
+      graft.operators.Profiling.profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
+        .orderBy(col("col_name")))
   )
 
   override def oracle: Map[String, String] = Map(

@@ -113,11 +113,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q83 profile runs ONE scan; multi-distinct goes through Expand") {
+  test("q83 profile gate picks pruned per-column scans at fixture scale") {
+    // small side of the Profiling cost gate: no Expand row
+    // multiplication, one single-column pruned scan per profiled column;
+    // the forced one-pass (Expand + single scan) pin lives in
+    // ProfilingSpec next to the gate test
     val p = plan("q83_column_profile")
-    assert(p.contains("Expand"), p)
-    assert("FileScan parquet".r.findAllMatchIn(p).length == 1,
-      s"profile must read the fact table once:\n$p")
+    assert(!p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 4, p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
   }
 
   test("q67 k-means assignment aggregates, never window-sorts the expansion") {
