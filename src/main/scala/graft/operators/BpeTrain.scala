@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the vocabulary-induction step of a training-data
+  * pipeline, distributed the way the algorithm actually scales:
+  *
+  *  1. ONE corpus pass collapses the text to a WORD-FREQUENCY table
+  *     (vocabulary-sized — this is the whole trick; every later round
+  *     works on |V| rows, never the corpus).
+  *  2. Each merge round counts adjacent symbol pairs weighted by word
+  *     frequency (a vocabulary-sized explode + groupBy), picks the most
+  *     frequent pair (ties: lexicographically smallest — deterministic
+  *     across engines and runs), and applies it to every word with the
+  *     standard greedy left-to-right scan.
+  *
+  * The per-round winning pair is a 1-row aggregate collected to the
+  * driver — that is inherent to BPE (each round's rule depends on the
+  * last) and costs one tiny job per merge; the corpus is touched once.
+  * Rounds `localCheckpoint` so `numMerges` rounds never stack lineage.
+  */
+object BpeTrain {
+
+  /** The corpus tokenizer shared with the q29/q84 family: lowercase,
+    * split on non-alpha runs. */
+  private def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        x => x =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-pair frequencies over a (w, cnt) word table with words
+    * split to their current symbol arrays — round 1 of the trainer,
+    * exposed for the oracle-checked pair-statistics query. */
+  def pairStats(docs: DataFrame, textCol: String): DataFrame = {
+    val syms = words(docs, textCol)
+      .select(split(col("w"), "").as("s"), col("cnt"))
+    pairCounts(syms)
+  }
+
+  private def pairCounts(syms: DataFrame): DataFrame =
+    syms.filter(size(col("s")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+        slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"), col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).cast("long").as("freq"))
+
+  /** Greedy left-to-right application of one merge to a symbol array —
+    * the textbook scan: after a merge the cursor moves past the new
+    * symbol ("aaa" + (a,a) → [aa, a], never [a, aa]). */
+  private[operators] def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** Learn `numMerges` merges from the corpus; returns them in learned
+    * order as (rank, left, right, freq). Stops early if no pair repeats. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var syms: Dataset[(Seq[String], Long)] = words(docs, textCol)
+      .select(split(col("w"), "").as("s"), col("cnt"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint(eager = true)
+    val learned = Seq.newBuilder[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
+      val top = pairCounts(syms.toDF("s", "cnt"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += Merge(round, l, r, f)
+        syms = syms.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
+          .localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** Encode one word with a learned merge list (ranks applied in
+    * order) — the driver-side utility for inspecting the vocabulary. */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.sortBy(_.rank).foldLeft(word.split("").toSeq) { (s, m) =>
+      mergeOnce(s, m.left, m.right)
+    }
+
+  /** Tokenize a corpus column to learned-BPE symbol counts per doc —
+    * merges broadcast as plain data, the encode is one narrow map. */
+  def encodeTokens(spark: SparkSession, docs: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        val n = toks.iterator.map { w =>
+          ms.foldLeft(w.split("").toSeq) { (s, m) => mergeOnce(s, m._1, m._2) }.length
+        }.sum
+        (id, n.toLong)
+      }
+      .toDF(idCol, "n_bpe_symbols")
+  }
+}

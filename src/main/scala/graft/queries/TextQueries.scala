@@ -42,6 +42,19 @@ object TextQueries extends QueryGroup {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // BPE trainer round-1 pair statistics (BpeTrain.pairStats): the
+    // word-frequency collapse (vocabulary-sized — the corpus is read
+    // once) and the adjacent-symbol-pair count whose argmax every merge
+    // round takes. The iterative merge LOOP (driver-picked rule per
+    // round, greedy left-to-right apply) is spec-verified against the
+    // published worked example; its first-round algebra is hash-checked
+    // here.
+    "q85_bpe_pair_stats" -> ((s, d) =>
+      graft.operators.BpeTrain.pairStats(
+          Tables.spread(Tables.documents(s, d)), "text")
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(20)),
+
     // Language ID by stopword-hit argmax (n-gram heuristic). The
     // wordlists are tiny literals, so scoring is pure per-row narrow
     // work: one size(filter(...)) per language + a greatest/CASE argmax
@@ -351,6 +364,16 @@ object TextQueries extends QueryGroup {
         |                            x -> x <> '')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q85_bpe_pair_stats" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                          x -> x <> '')) AS w FROM documents),
+        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY w),
+        |p AS (SELECT substr(w, CAST(u.i AS INT), 1) AS l,
+        |             substr(w, CAST(u.i AS INT) + 1, 1) AS r, cnt
+        |      FROM wc, unnest(range(1, strlen(w))) u(i))
+        |SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq
+        |FROM p GROUP BY l, r ORDER BY freq DESC, l, r LIMIT 20""".stripMargin,
 
     "q37_text_langid" ->
       s"""WITH lw(lang_c, word) AS (VALUES $langWordsSqlValues),

@@ -127,6 +127,55 @@ object ScaleProbe {
       val (sec, rows) = time(run())
       println(s"""{"op":"kmeans_train2","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
+
+    // Semantic dedup: centroids come from the SCALED corpus (vec_id %
+    // 200 per copy), so cluster count grows with the data and per-
+    // cluster occupancy stays flat — the SemDeDup operating rule at
+    // real scale (fixed centroids would grow clusters linearly and the
+    // within-cluster pair stage quadratically).
+    for (f <- factors) {
+      val d = scaledEmb(f)
+      val cent = d.filter(col("vec_id") % 200 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      def run(): Long = graft.operators.Similarity.semanticDedup(
+        d, "vec_id", "embedding", cent, lit(0.3)).filter(col("keep") === 0).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"semantic_dedup","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // Multimodal decode: synthesize + REAL-container decode + features
+    // for audio (WAV chunk walk) and video (Y4M frame walk) — narrow
+    // per-partition passes whose linearity confirms no hidden shuffle.
+    for (f <- factors) {
+      val d = scaled(base, f)
+      def run(): Long = {
+        val au = graft.multimodal.AudioVideo.audioFeatures(spark,
+          graft.multimodal.AudioVideo.attachAudio(spark, d)).count()
+        val vi = graft.multimodal.AudioVideo.videoFrames(spark,
+          graft.multimodal.AudioVideo.attachVideo(spark, d)).count()
+        au + vi
+      }
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"media_decode","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // Column profiling, one-pass Expand arm (the scale side of the q83
+    // cost gate) over factor-scaled lineitem copies.
+    val liBase = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    for (f <- factors) {
+      val d = (0 until f).map(k =>
+        liBase.select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(k * 10000000L)).as("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))).reduce(_ union _)
+      def run(): Long = graft.operators.Profiling.profileOnePass(
+        d, Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"profile_onepass","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
     spark.stop()
   }
 }
