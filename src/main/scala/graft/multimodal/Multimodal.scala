@@ -105,7 +105,8 @@ object Multimodal {
       }
       val w = token(); val h = token(); val maxval = token()
       p += 1 // the single whitespace after maxval
-      require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+      require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+        s"bad PPM dimensions ${w}x$h") // cap keeps 3*w*h in Int range
       require(maxval == 255, s"unsupported PPM maxval $maxval (8-bit only)")
       require(b.length - p >= 3 * w * h,
         s"truncated PPM: need ${3 * w * h} pixel bytes, have ${b.length - p}")
@@ -124,7 +125,8 @@ object Multimodal {
       val h = math.abs(hRaw)
       val bpp = buf.getShort(28)
       val compression = buf.getInt(30)
-      require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$hRaw")
+      require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+        s"bad BMP dimensions ${w}x$hRaw") // cap keeps stride*h in Int range
       require(bpp == 24, s"unsupported BMP bit depth $bpp (24bpp only)")
       require(compression == 0, s"unsupported BMP compression $compression")
       val rowBytes = w * 3

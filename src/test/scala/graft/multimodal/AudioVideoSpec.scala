@@ -95,6 +95,40 @@ class AudioVideoSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Y4mCodec.decode(headerOnly)) // zero frames
   }
 
+  test("malformed media never escapes as raw index errors (fuzz)") {
+    // same contract as the binlog decoder's fuzz pin: every codec has
+    // exactly ONE failure mode (IllegalArgumentException) — truncation,
+    // bit flips, and garbage must never leak array/number errors
+    val goodWav = WavCodec.encode(testPcm(300))
+    val goodY4m = Y4mCodec.encode(testVideo("420jpeg", 3), (f, c) => (f ^ c).toByte)
+    val goodPpm = Multimodal.ImageCodecs.encodePpm(
+      Multimodal.ImageCodecs.Image(6, 4, Array.tabulate(72)(_.toByte)))
+    val goodBmp = Multimodal.ImageCodecs.encodeBmp(
+      Multimodal.ImageCodecs.Image(5, 3, Array.tabulate(45)(_.toByte)))
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[(String, Array[Byte] => Any, Array[Byte])] = Seq(
+      ("wav", WavCodec.decode _, goodWav),
+      ("y4m", Y4mCodec.decode _, goodY4m),
+      ("ppm", Multimodal.ImageCodecs.decode _, goodPpm),
+      ("bmp", Multimodal.ImageCodecs.decode _, goodBmp))
+    for ((name, dec, good) <- cases; i <- 1 to 200) {
+      val mutated = rnd.nextInt(3) match {
+        case 0 => good.take(rnd.nextInt(good.length))
+        case 1 =>
+          val b = good.clone(); val p = rnd.nextInt(b.length)
+          b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte; b
+        case 2 => good.take(rnd.nextInt(12)) ++
+          Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      }
+      try dec(mutated)
+      catch {
+        case _: IllegalArgumentException => // the ONE allowed failure mode
+        case e: Throwable =>
+          fail(s"$name iteration $i leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("audio pipeline: decode real WAVs, exact features, no shuffle") {
     val docs = Tables.documents(spark, sf001)
     val media = AudioVideo.attachAudio(spark, docs)
