@@ -131,7 +131,10 @@ object Multimodal {
       require(compression == 0, s"unsupported BMP compression $compression")
       val rowBytes = w * 3
       val stride = rowBytes + (4 - rowBytes % 4) % 4
-      require(b.length >= dataOffset + stride * h, "truncated BMP pixel data")
+      // subtraction form: a negative or huge dataOffset must not pass
+      // the bound via Int overflow (fuzz contract: IAE only)
+      require(dataOffset >= 54 && b.length - dataOffset >= stride * h,
+        "truncated BMP pixel data")
       val rgb = new Array[Byte](3 * w * h)
       var y = 0
       while (y < h) {

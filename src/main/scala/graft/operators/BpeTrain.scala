@@ -23,11 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  /** The corpus tokenizer shared with the q29/q84 family: lowercase,
-    * split on non-alpha runs. */
+  /** The canonical corpus tokenizer (TextDedup.toks — the q29/q84
+    * family): lowercase, split on non-alpha runs. */
   private def words(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(filter(split(lower(col(textCol)), "[^a-z]+"),
-        x => x =!= "")).as("w"))
+    docs.select(explode(TextDedup.toks(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** Adjacent-pair frequencies over a (w, cnt) word table with words
@@ -83,8 +82,12 @@ object BpeTrain {
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += Merge(round, l, r, f)
+        val prev = syms
         syms = syms.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
           .localCheckpoint(eager = true)
+        // a 32k-merge run must not pin every round's |V|-row checkpoint
+        // until the ContextCleaner notices — drop the dead one now
+        prev.unpersist()
         round += 1
       }
     }
@@ -106,7 +109,10 @@ object BpeTrain {
     val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        // Locale.ROOT: the default-locale toLowerCase diverges from
+        // Spark's lower() on tr/az JVMs (dotless ı leaves [a-z])
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z]+").filter(_.nonEmpty)
         val n = toks.iterator.map { w =>
           ms.foldLeft(w.split("").toSeq) { (s, m) => mergeOnce(s, m._1, m._2) }.length
         }.sum

@@ -54,6 +54,11 @@ class MultimodalSpec extends SparkTestBase {
     // 16-bit PPM (maxval 65535) is out of contract
     val deep = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](24)
     intercept[IllegalArgumentException](ImageCodecs.decode(deep))
+    // review repro: a sign-flipped BMP dataOffset passed the additive
+    // bound via overflow and leaked ArrayIndexOutOfBoundsException
+    val evil = ImageCodecs.encodeBmp(img).clone()
+    evil(13) = (evil(13) | 0x80).toByte // dataOffset MSB
+    intercept[IllegalArgumentException](ImageCodecs.decode(evil))
   }
 
   test("attachImage + imageFeatures decode real pixels, no shuffle") {
