@@ -62,6 +62,8 @@ class ConfigSpec extends AnyFunSuite {
         |  serverID: 100
         |  host: "127.0.0.1"
         |  port: 3306
+        |  tlsMode: verify_ca
+        |  tlsCa: /etc/certs/ca.pem
         |  dbTables:
         |    testdb: [users, orders]
         |  startLocation:
@@ -105,6 +107,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.dbTables === Map("testdb" -> Seq("users", "orders")))
     assert(cfg.startFile === Some("mysql-bin.000007") && cfg.startPosition === Some(4L))
     assert(cfg.startFlavor === "mysql" && cfg.startGtid === None)
+    assert(cfg.sourceServerId === 100L)
+    assert(cfg.sourceTlsMode === "verify_ca" && cfg.sourceTlsCa === "/etc/certs/ca.pem")
     assert(cfg.shardingEnabled && cfg.shardCount === 3 && cfg.shardIndex === 1)
     assert(cfg.shardKeyTemplate === Some("{{ (index .Data.Rows 0).id }}"))
     assert(cfg.cacheType === "redis" && cfg.redisHost === "10.0.0.5"
