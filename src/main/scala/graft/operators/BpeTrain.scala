@@ -49,7 +49,7 @@ object BpeTrain {
   /** Greedy left-to-right application of one merge to a symbol array —
     * the textbook scan: after a merge the cursor moves past the new
     * symbol ("aaa" + (a,a) → [aa, a], never [a, aa]). */
-  private[operators] def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
+  private[graft] def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < s.length) {

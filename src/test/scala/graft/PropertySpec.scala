@@ -181,6 +181,44 @@ class PropertySpec extends SparkTestBase {
     step.groupBy(_._1).foreach { case (_, rows) => assert(rows.length === 4) }
   }
 
+  test("WAV and Y4M codecs round-trip arbitrary payloads bit-exactly") {
+    import graft.multimodal.AudioVideo.{WavCodec, Y4mCodec}
+    cases(Gen.zip(Gen.choose(1, 2000), Gen.long), 60) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val pcm = WavCodec.Pcm(8000, Array.fill(n)(rnd.nextInt(65536).toShort))
+      val dec = WavCodec.decode(WavCodec.encode(pcm))
+      assert(dec.samples.toSeq === pcm.samples.toSeq)
+    }
+    cases(Gen.zip(Gen.choose(1, 8), Gen.oneOf("444", "420jpeg"), Gen.long), 60) {
+      case (nf, chroma, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val v = Y4mCodec.Video(8, 4, chroma,
+          Array.fill(nf)(Array.fill(32)(rnd.nextInt(256).toByte)))
+        val dec = Y4mCodec.decode(Y4mCodec.encode(v, (_, _) => rnd.nextInt(256).toByte))
+        assert(dec.yPlanes.length === nf)
+        v.yPlanes.indices.foreach(f =>
+          assert(dec.yPlanes(f).toSeq === v.yPlanes(f).toSeq))
+    }
+  }
+
+  test("BPE mergeOnce never increases length and preserves concatenation") {
+    import graft.operators.BpeTrain
+    val symGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "bc")).map(_.toSeq)
+    cases(Gen.zip(symGen, Gen.oneOf("a", "b", "ab"), Gen.oneOf("a", "b", "c")), 200) {
+      case (syms, l, r) =>
+        val merged = BpeTrain.mergeOnce(syms, l, r)
+        assert(merged.length <= syms.length)
+        assert(merged.mkString === syms.mkString) // symbols only fuse, never mutate
+        // no adjacent (l, r) survives a full merge pass at the seam the
+        // scan visited (greedy L2R leaves no un-merged adjacent pair
+        // whose LEFT symbol existed before the pass)
+        merged.sliding(2).foreach {
+          case Seq(x, y) => assert(!(x == l && y == r))
+          case _ => ()
+        }
+    }
+  }
+
   test("explode then collect_list rebuilds the original multiset per key") {
     import spark.implicits._
     val data = Seq((1L, Seq("a", "b", "b")), (2L, Seq("x")), (3L, Seq.empty[String]))

@@ -140,4 +140,25 @@ class StreamFixtureSpec extends SparkTestBase {
     val expectedNonZero = batch.filter(_._2 > 0)
     assert(streamedCounts == expectedNonZero)
   }
+
+  test("multimodal decode is streaming-safe: streamed q79 equals the batch result") {
+    // the media path is a narrow synthesize→decode→feature map, so it
+    // must run unchanged as an append-mode stream over a file source —
+    // the 100 TB ingest shape (binary columns arriving continuously)
+    val docsDir = Files.createTempDirectory("docs-stream-src").toString
+    Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      .coalesce(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(docsDir)
+    val docStream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .parquet(docsDir)
+    val streamed = runToMemory(
+      graft.multimodal.AudioVideo.audioFeatures(spark,
+        graft.multimodal.AudioVideo.attachAudio(spark, docStream)),
+      "sfx_q79", "append")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("q79_audio_features")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
