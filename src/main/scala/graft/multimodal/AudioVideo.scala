@@ -39,11 +39,6 @@ object AudioVideo {
 
   case class AudioFrame(doc_id: Long, frame_idx: Long, fenergy: Long)
 
-  /** Per-document video features over the decoded luma planes. */
-  case class VideoFeatures(doc_id: Long, kind: String, n_frames: Long,
-      width: Long, height: Long, luma_sum: Long, samp_sum: Long,
-      n_bright: Long)
-
   case class VideoFrame(doc_id: Long, frame_idx: Long, ysum: Long,
       bright: Long)
 
@@ -227,11 +222,22 @@ object AudioVideo {
   // scale the binary column arrives from storage with the same schema).
   // ---------------------------------------------------------------------
 
+  /** The synthesis contract shared with the image fixtures: byte == char
+    * only holds for ASCII, and the oracle indexes CHARACTERS — enforce
+    * it loudly instead of silently diverging on a non-ASCII corpus
+    * (a lead byte ≥ 0xE1 would also wrap the Short sample negative). */
+  private def asciiBytes(text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    require(!bytes.exists(b => (b & 0xff) >= 128),
+      "media synthesis is defined over ASCII corpora only (byte == char)")
+    bytes
+  }
+
   /** Sample j of a document's audio: `(byte(j mod len) - 96) * 256`,
     * n_samples = 2·len at 8 kHz. ASCII text straddles 96 (letters above,
     * space/digits below), so real sign structure: nonzero crossings. */
   private[multimodal] def synthesizePcm(text: String): WavCodec.Pcm = {
-    val bytes = text.getBytes("UTF-8")
+    val bytes = asciiBytes(text)
     val n = 2 * bytes.length
     val samples = new Array[Short](n)
     var j = 0
@@ -247,7 +253,7 @@ object AudioVideo {
     * the SAME generator regardless of actual chroma mode, which only
     * changes the chroma planes feature extraction never reads). */
   private[multimodal] def synthesizeVideo(text: String, chroma: String): Y4mCodec.Video = {
-    val bytes = text.getBytes("UTF-8")
+    val bytes = asciiBytes(text)
     val w = 8; val h = 4
     val nf = math.max((bytes.length + 47) / 48, 1)
     val planes = Array.tabulate(nf) { f =>
@@ -259,7 +265,7 @@ object AudioVideo {
   def attachAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .filter(_._2.nonEmpty)
+      .filter(t => t._2 != null && t._2.nonEmpty) // NULL text: drop, like the oracle
       .map { case (id, text) =>
         MediaRecord(id, WavCodec.encode(synthesizePcm(text)), "wav")
       }
@@ -272,11 +278,11 @@ object AudioVideo {
   def attachVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .filter(_._2.nonEmpty)
+      .filter(t => t._2 != null && t._2.nonEmpty) // NULL text: drop, like the oracle
       .map { case (id, text) =>
         val chroma = if (id % 2 == 0) "444" else "420jpeg"
         val v = synthesizeVideo(text, chroma)
-        val bytes = text.getBytes("UTF-8")
+        val bytes = asciiBytes(text)
         val enc = Y4mCodec.encode(v,
           (f, c) => bytes((96 * f + 32 + c) % bytes.length))
         MediaRecord(id, enc, if (id % 2 == 0) "c444" else "c420")

@@ -208,7 +208,13 @@ object Similarity {
     * materialized at call time). Returns (idCol, cid, keep∈{0,1})
     * covering every input vector; keep=1 rows are the deduplicated
     * corpus — a duplicate survives only as the smallest id of its
-    * qualifying pairs, matching the common "keep first" policy. */
+    * qualifying pairs, matching the common "keep first" policy.
+    *
+    * Skew contract: per-cluster pair work is quadratic in CLUSTER size,
+    * so callers own the clustering granularity — centroid count must
+    * grow with the corpus (ScaleProbe pins this rule: scaled centroids
+    * keep the curve linear), and a pathologically hot cluster is fixed
+    * by subclustering (finer centroids there), not by this operator. */
   def semanticDedup(base: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, minCosine: Column,
       scoreT: Column => Column = identity): DataFrame = {

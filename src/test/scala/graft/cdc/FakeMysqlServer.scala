@@ -104,7 +104,7 @@ final class FakeMysqlServer(password: String,
       seed.drop(8) ++ Array[Byte](0) ++
       authPlugin.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
     io.write(0, hs)
-    var (_, resp) = io.read()
+    var (respSeq, resp) = io.read()
     // a 32-byte response with CLIENT_SSL set is an SSLRequest: upgrade
     // the socket server-side, then read the real HandshakeResponse41
     val respCaps = (resp(0) & 0xffL) | ((resp(1) & 0xffL) << 8) |
@@ -118,7 +118,11 @@ final class FakeMysqlServer(password: String,
       tlsSessions += 1
       sock = ssl
       io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
-      resp = io.read()._2
+      // real servers keep sequencing across the upgrade: handshake=0,
+      // SSLRequest=1, HandshakeResponse=2, our auth reply=3
+      val post = io.read()
+      respSeq = post._1
+      resp = post._2
     }
     // HandshakeResponse41: caps(4) maxPacket(4) charset(1) filler(23) user\0 authLen token
     var i = 32
@@ -128,7 +132,7 @@ final class FakeMysqlServer(password: String,
     var token = java.util.Arrays.copyOfRange(resp, i + 1, i + 1 + tokenLen)
     var verifySeed = seed
     var verifyPlugin = authPlugin
-    var seqOut = 2
+    var seqOut = respSeq + 1
     if (forceAuthSwitch) {
       // AuthSwitchRequest: 0xfe + plugin NUL + fresh seed NUL
       val seed2 = Array.fill[Byte](20)((rnd.nextInt(94) + 33).toByte)
