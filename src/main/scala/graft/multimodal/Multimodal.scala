@@ -164,7 +164,7 @@ object Multimodal {
   def attachImage(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .filter(_._2.nonEmpty)
+      .filter(t => t._2 != null && t._2.nonEmpty) // NULL text: drop, like the oracle
       .map { case (id, text) =>
         val img = synthesize(text)
         if (id % 2 == 0) MediaRecord(id, encodePpm(img), "ppm")
