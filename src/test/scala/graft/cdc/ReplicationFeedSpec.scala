@@ -416,6 +416,28 @@ class ReplicationFeedSpec extends SparkTestBase {
     }
   }
 
+  test("TLS survives reconnects: every resumed dump re-upgrades the channel") {
+    val (ctx, _) = tlsMaterial()
+    @volatile var bytes = fixture(2)
+    val server = new FakeMysqlServer("pw", Map("mysql-bin.000001" -> bytes),
+      closeAfterStream = true, tls = Some(ctx))
+    val dir = Files.createTempDirectory("repl-tls-resume").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 12L, dir,
+      tlsMode = "required")
+    try {
+      feed.configure("mysql", None)
+      awaitEvents(feed, 3)
+      bytes = fixture(4) // two MORE transactions appear on the master
+      awaitEvents(feed, 5)
+      val evs = drain(feed)
+      assert(evs.filter(_.eventType == "WriteRowsEventV2").map(_.rows(0)(0)) ==
+        Seq("1", "2", "3", "4"))
+      // the hard close forced ≥2 connections; each one spoke TLS
+      assert(server.tlsSessions >= 2, s"tlsSessions=${server.tlsSessions}")
+      assert(server.authFailures == 0)
+    } finally { feed.close(); server.close() }
+  }
+
   test("verify_ca rejects a server whose chain the CA did not sign") {
     val (serverCtx, _) = tlsMaterial()
     val (_, strangerPem) = tlsMaterial() // an unrelated CA
