@@ -65,6 +65,37 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("lang"))
     }),
 
+    // Group-relative quantile band filter (the "drop each language's
+    // length outliers" curation step — q71's thresholds are absolute,
+    // this one's adapt per group): per-lang nearest-rank p10/p90 of the
+    // token count from the VALUE HISTOGRAM (q49's shape — the rank
+    // arithmetic runs on histogram cells, never a row-level sort), then
+    // one narrow filter against the broadcast 5-row threshold dim. At
+    // 100 TB the only corpus-sized work is the token count + histogram
+    // partial agg; everything after is threshold-dim sized.
+    "q86_quantile_filter" -> ((s, d) => {
+      val t = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+      val hist = t.groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+      val nw = Window.partitionBy(col("lang"))
+      val cum = hist
+        .withColumn("hi", sum(col("c")).over(cw))
+        .withColumn("n", sum(col("c")).over(nw))
+      def pick(p: Double) =
+        min(when(col("hi") >= ceil(lit(p) * col("n")).cast("long"), col("n_tok")))
+      val th = cum.groupBy(col("lang"))
+        .agg(pick(0.1).as("p10"), pick(0.9).as("p90"))
+      t.join(broadcast(th), Seq("lang"))
+        .filter(col("n_tok") >= col("p10") && col("n_tok") <= col("p90"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("kept_tok"),
+          first(col("p10")).as("p10"), first(col("p90")).as("p90"))
+        .orderBy(col("lang"))
+    }),
+
     // Sequence packing: assign docs (in doc_id order) to fixed
     // token-budget bins of 512 by cumulative token count — the window
     // formulation of streaming greedy packing (library operator
@@ -165,6 +196,26 @@ object PipelineQueries extends QueryGroup {
         |    * LEAST(1.0, CAST(total_tok // n_langs AS DOUBLE) / CAST(n_tok AS DOUBLE))
         |    + 0.5) AS BIGINT) AS exp_tok
         |FROM t, tot ORDER BY lang""".stripMargin,
+
+    "q86_quantile_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT lang, n_tok,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM t),
+        |th AS (SELECT lang,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN n_tok END) AS p10,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tok END) AS p90
+        |       FROM r GROUP BY lang)
+        |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(n_tok) AS BIGINT) AS kept_tok,
+        |       CAST(MAX(p10) AS BIGINT) AS p10, CAST(MAX(p90) AS BIGINT) AS p90
+        |FROM t JOIN th ON t.lang = th.lang
+        |WHERE n_tok >= p10 AND n_tok <= p90
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
 
     "q47_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
