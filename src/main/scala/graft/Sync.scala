@@ -54,7 +54,14 @@ object Sync {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // logger.level (config.go:55) → the session's log level; the
+    // reference's "warning" spelling maps onto log4j WARN
+    spark.sparkContext.setLogLevel(cfg.loggerLevel.toLowerCase match {
+      case "debug" => "DEBUG"
+      case "info" => "INFO"
+      case "error" => "ERROR"
+      case _ => "WARN" // "", "warning", unknown
+    })
     val obs =
       try run(spark, cfg)
       finally spark.stop()

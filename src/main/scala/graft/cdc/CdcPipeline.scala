@@ -74,6 +74,9 @@ object CdcPipeline {
         .option("user", cfg.sourceUser).option("password", cfg.sourcePassword)
         .option("slaveServerId", cfg.sourceServerId.toString)
         .option("tlsMode", cfg.sourceTlsMode)
+        .option("readTimeoutMs", cfg.readTimeoutMs.toString)
+        .option("heartbeatPeriodMs", cfg.heartbeatPeriodMs.toString)
+        .option("restartOnError", cfg.restartSyncerOnError.toString)
     if (cfg.sourceFormat == "replication" && cfg.sourceTlsCa.nonEmpty)
       reader = reader.option("tlsCa", cfg.sourceTlsCa)
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))

@@ -11,10 +11,20 @@ import scala.util.matching.Regex
   */
 final case class GraftConfig(
     serverId: String = "graft",
+    // logger.level (config.go:55) — "" = leave the session's level alone
+    loggerLevel: String = "",
     // server.pool.itemByRow (config.go:74-77)
     itemByRow: Boolean = true,
     // server.stopInError (config.go:67) → FailOnDrift / stop-on-sink-error
     stopInError: Boolean = true,
+    // server.restartSyncerOnError (config.go:68): false = a live-stream
+    // error stops the replication tail instead of reconnect-with-backoff
+    restartSyncerOnError: Boolean = true,
+    // source.readTimeout / source.heartbeatPeriod (config.go:113-114,
+    // Go duration strings): socket SO_TIMEOUT and the requested
+    // @master_heartbeat_period — together they detect a silent master
+    readTimeoutMs: Long = 90000L,
+    heartbeatPeriodMs: Long = 60000L,
     // source.dbTables (config.go:111)
     dbTables: Map[String, Seq[String]] = Map.empty,
     // source.flavor (config.go:105): mysql | mariadb — selects the
@@ -142,6 +152,31 @@ object Config {
     v
   }
 
+  /** Go `time.Duration` rendering → milliseconds ("90s", "1m30s",
+    * "500ms", "2h"; a bare number is nanoseconds, Go's unit). */
+  private[cdc] def parseGoDuration(s: String): Long = {
+    val t = s.trim
+    if (t.isEmpty) 0L
+    else if (t.forall(c => c.isDigit || c == '-')) t.toLong / 1000000L // ns
+    else {
+      val re = "(\\d+)(ns|us|µs|ms|s|m|h)".r
+      val parts = re.findAllMatchIn(t).toSeq
+      require(parts.nonEmpty && parts.map(_.matched).mkString == t,
+        s"bad duration '$s'")
+      parts.map { m =>
+        val v = m.group(1).toLong
+        m.group(2) match {
+          case "ns" => v / 1000000L
+          case "us" | "µs" => v / 1000L
+          case "ms" => v
+          case "s" => v * 1000L
+          case "m" => v * 60000L
+          case "h" => v * 3600000L
+        }
+      }.sum
+    }
+  }
+
   /** Reference-layout compat (api/v1alpha2/config.go): maps the nested
     * server/source/sharding/connectors/routes sections onto GraftConfig.
     * MySQL endpoint fields (source.host/user/...) have no replay analog
@@ -165,9 +200,14 @@ object Config {
         def cAt(p: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
           p.foldLeft(Option(c)) { (o, k) => o.flatMap(x => Option(x.get(k)).filter(!_.isNull)) }
         val tpe = c.get("type").asText()
+        // server.senderWorkers is the reference's ordering/parallelism
+        // knob (1 = total order, README.md:38); it maps onto the sink's
+        // bounded in-flight window
+        val senders = at("server", "senderWorkers").map(_.asInt())
         ConnectorConfig(
           name = c.get("name").asText(),
           connType = tpe,
+          maxInFlight = senders.getOrElse(64),
           url = cAt("webhook", "url").map(_.asText()).getOrElse(""),
           method = cAt("webhook", "method").map(_.asText()).getOrElse("POST"),
           headers = cAt("webhook", "headers")
@@ -196,8 +236,14 @@ object Config {
     val cacheEnabled = boolAt(dflt = false, "server", "cache", "enabled")
     GraftConfig(
       serverId = strAt("graft", "server", "id"),
+      loggerLevel = strAt("", "logger", "level"),
       itemByRow = boolAt(dflt = true, "server", "pool", "itemByRow"),
       stopInError = boolAt(dflt = true, "server", "stopInError"),
+      restartSyncerOnError = boolAt(dflt = true, "server", "restartSyncerOnError"),
+      readTimeoutMs = at("source", "readTimeout")
+        .map(x => parseGoDuration(x.asText())).getOrElse(90000L),
+      heartbeatPeriodMs = at("source", "heartbeatPeriod")
+        .map(x => parseGoDuration(x.asText())).getOrElse(60000L),
       dbTables = dbTables,
       startFlavor = checkFlavor(strAt("mysql", "source", "flavor")),
       startFile = at("source", "startLocation", "file").map(_.asText()),
@@ -278,8 +324,14 @@ object Config {
       else Seq.empty
     GraftConfig(
       serverId = str("serverId", "graft"),
+      loggerLevel = str("loggerLevel", ""),
       itemByRow = bool("itemByRow", dflt = true),
       stopInError = bool("stopInError", dflt = true),
+      restartSyncerOnError = bool("restartSyncerOnError", dflt = true),
+      readTimeoutMs =
+        if (n.hasNonNull("readTimeoutMs")) n.get("readTimeoutMs").asLong() else 90000L,
+      heartbeatPeriodMs =
+        if (n.hasNonNull("heartbeatPeriodMs")) n.get("heartbeatPeriodMs").asLong() else 60000L,
       dbTables = dbTables,
       startFlavor = checkFlavor(str("startFlavor", "mysql")),
       startFile = Option.when(n.hasNonNull("startFile"))(n.get("startFile").asText()),

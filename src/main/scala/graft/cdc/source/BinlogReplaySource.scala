@@ -217,7 +217,10 @@ object BinlogFeeds {
           Option(options.get("slaveServerId")).map(_.toLong).getOrElse(1001L),
           path,
           Option(options.get("tlsMode")).getOrElse("disabled"),
-          Option(options.get("tlsCa"))))
+          Option(options.get("tlsCa")),
+          Option(options.get("readTimeoutMs")).map(_.toLong).getOrElse(90000L),
+          Option(options.get("heartbeatPeriodMs")).map(_.toLong).getOrElse(60000L),
+          Option(options.get("restartOnError")).forall(_.toBoolean)))
     }
     else Option(options.get("socket")) match {
       case Some(hp) =>

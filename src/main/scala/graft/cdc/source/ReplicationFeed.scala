@@ -40,10 +40,21 @@ import java.util.zip.CRC32
   *   (validate the chain against `tlsCa` or the JVM default trust
   *   store), or "verify_identity" (verify_ca + hostname check).
   * @param tlsCa X.509 certificate file (PEM or DER) to trust for
-  *   verify_ca / verify_identity — the `--ssl-ca` analog. */
+  *   verify_ca / verify_identity — the `--ssl-ca` analog.
+  * @param readTimeoutMs socket SO_TIMEOUT (source.readTimeout): a master
+  *   silent for longer trips SocketTimeoutException → reconnect; pairs
+  *   with the announced heartbeat so a healthy-but-idle stream stays up.
+  * @param heartbeatPeriodMs requested master heartbeat interval, sent as
+  *   `SET @master_heartbeat_period` in nanoseconds (the statement
+  *   go-mysql issues for BinlogSyncerConfig.HeartbeatPeriod); 0 = none.
+  * @param restartOnError server.restartSyncerOnError: false = the first
+  *   stream error stops the tail (lastError keeps the cause) instead of
+  *   reconnect-with-backoff. */
 final class ReplicationFeed(host: String, port: Int, user: String,
     password: String, slaveServerId: Long, spoolDir: String,
-    tlsMode: String = "disabled", tlsCa: Option[String] = None)
+    tlsMode: String = "disabled", tlsCa: Option[String] = None,
+    readTimeoutMs: Long = 90000L, heartbeatPeriodMs: Long = 60000L,
+    restartOnError: Boolean = true)
     extends EventFeed with AutoCloseable {
 
   require(Set("disabled", "required", "verify_ca", "verify_identity")(tlsMode),
@@ -199,18 +210,24 @@ final class ReplicationFeed(host: String, port: Int, user: String,
 
   private val tail = new Thread(() => {
     var backoffMs = 50L
-    while (!closed) {
+    var stopped = false
+    while (!closed && !stopped) {
       val drained =
         try { streamOnce(); true }
         catch {
           case _: Throwable if closed => true
           case e: Throwable =>
             lastError = e.getMessage
-            System.err.println(
+            if (!restartOnError) {
+              System.err.println(
+                s"[replication-feed] $host:$port: ${e.getMessage}; " +
+                  "restartSyncerOnError=false, stopping the tail")
+              stopped = true
+            } else System.err.println(
               s"[replication-feed] $host:$port: ${e.getMessage}; retrying in ${backoffMs}ms")
             false
         }
-      if (!closed) {
+      if (!closed && !stopped) {
         try Thread.sleep(backoffMs) catch { case _: InterruptedException => () }
         // clean EOF = a non-blocking dump drained: steady re-poll.
         // Errors back off exponentially like the socket feed.
@@ -265,6 +282,10 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   private def streamOnce(): Unit = {
     val plain = new Socket()
     plain.connect(new InetSocketAddress(host, port), 5000)
+    // source.readTimeout: a silent master trips SocketTimeoutException →
+    // reconnect; the announced heartbeat keeps a healthy idle stream live
+    if (readTimeoutMs > 0) plain.setSoTimeout(
+      math.min(readTimeoutMs, Int.MaxValue.toLong).toInt)
     liveSocket = plain
     var sock: Socket = plain
     var channel: FileChannel = null
@@ -295,6 +316,14 @@ final class ReplicationFeed(host: String, port: Int, user: String,
       io.write(0, MysqlWire.comQuery(
         "SET @master_binlog_checksum= @@global.binlog_checksum"))
       MysqlWire.expectOk(io.read()._2, "set checksum")
+      // request master heartbeats (source.heartbeatPeriod, nanoseconds —
+      // the statement go-mysql issues for HeartbeatPeriod); type-27
+      // heartbeat events are dropped from the spool on arrival
+      if (heartbeatPeriodMs > 0) {
+        io.write(0, MysqlWire.comQuery(
+          s"SET @master_heartbeat_period=${heartbeatPeriodMs * 1000000L}"))
+        MysqlWire.expectOk(io.read()._2, "set heartbeat period")
+      }
       // mariadb dialect: announce the GTID position (start ∪ relay) —
       // the server resolves the dump start from it
       val mariadbGtidMode = flavor == "mariadb" &&

@@ -13,6 +13,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.expandEnv("no refs here", env) == "no refs here")
   }
 
+  test("Go duration strings parse to milliseconds") {
+    assert(Config.parseGoDuration("90s") == 90000L)
+    assert(Config.parseGoDuration("1m30s") == 90000L)
+    assert(Config.parseGoDuration("500ms") == 500L)
+    assert(Config.parseGoDuration("2h") == 7200000L)
+    assert(Config.parseGoDuration("60000000000") == 60000L) // bare = ns (Go)
+    intercept[IllegalArgumentException](Config.parseGoDuration("ninety seconds"))
+  }
+
   test("parse full config json") {
     val cfg = Config.parse(
       """{
@@ -62,6 +71,8 @@ class ConfigSpec extends AnyFunSuite {
         |  serverID: 100
         |  host: "127.0.0.1"
         |  port: 3306
+        |  readTimeout: 90s
+        |  heartbeatPeriod: 1m30s
         |  tlsMode: verify_ca
         |  tlsCa: /etc/certs/ca.pem
         |  dbTables:
@@ -109,6 +120,11 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.startFlavor === "mysql" && cfg.startGtid === None)
     assert(cfg.sourceServerId === 100L)
     assert(cfg.sourceTlsMode === "verify_ca" && cfg.sourceTlsCa === "/etc/certs/ca.pem")
+    assert(cfg.loggerLevel === "debug")
+    assert(cfg.readTimeoutMs === 90000L && cfg.heartbeatPeriodMs === 90000L)
+    assert(cfg.restartSyncerOnError) // absent → reference default true
+    // server.senderWorkers: 1 (ordered delivery) → sink in-flight window 1
+    assert(cfg.connectors.forall(_.maxInFlight === 1))
     assert(cfg.shardingEnabled && cfg.shardCount === 3 && cfg.shardIndex === 1)
     assert(cfg.shardKeyTemplate === Some("{{ (index .Data.Rows 0).id }}"))
     assert(cfg.cacheType === "redis" && cfg.redisHost === "10.0.0.5"

@@ -55,10 +55,12 @@ class ReplicationFeedSpec extends SparkTestBase {
       assert(evs.drop(1).map(_.rows(0)(0)) == Seq("1", "2", "3"))
       assert(evs.drop(1).forall(e => e.database == "testdb" && e.table == "users"))
       // the dialogue really ran: registration + checksum announcement +
-      // a dump from the start of the stream
+      // heartbeat request + a dump from the start of the stream
       assert(server.registered.contains(7777L))
       assert(server.queries.toArray.exists(
         _.toString.contains("@master_binlog_checksum")))
+      assert(server.queries.toArray.exists(
+        _.toString.contains("@master_heartbeat_period=60000000000")))
       assert(server.dumps.get(0) == (("", 4L)))
       assert(server.authFailures == 0)
     } finally { feed.close(); server.close() }
@@ -414,6 +416,22 @@ class ReplicationFeedSpec extends SparkTestBase {
         assert(server.authFailures == 0, mode)
       } finally { feed.close(); server.close() }
     }
+  }
+
+  test("restartSyncerOnError=false stops the tail on the first stream error") {
+    val server = new FakeMysqlServer("right", Map("mysql-bin.000001" -> fixture(1)))
+    val dir = Files.createTempDirectory("repl-norestart").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "wrong", 13L, dir,
+      restartOnError = false)
+    try {
+      feed.configure("mysql", None)
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (feed.lastError == null && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(Option(feed.lastError).exists(_.contains("Access denied")))
+      Thread.sleep(1500) // with restart ON the backoff loop would retry by now
+      assert(server.authFailures == 1,
+        s"no reconnect allowed, saw ${server.authFailures} auth attempts")
+    } finally { feed.close(); server.close() }
   }
 
   test("TLS survives reconnects: every resumed dump re-upgrades the channel") {
