@@ -68,6 +68,7 @@ object CdcPipeline {
     var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
       .option("format", cfg.sourceFormat).option("flavor", cfg.startFlavor)
     if (cfg.socketSource.nonEmpty) reader = reader.option("socket", cfg.socketSource)
+    if (cfg.poolSize > 0) reader = reader.option("maxEventsPerTrigger", cfg.poolSize.toString)
     if (cfg.sourceFormat == "replication")
       reader = reader.option("host", cfg.sourceHost)
         .option("port", cfg.sourcePort.toString)

@@ -15,6 +15,9 @@ final case class GraftConfig(
     loggerLevel: String = "",
     // server.pool.itemByRow (config.go:74-77)
     itemByRow: Boolean = true,
+    // server.pool.size (config.go:74-75): the reference's 20-slot queue
+    // capacity ≙ per-micro-batch admission cap; 0 = unbounded
+    poolSize: Long = 0L,
     // server.stopInError (config.go:67) → FailOnDrift / stop-on-sink-error
     stopInError: Boolean = true,
     // server.restartSyncerOnError (config.go:68): false = a live-stream
@@ -238,6 +241,7 @@ object Config {
       serverId = strAt("graft", "server", "id"),
       loggerLevel = strAt("", "logger", "level"),
       itemByRow = boolAt(dflt = true, "server", "pool", "itemByRow"),
+      poolSize = at("server", "pool", "size").map(_.asLong()).getOrElse(0L),
       stopInError = boolAt(dflt = true, "server", "stopInError"),
       restartSyncerOnError = boolAt(dflt = true, "server", "restartSyncerOnError"),
       readTimeoutMs = at("source", "readTimeout")
@@ -326,6 +330,7 @@ object Config {
       serverId = str("serverId", "graft"),
       loggerLevel = str("loggerLevel", ""),
       itemByRow = bool("itemByRow", dflt = true),
+      poolSize = if (n.hasNonNull("poolSize")) n.get("poolSize").asLong() else 0L,
       stopInError = bool("stopInError", dflt = true),
       restartSyncerOnError = bool("restartSyncerOnError", dflt = true),
       readTimeoutMs =

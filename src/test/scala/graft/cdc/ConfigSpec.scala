@@ -123,6 +123,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.loggerLevel === "debug")
     assert(cfg.readTimeoutMs === 90000L && cfg.heartbeatPeriodMs === 90000L)
     assert(cfg.restartSyncerOnError) // absent → reference default true
+    assert(cfg.poolSize === 20L) // server.pool.size → admission cap
     // server.senderWorkers: 1 (ordered delivery) → sink in-flight window 1
     assert(cfg.connectors.forall(_.maxInFlight === 1))
     assert(cfg.shardingEnabled && cfg.shardCount === 3 && cfg.shardIndex === 1)
