@@ -129,6 +129,35 @@ class AudioVideoSpec extends SparkTestBase {
     }
   }
 
+  test("binaryFile ingestion: WAV files on disk decode to the same features") {
+    // the claimed 100 TB shape: media arrives as FILES through Spark's
+    // binaryFile source, not synthesized — prove the decode stage is
+    // indifferent to how the binary column was produced
+    val docs = graft.Tables.documents(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+    val media = AudioVideo.attachAudio(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("wav-files")
+    media.collect().foreach { r =>
+      java.nio.file.Files.write(
+        dir.resolve(f"${r.getAs[Long]("doc_id")}%06d.wav"),
+        r.getAs[Array[Byte]]("content"))
+    }
+    val fromFiles = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(dir.toString)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("path"), "(\\d+)\\.wav$", 1)
+          .cast("long").as("doc_id"),
+        org.apache.spark.sql.functions.col("content"),
+        org.apache.spark.sql.functions.lit("wav").as("kind"))
+    val a = AudioVideo.audioFeatures(spark, fromFiles)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = AudioVideo.audioFeatures(spark, media)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("audio pipeline: decode real WAVs, exact features, no shuffle") {
     val docs = Tables.documents(spark, sf001)
     val media = AudioVideo.attachAudio(spark, docs)
