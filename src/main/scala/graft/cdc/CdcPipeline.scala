@@ -57,19 +57,17 @@ object CdcPipeline {
     case other => sys.error(s"unsupported '$other' cache type (cache.go parity: local|redis)")
   }
 
-  /** Assemble and start the sync pipeline over a replay source directory.
-    * `startPosition` maps to the replay source's line offset (the replay
-    * analog of a binlog byte position; a production binlog source would
-    * pass it through as-is). */
-  def sync(spark: SparkSession, cfg: GraftConfig, sourcePath: String,
-      checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-
+  /** One reader builder for every config-assembled entry point (sync,
+    * land): source format/flavor, bounded admission (server.pool.size),
+    * the live replication endpoint incl. TLS/timeout/heartbeat options,
+    * and the start location hints. */
+  private def configuredReader(spark: SparkSession, cfg: GraftConfig,
+      sourcePath: String): org.apache.spark.sql.streaming.DataStreamReader = {
     var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
       .option("format", cfg.sourceFormat).option("flavor", cfg.startFlavor)
     if (cfg.socketSource.nonEmpty) reader = reader.option("socket", cfg.socketSource)
     if (cfg.poolSize > 0) reader = reader.option("maxEventsPerTrigger", cfg.poolSize.toString)
-    if (cfg.sourceFormat == "replication")
+    if (cfg.sourceFormat == "replication") {
       reader = reader.option("host", cfg.sourceHost)
         .option("port", cfg.sourcePort.toString)
         .option("user", cfg.sourceUser).option("password", cfg.sourcePassword)
@@ -78,14 +76,24 @@ object CdcPipeline {
         .option("readTimeoutMs", cfg.readTimeoutMs.toString)
         .option("heartbeatPeriodMs", cfg.heartbeatPeriodMs.toString)
         .option("restartOnError", cfg.restartSyncerOnError.toString)
-    if (cfg.sourceFormat == "replication" && cfg.sourceTlsCa.nonEmpty)
-      reader = reader.option("tlsCa", cfg.sourceTlsCa)
+      if (cfg.sourceTlsCa.nonEmpty) reader = reader.option("tlsCa", cfg.sourceTlsCa)
+    }
     cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
     cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
     cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))
+    reader
+  }
+
+  /** Assemble and start the sync pipeline over a replay source directory.
+    * `startPosition` maps to the replay source's line offset (the replay
+    * analog of a binlog byte position; a production binlog source would
+    * pass it through as-is). */
+  def sync(spark: SparkSession, cfg: GraftConfig, sourcePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
 
     var envelope = Decode.decode(
-      reader.load(),
+      configuredReader(spark, cfg, sourcePath).load(),
       cfg.dbTables,
       itemByRow = cfg.itemByRow,
       drift = if (cfg.stopInError) Decode.FailOnDrift else Decode.DropOnDrift)
@@ -141,12 +149,8 @@ object CdcPipeline {
       checkpointDir: String, outDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import org.apache.spark.sql.functions._
-    var reader = spark.readStream.format("binlog-replay").option("path", sourcePath)
-      .option("format", cfg.sourceFormat).option("flavor", cfg.startFlavor)
-    cfg.startFile.foreach(f => reader = reader.option("startingFile", f))
-    cfg.startPosition.foreach(p => reader = reader.option("startingLine", p.toString))
-    cfg.startGtid.foreach(g => reader = reader.option("startingGtid", g))
-    Decode.decode(reader.load(), cfg.dbTables, itemByRow = cfg.itemByRow,
+    Decode.decode(configuredReader(spark, cfg, sourcePath).load(),
+        cfg.dbTables, itemByRow = cfg.itemByRow,
         drift = if (cfg.stopInError) Decode.FailOnDrift else Decode.DropOnDrift)
       .select(
         col("data.database").as("database"), col("data.table").as("table"),
