@@ -57,10 +57,12 @@ object Sync {
     // logger.level (config.go:55) → the session's log level; the
     // reference's "warning" spelling maps onto log4j WARN
     spark.sparkContext.setLogLevel(cfg.loggerLevel.toLowerCase match {
+      case "trace" => "TRACE"
       case "debug" => "DEBUG"
       case "info" => "INFO"
       case "error" => "ERROR"
-      case _ => "WARN" // "", "warning", unknown
+      case "fatal" => "FATAL"
+      case _ => "WARN" // "", "warn", "warning", unknown
     })
     val obs =
       try run(spark, cfg)

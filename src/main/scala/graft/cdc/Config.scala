@@ -21,8 +21,11 @@ final case class GraftConfig(
     // server.stopInError (config.go:67) → FailOnDrift / stop-on-sink-error
     stopInError: Boolean = true,
     // server.restartSyncerOnError (config.go:68): false = a live-stream
-    // error stops the replication tail instead of reconnect-with-backoff
-    restartSyncerOnError: Boolean = true,
+    // error stops the replication tail (loudly — the feed poisons its
+    // read surface so the query fails, the stopInError analog) instead
+    // of reconnect-with-backoff. Default FALSE = the reference's Go
+    // zero value and its example yaml.
+    restartSyncerOnError: Boolean = false,
     // source.readTimeout / source.heartbeatPeriod (config.go:113-114,
     // Go duration strings): socket SO_TIMEOUT and the requested
     // @master_heartbeat_period — together they detect a silent master
@@ -160,23 +163,24 @@ object Config {
   private[cdc] def parseGoDuration(s: String): Long = {
     val t = s.trim
     if (t.isEmpty) 0L
-    else if (t.forall(c => c.isDigit || c == '-')) t.toLong / 1000000L // ns
+    else if (t.matches("-?\\d+")) t.toLong / 1000000L // bare number = ns (Go)
     else {
-      val re = "(\\d+)(ns|us|µs|ms|s|m|h)".r
+      val re = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)".r
       val parts = re.findAllMatchIn(t).toSeq
       require(parts.nonEmpty && parts.map(_.matched).mkString == t,
         s"bad duration '$s'")
-      parts.map { m =>
-        val v = m.group(1).toLong
+      val ms = parts.map { m =>
+        val v = m.group(1).toDouble // Go's grammar allows fractions ("1.5s")
         m.group(2) match {
-          case "ns" => v / 1000000L
-          case "us" | "µs" => v / 1000L
+          case "ns" => v / 1000000.0
+          case "us" | "µs" => v / 1000.0
           case "ms" => v
-          case "s" => v * 1000L
-          case "m" => v * 60000L
-          case "h" => v * 3600000L
+          case "s" => v * 1000.0
+          case "m" => v * 60000.0
+          case "h" => v * 3600000.0
         }
       }.sum
+      math.round(ms)
     }
   }
 
@@ -198,19 +202,20 @@ object Config {
         .map(e => e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq).toMap)
       .getOrElse(Map.empty)
 
+    // server.senderWorkers is the reference's ordering/parallelism knob
+    // (1 = total order, README.md:38); it maps onto every sink's bounded
+    // in-flight window. Absent -> 1: the conservative, order-preserving
+    // reading (the reference has no working zero-value default).
+    val senders = at("server", "senderWorkers").map(_.asInt())
     val connectors: Seq[ConnectorConfig] = at("connectors")
       .map(_.elements().asScala.map { c =>
         def cAt(p: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
           p.foldLeft(Option(c)) { (o, k) => o.flatMap(x => Option(x.get(k)).filter(!_.isNull)) }
         val tpe = c.get("type").asText()
-        // server.senderWorkers is the reference's ordering/parallelism
-        // knob (1 = total order, README.md:38); it maps onto the sink's
-        // bounded in-flight window
-        val senders = at("server", "senderWorkers").map(_.asInt())
         ConnectorConfig(
           name = c.get("name").asText(),
           connType = tpe,
-          maxInFlight = senders.getOrElse(64),
+          maxInFlight = senders.getOrElse(1),
           url = cAt("webhook", "url").map(_.asText()).getOrElse(""),
           method = cAt("webhook", "method").map(_.asText()).getOrElse("POST"),
           headers = cAt("webhook", "headers")
@@ -243,7 +248,7 @@ object Config {
       itemByRow = boolAt(dflt = true, "server", "pool", "itemByRow"),
       poolSize = at("server", "pool", "size").map(_.asLong()).getOrElse(0L),
       stopInError = boolAt(dflt = true, "server", "stopInError"),
-      restartSyncerOnError = boolAt(dflt = true, "server", "restartSyncerOnError"),
+      restartSyncerOnError = boolAt(dflt = false, "server", "restartSyncerOnError"),
       readTimeoutMs = at("source", "readTimeout")
         .map(x => parseGoDuration(x.asText())).getOrElse(90000L),
       heartbeatPeriodMs = at("source", "heartbeatPeriod")
@@ -332,7 +337,7 @@ object Config {
       itemByRow = bool("itemByRow", dflt = true),
       poolSize = if (n.hasNonNull("poolSize")) n.get("poolSize").asLong() else 0L,
       stopInError = bool("stopInError", dflt = true),
-      restartSyncerOnError = bool("restartSyncerOnError", dflt = true),
+      restartSyncerOnError = bool("restartSyncerOnError", dflt = false),
       readTimeoutMs =
         if (n.hasNonNull("readTimeoutMs")) n.get("readTimeoutMs").asLong() else 90000L,
       heartbeatPeriodMs =

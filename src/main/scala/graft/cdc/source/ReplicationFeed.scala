@@ -59,6 +59,12 @@ final class ReplicationFeed(host: String, port: Int, user: String,
 
   require(Set("disabled", "required", "verify_ca", "verify_identity")(tlsMode),
     s"unsupported tlsMode '$tlsMode'")
+  // go-mysql guards exactly this: with heartbeat >= read timeout an IDLE
+  // healthy master times the socket out before any heartbeat arrives,
+  // cycling reconnects forever
+  require(heartbeatPeriodMs <= 0 || readTimeoutMs <= 0 ||
+    heartbeatPeriodMs < readTimeoutMs,
+    s"heartbeatPeriodMs ($heartbeatPeriodMs) must be < readTimeoutMs ($readTimeoutMs)")
 
   private val files = new BinlogFileFeed(spoolDir)
   Files.createDirectories(Paths.get(spoolDir))
@@ -70,6 +76,11 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   @volatile private var started = false
   /** Last stream error, surfaced for tests/observability. */
   @volatile private[cdc] var lastError: String = _
+  /** restartOnError=false + a stream error: the tail has stopped for
+    * good, and every read-surface call must FAIL rather than serve the
+    * frozen spool as healthy empty batches (the reference exits the
+    * process in this path — a silent stall would invert that). */
+  @volatile private var failed = false
 
   // ---- resume state (guarded by the tail thread only) ----
   private var currentFile: String = _
@@ -86,10 +97,15 @@ final class ReplicationFeed(host: String, port: Int, user: String,
   private var pendingMariadb: Option[(Long, Long, Long)] = None
   private var checksummed = false // from the streamed FDE
 
-  override def segments(): Seq[String] = files.segments()
-  override def extent(segment: String): Long = files.extent(segment)
-  override def open(segment: String, from: Long, to: Long): FeedEventReader =
-    files.open(segment, from, to)
+  private def checkNotFailed(): Unit =
+    if (failed) throw new IOException(
+      s"replication tail stopped (restartSyncerOnError=false): $lastError")
+
+  override def segments(): Seq[String] = { checkNotFailed(); files.segments() }
+  override def extent(segment: String): Long = { checkNotFailed(); files.extent(segment) }
+  override def open(segment: String, from: Long, to: Long): FeedEventReader = {
+    checkNotFailed(); files.open(segment, from, to)
+  }
 
   /** Replication hints are REAL here: flavor picks the dialect spoken,
     * startGtid the resume mode. First call starts the tail thread. */
@@ -222,6 +238,7 @@ final class ReplicationFeed(host: String, port: Int, user: String,
               System.err.println(
                 s"[replication-feed] $host:$port: ${e.getMessage}; " +
                   "restartSyncerOnError=false, stopping the tail")
+              failed = true // poison reads: the next poll fails the query
               stopped = true
             } else System.err.println(
               s"[replication-feed] $host:$port: ${e.getMessage}; retrying in ${backoffMs}ms")

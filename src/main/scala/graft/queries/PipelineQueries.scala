@@ -75,6 +75,7 @@ object PipelineQueries extends QueryGroup {
     // partial agg; everything after is threshold-dim sized.
     "q86_quantile_filter" -> ((s, d) => {
       val t = Tables.spread(Tables.documents(s, d))
+        .filter(col("text").isNotNull) // NULL text ranks differently per engine
         .select(col("doc_id"), col("lang"),
           size(toks(col("text"))).cast("long").as("n_tok"))
       val hist = t.groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
@@ -201,7 +202,7 @@ object PipelineQueries extends QueryGroup {
       """WITH t AS (SELECT doc_id, lang,
         |             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
         |                                  x -> x <> '')) AS BIGINT) AS n_tok
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |r AS (SELECT lang, n_tok,
         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
         |        COUNT(*) OVER (PARTITION BY lang) AS n

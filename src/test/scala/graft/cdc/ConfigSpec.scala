@@ -19,6 +19,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.parseGoDuration("500ms") == 500L)
     assert(Config.parseGoDuration("2h") == 7200000L)
     assert(Config.parseGoDuration("60000000000") == 60000L) // bare = ns (Go)
+    assert(Config.parseGoDuration("1.5s") == 1500L) // Go grammar: fractions
+    assert(Config.parseGoDuration("0.5h") == 1800000L)
+    intercept[IllegalArgumentException](Config.parseGoDuration("12-34"))
     intercept[IllegalArgumentException](Config.parseGoDuration("ninety seconds"))
   }
 
@@ -122,7 +125,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.sourceTlsMode === "verify_ca" && cfg.sourceTlsCa === "/etc/certs/ca.pem")
     assert(cfg.loggerLevel === "debug")
     assert(cfg.readTimeoutMs === 90000L && cfg.heartbeatPeriodMs === 90000L)
-    assert(cfg.restartSyncerOnError) // absent → reference default true
+    assert(!cfg.restartSyncerOnError) // absent → the reference's false
     assert(cfg.poolSize === 20L) // server.pool.size → admission cap
     // server.senderWorkers: 1 (ordered delivery) → sink in-flight window 1
     assert(cfg.connectors.forall(_.maxInFlight === 1))

@@ -431,6 +431,9 @@ class ReplicationFeedSpec extends SparkTestBase {
       Thread.sleep(1500) // with restart ON the backoff loop would retry by now
       assert(server.authFailures == 1,
         s"no reconnect allowed, saw ${server.authFailures} auth attempts")
+      // the stop is LOUD: the read surface fails the next poll instead
+      // of serving the frozen spool as healthy empty batches
+      intercept[java.io.IOException](feed.segments())
     } finally { feed.close(); server.close() }
   }
 
