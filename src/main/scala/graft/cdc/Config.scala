@@ -11,7 +11,8 @@ import scala.util.matching.Regex
   */
 final case class GraftConfig(
     serverId: String = "graft",
-    // logger.level (config.go:55) — "" = leave the session's level alone
+    // logger.level (config.go:55) — "" and unknown values fall back to
+    // the engine's quiet WARN default
     loggerLevel: String = "",
     // server.pool.itemByRow (config.go:74-77)
     itemByRow: Boolean = true,
@@ -163,7 +164,7 @@ object Config {
   private[cdc] def parseGoDuration(s: String): Long = {
     val t = s.trim
     if (t.isEmpty) 0L
-    else if (t.matches("-?\\d+")) t.toLong / 1000000L // bare number = ns (Go)
+    else if (t.matches("-?\\d+")) math.round(t.toLong / 1000000.0) // bare = ns (Go)
     else {
       val re = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)".r
       val parts = re.findAllMatchIn(t).toSeq
@@ -215,7 +216,7 @@ object Config {
         ConnectorConfig(
           name = c.get("name").asText(),
           connType = tpe,
-          maxInFlight = senders.getOrElse(1),
+          maxInFlight = senders.filter(_ > 0).getOrElse(1), // 0 (Go zero value) would deadlock the window
           url = cAt("webhook", "url").map(_.asText()).getOrElse(""),
           method = cAt("webhook", "method").map(_.asText()).getOrElse("POST"),
           headers = cAt("webhook", "headers")

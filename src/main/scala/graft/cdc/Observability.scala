@@ -77,13 +77,18 @@ object RestartSupervisor {
   def run(maxRestarts: Int)(startQuery: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     var attempts = 0
     var done = false
+    var backoffMs = 100L
     while (!done) {
       val q = startQuery()
-      try { q.awaitTermination(); done = true }
+      try { q.awaitTermination(); done = true; backoffMs = 100L }
       catch {
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
           attempts += 1
           if (maxRestarts >= 0 && attempts > maxRestarts) throw e
+          // a persistently failing source (e.g. a stopped replication
+          // tail) must not spin a zero-delay restart hot loop
+          try Thread.sleep(backoffMs) catch { case _: InterruptedException => () }
+          backoffMs = math.min(backoffMs * 2, 10000L)
       }
     }
   }

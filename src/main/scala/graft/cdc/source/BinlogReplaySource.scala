@@ -220,6 +220,9 @@ object BinlogFeeds {
           Option(options.get("tlsCa")),
           Option(options.get("readTimeoutMs")).map(_.toLong).getOrElse(90000L),
           Option(options.get("heartbeatPeriodMs")).map(_.toLong).getOrElse(60000L),
+          // raw-option default TRUE = go-mysql's own retry posture (the
+          // library feed reconnects with backoff); the CONFIG layer
+          // always passes the reference default (false) explicitly
           Option(options.get("restartOnError")).forall(_.toBoolean)))
     }
     else Option(options.get("socket")) match {

@@ -116,6 +116,14 @@ final class ReplicationFeed(host: String, port: Int, user: String,
       if (!started) {
         started = true
         recoverFromSpool()
+        tail = mkTail()
+        tail.start()
+      } else if (failed && !closed) {
+        // a supervisor-restarted query re-enters here: give the stopped
+        // tail a fresh attempt instead of serving the poisoned surface
+        // forever (the feed is cached per (endpoint, spool) for the JVM)
+        failed = false
+        tail = mkTail()
         tail.start()
       }
     }
@@ -224,8 +232,11 @@ final class ReplicationFeed(host: String, port: Int, user: String,
     }
   }
 
-  private val tail = new Thread(() => {
-    var backoffMs = 50L
+  @volatile private var tail: Thread = _
+
+  private def mkTail(): Thread = {
+    val t = new Thread(() => {
+      var backoffMs = 50L
     var stopped = false
     while (!closed && !stopped) {
       val drained =
@@ -251,8 +262,10 @@ final class ReplicationFeed(host: String, port: Int, user: String,
         backoffMs = if (drained) 500L else math.min(math.max(backoffMs, 50L) * 2, 5000L)
       }
     }
-  }, s"replication-feed-$host:$port")
-  tail.setDaemon(true)
+    }, s"replication-feed-$host:$port")
+    t.setDaemon(true)
+    t
+  }
 
   /** TLS client upgrade of the already-connected socket, per `tlsMode`.
     * "required" trusts any certificate (MySQL's REQUIRED = encryption
@@ -482,6 +495,7 @@ final class ReplicationFeed(host: String, port: Int, user: String,
     closed = true
     val s = liveSocket
     if (s != null) try s.close() catch { case _: Throwable => () }
-    tail.interrupt()
+    val t = tail
+    if (t != null) t.interrupt() // null if configure() never ran
   }
 }

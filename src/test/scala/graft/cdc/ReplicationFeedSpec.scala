@@ -434,6 +434,12 @@ class ReplicationFeedSpec extends SparkTestBase {
       // the stop is LOUD: the read surface fails the next poll instead
       // of serving the frozen spool as healthy empty batches
       intercept[java.io.IOException](feed.segments())
+      // a supervisor-restarted query re-configures the cached feed: the
+      // poisoned state clears and the tail gets ONE fresh attempt
+      feed.configure("mysql", None)
+      val d2 = System.nanoTime() + 20e9.toLong
+      while (server.authFailures < 2 && System.nanoTime() < d2) Thread.sleep(20)
+      assert(server.authFailures == 2, "re-configure must retry exactly once")
     } finally { feed.close(); server.close() }
   }
 
