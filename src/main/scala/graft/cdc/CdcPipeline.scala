@@ -28,7 +28,8 @@ object CdcPipeline {
         case "google_pubsub" =>
           new PubSubConnector(c.name, c.projectId, c.topicId,
             endpoint = if (c.url.nonEmpty) c.url else "https://pubsub.googleapis.com",
-            authToken = c.authToken): Connector
+            authToken = c.authToken,
+            tokenMinter = c.serviceAccount.map(GcpTokenMinter.fromConfig)): Connector
         case "collect" => new CollectingConnector(c.name): Connector
         case other => sys.error(s"unsupported '$other' connector type (connectors.go:29-31 parity)")
       })

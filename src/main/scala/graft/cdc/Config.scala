@@ -116,7 +116,12 @@ final case class ConnectorConfig(
     // google_pubsub (config.go:135-139: Pubsub.ProjectID / Pubsub.TopicID)
     projectId: String = "",
     topicId: String = "",
-    authToken: Option[String] = None)
+    authToken: Option[String] = None,
+    // Service-account credentials: inline JSON or a path to the usual
+    // credentials file. The reference's client library resolves
+    // application-default credentials itself; this is the explicit
+    // equivalent (GcpTokenMinter mints + refreshes the Bearer token).
+    serviceAccount: Option[String] = None)
 
 object Config {
 
@@ -226,7 +231,8 @@ object Config {
           basicAuthPass = cAt("webhook", "credentials", "password").map(_.asText()).filter(_.nonEmpty),
           tlsSkipVerify = cAt("webhook", "tlsSkipVerify").exists(_.asBoolean()),
           projectId = cAt("pubsub", "projectID").map(_.asText()).getOrElse(""),
-          topicId = cAt("pubsub", "topicID").map(_.asText()).getOrElse(""))
+          topicId = cAt("pubsub", "topicID").map(_.asText()).getOrElse(""),
+          serviceAccount = cAt("pubsub", "serviceAccount").map(_.asText()).filter(_.nonEmpty))
       }.toSeq)
       .getOrElse(Seq.empty)
 
@@ -329,7 +335,8 @@ object Config {
             maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64,
             projectId = if (c.hasNonNull("projectId")) c.get("projectId").asText() else "",
             topicId = if (c.hasNonNull("topicId")) c.get("topicId").asText() else "",
-            authToken = Option.when(c.hasNonNull("authToken"))(c.get("authToken").asText()))
+            authToken = Option.when(c.hasNonNull("authToken"))(c.get("authToken").asText()),
+            serviceAccount = Option.when(c.hasNonNull("serviceAccount"))(c.get("serviceAccount").asText()))
         }.toSeq
       else Seq.empty
     GraftConfig(
@@ -355,6 +362,8 @@ object Config {
       sourcePassword = str("sourcePassword", ""),
       sourceServerId =
         if (n.hasNonNull("sourceServerId")) n.get("sourceServerId").asLong() else 1001L,
+      sourceTlsMode = str("sourceTlsMode", "disabled"),
+      sourceTlsCa = str("sourceTlsCa", ""),
       shardingEnabled = bool("shardingEnabled", dflt = false),
       shardCount = if (n.hasNonNull("shardCount")) n.get("shardCount").asInt() else 1,
       shardIndex = if (n.hasNonNull("shardIndex")) n.get("shardIndex").asInt() else 0,

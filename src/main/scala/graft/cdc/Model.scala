@@ -52,6 +52,9 @@ object Model {
     "WriteRowsEvent" -> "INSERT",
     "UpdateRowsEventV2" -> "UPDATE", "UpdateRowsEventV1" -> "UPDATE",
     "UpdateRowsEvent" -> "UPDATE",
+    // binlog_row_value_options=PARTIAL_JSON (event type 39); the decoder
+    // reconstructs full after-images, so downstream treats it as UPDATE
+    "PartialUpdateRowsEvent" -> "UPDATE",
     "DeleteRowsEventV2" -> "DELETE", "DeleteRowsEventV1" -> "DELETE",
     "DeleteRowsEvent" -> "DELETE")
 }

@@ -170,7 +170,11 @@ final class PubSubConnector(
     topicId: String,
     endpoint: String = "https://pubsub.googleapis.com",
     authToken: Option[String] = None,
-    timeout: Duration = Duration.ofSeconds(10)) extends Connector {
+    timeout: Duration = Duration.ofSeconds(10),
+    // Service-account flow (GcpTokenMinter): minted + auto-refreshed
+    // Bearer tokens. A static `authToken` (emulator / external
+    // refresher) wins when both are set.
+    tokenMinter: Option[GcpTokenMinter] = None) extends Connector {
 
   @transient private lazy val client: HttpClient = WebhookConnector.shared
 
@@ -186,7 +190,8 @@ final class PubSubConnector(
       .timeout(timeout)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body))
-    authToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    authToken.orElse(tokenMinter.map(_.token()))
+      .foreach(t => b.header("Authorization", s"Bearer $t"))
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     // result.Get parity: publish is only successful once the service
     // acks with an assigned message id (connectors.pubsub.go:36-41).

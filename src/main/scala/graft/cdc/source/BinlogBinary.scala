@@ -13,7 +13,9 @@ import java.util.zip.CRC32
   * Scope: FORMAT_DESCRIPTION (checksum negotiation), ROTATE, TABLE_MAP
   * (including the MySQL 8 optional-metadata COLUMN_NAME TLV — the
   * offline source of column names; the reference queries a live server's
-  * information_schema instead), and ROWS v1/v2 with the full column-type
+  * information_schema instead), TRANSACTION_PAYLOAD (MySQL ≥ 8.0.20
+  * compressed transactions: zstd/raw inner event stream replayed through
+  * the same decode), and ROWS v1/v2 with the full column-type
   * surface go-mysql passes through (SURVEY §1.2): integers, float/double,
   * year, varchar/var_string, char (incl. >255-byte capacities), enum and
   * set (as their index/bitmask integers), blob/text, datetime2, date,
@@ -43,6 +45,8 @@ object BinlogBinary {
   val WRITE_ROWS_V2 = 30
   val UPDATE_ROWS_V2 = 31
   val DELETE_ROWS_V2 = 32
+  val PARTIAL_UPDATE_ROWS_EVENT = 39
+  val TRANSACTION_PAYLOAD_EVENT = 40
 
   // column type codes (public protocol)
   val T_TINY = 1; val T_SHORT = 2; val T_LONG = 3; val T_FLOAT = 4
@@ -66,6 +70,8 @@ object BinlogBinary {
     case WRITE_ROWS_V2 => "WriteRowsEventV2"
     case UPDATE_ROWS_V2 => "UpdateRowsEventV2"
     case DELETE_ROWS_V2 => "DeleteRowsEventV2"
+    case PARTIAL_UPDATE_ROWS_EVENT => "PartialUpdateRowsEvent"
+    case TRANSACTION_PAYLOAD_EVENT => "TransactionPayloadEvent"
     case other => s"UnknownEvent($other)"
   }
 
@@ -247,8 +253,16 @@ object BinlogBinary {
             val (tid, td) = decodeTableMap(c)
             tables(tid) = td
           case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 |
-              WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+              WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
+              PARTIAL_UPDATE_ROWS_EVENT =>
             decodeRows(c, evType, tables, fileName, logPos).foreach(out += _)
+          case TRANSACTION_PAYLOAD_EVENT =>
+            // MySQL ≥ 8.0.20 binlog_transaction_compression=ON: the whole
+            // transaction (TABLE_MAP + ROWS + …) rides inside one event,
+            // optionally zstd-compressed. Skipping it would be silent
+            // data loss of every change on such a server.
+            decodeTransactionPayload(c, tables, fileName, logPos)
+              .foreach(out += _)
           case _ => // FORMAT_DESCRIPTION / QUERY / XID / …: no feed event
         }
         pos += evSize
@@ -309,7 +323,8 @@ object BinlogBinary {
       val extraLen = c.u16() // length includes these two bytes
       c.bytes(extraLen - 2)
     }
-    val isUpdate = evType == UPDATE_ROWS_V1 || evType == UPDATE_ROWS_V2
+    val isUpdate = evType == UPDATE_ROWS_V1 || evType == UPDATE_ROWS_V2 ||
+      evType == PARTIAL_UPDATE_ROWS_EVENT
     val td = tables.getOrElse(tableId,
       throw new IllegalArgumentException(
         s"$fileName: rows event for unmapped table id $tableId"))
@@ -321,27 +336,176 @@ object BinlogBinary {
     if (td.colNames == null) return None // no column names known: skip (ref parity)
 
     val rows = Array.newBuilder[Array[String]]
+    var lastBefore: Array[String] = null
     var image = 0 // update alternates before(0)/after(1)
     while (c.remaining > 0) {
-      val present = if (isUpdate && image % 2 == 1) present2 else present1
+      val isAfter = isUpdate && image % 2 == 1
+      val present = if (isAfter) present2 else present1
+      // PARTIAL_JSON (binlog_row_value_options, WL#2955): each after
+      // image starts with a lenenc value-options field; bit 0 announces
+      // a partial-bits bitmap — one bit per JSON column included in the
+      // image — marking which JSON values arrive as diff sequences.
+      var partialBits: Array[Byte] = null
+      if (evType == PARTIAL_UPDATE_ROWS_EVENT && isAfter) {
+        val opts = c.lenenc()
+        if ((opts & 1L) != 0) {
+          val nJson = (0 until nCols).count(ci =>
+            bitSet(present, ci) && td.colTypes(ci) == T_JSON)
+          partialBits = c.bytes((nJson + 7) / 8)
+        }
+      }
       val nPresent = (0 until nCols).count(bitSet(present, _))
       val nullBm = c.bytes((nPresent + 7) / 8)
       val row = new Array[String](nCols)
       var pi = 0
       var ci = 0
+      var jIdx = 0 // position in the partial-bits bitmap
       while (ci < nCols) {
         if (bitSet(present, ci)) {
-          row(ci) = if (bitSet(nullBm, pi)) null
-            else decodeValue(c, td.colTypes(ci), td.colMeta(ci))
+          val partial = partialBits != null && td.colTypes(ci) == T_JSON && {
+            val v = bitSet(partialBits, jIdx); jIdx += 1; v
+          }
+          row(ci) =
+            if (bitSet(nullBm, pi)) null
+            else if (partial) {
+              // framed like a full JSON value; the bytes are diffs
+              val len = (td.colMeta(ci) match {
+                case 1 => c.u8().toLong
+                case 2 => c.u16().toLong
+                case 3 => c.u24().toLong
+                case 4 => c.u32()
+                case n => throw new IllegalArgumentException(s"bad JSON meta $n")
+              }).toInt
+              val diff = c.bytes(len)
+              val before = if (lastBefore != null) lastBefore(ci) else null
+              require(before != null,
+                s"$fileName: partial JSON diff for ${td.schema}.${td.table} column $ci without a before-image value")
+              BinlogJsonDiff.applyDiffs(before, diff)
+            } else decodeValue(c, td.colTypes(ci), td.colMeta(ci))
           pi += 1
         }
         ci += 1
       }
       rows += row
+      if (isUpdate && !isAfter) lastBefore = row
       image += 1
     }
     Some(FeedEvent(eventTypeName(evType), fileName, logPos,
       td.schema, td.table, td.colNames, rows.result()))
+  }
+
+  // TRANSACTION_PAYLOAD field types (public format,
+  // libbinlogevents/include/control_events.h): 0 = end-of-fields mark,
+  // 1 = payload size, 2 = compression type, 3 = uncompressed size.
+  // Compression types: 0 = ZSTD, 255 = NONE.
+  private val OTW_END_MARK = 0
+  private val OTW_PAYLOAD_SIZE = 1
+  private val OTW_COMPRESSION_TYPE = 2
+  private val OTW_UNCOMPRESSED_SIZE = 3
+  private val COMPRESSION_ZSTD = 0
+  private val COMPRESSION_NONE = 255
+  /** Decompression allocation cap. MySQL caps a transaction's binlog
+    * footprint at max_binlog_cache_size; 1 GiB of decompressed
+    * transaction is far past any sane configuration — treat it as
+    * corruption rather than allocating unbounded memory. */
+  private val MaxPayloadBytes = 1L << 30
+
+  /** TRANSACTION_PAYLOAD (type 40, MySQL ≥ 8.0.20
+    * binlog_transaction_compression=ON): a lenenc-TLV field block
+    * (compression type, uncompressed size, payload size, end mark)
+    * followed by the payload — the transaction's ordinary event stream
+    * (TABLE_MAP + ROWS + QUERY/XID), zstd-compressed or raw. Inner
+    * events carry NO checksum regardless of the outer FDE algorithm
+    * (the outer event's CRC already covers the compressed bytes).
+    *
+    * Inner ROWS events are emitted with the OUTER event's logPos: a
+    * compressed transaction applies atomically, so the only resumable
+    * offset is the payload-event boundary — the same commit-boundary
+    * gating the GTID resume path uses. (Inner headers carry positions
+    * relative to the uncompressed stream, meaningless for seeking in
+    * the actual file.) */
+  private def decodeTransactionPayload(c: Cursor,
+      tables: scala.collection.mutable.Map[Long, TableDef],
+      fileName: String, logPos: Long): Vector[FeedEvent] = {
+    var compression = COMPRESSION_NONE
+    var uncompressedSize = -1L
+    var payloadSize = -1L
+    var done = false
+    while (!done) {
+      val t = c.lenenc().toInt
+      if (t == OTW_END_MARK) done = true
+      else {
+        val len = c.lenenc().toInt
+        require(len >= 0 && len <= c.remaining,
+          s"$fileName: bad transaction payload field length $len")
+        val fieldEnd = c.p + len
+        // field values are themselves lenenc-encoded integers
+        val v = new Cursor(c.b, c.p, fieldEnd).lenenc()
+        t match {
+          case OTW_PAYLOAD_SIZE => payloadSize = v
+          case OTW_COMPRESSION_TYPE => compression = v.toInt
+          case OTW_UNCOMPRESSED_SIZE => uncompressedSize = v
+          case _ => // unknown OPTIONAL field: skip (forward compat)
+        }
+        c.p = fieldEnd
+      }
+    }
+    require(payloadSize < 0 || payloadSize == c.remaining,
+      s"$fileName: transaction payload size field $payloadSize != ${c.remaining} remaining bytes")
+    val payload = c.bytes(c.remaining)
+    val raw: Array[Byte] = compression match {
+      case COMPRESSION_NONE => payload
+      case COMPRESSION_ZSTD =>
+        require(uncompressedSize >= 0,
+          s"$fileName: zstd transaction payload without an uncompressed-size field")
+        require(uncompressedSize <= MaxPayloadBytes,
+          s"$fileName: transaction payload claims $uncompressedSize uncompressed bytes (cap $MaxPayloadBytes)")
+        val dst =
+          try com.github.luben.zstd.Zstd.decompress(payload, uncompressedSize.toInt)
+          catch {
+            case e: com.github.luben.zstd.ZstdException =>
+              throw new IllegalArgumentException(
+                s"$fileName: corrupt zstd transaction payload (${e.getMessage})", e)
+          }
+        require(dst.length == uncompressedSize,
+          s"$fileName: zstd payload decompressed to ${dst.length} bytes, expected $uncompressedSize")
+        dst
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fileName: unknown transaction payload compression type $other")
+    }
+    // The payload is an ordinary v4 event stream (no magic, no checksums).
+    val out = Vector.newBuilder[FeedEvent]
+    var p = 0
+    while (p + HeaderLen <= raw.length) {
+      val h = new Cursor(raw, p, p + HeaderLen)
+      h.u32() // timestamp
+      val evType = h.u8()
+      h.u32() // server id
+      val evSize = h.u32().toInt
+      require(evSize >= HeaderLen,
+        s"$fileName: bad inner event size $evSize in transaction payload")
+      require(p + evSize <= raw.length,
+        s"$fileName: truncated inner event in transaction payload")
+      val cc = new Cursor(raw, p + HeaderLen, p + evSize)
+      evType match {
+        case TABLE_MAP_EVENT =>
+          val (tid, td) = decodeTableMap(cc)
+          tables(tid) = td
+        case WRITE_ROWS_V1 | UPDATE_ROWS_V1 | DELETE_ROWS_V1 |
+            WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
+            PARTIAL_UPDATE_ROWS_EVENT =>
+          decodeRows(cc, evType, tables, fileName, logPos).foreach(out += _)
+        case TRANSACTION_PAYLOAD_EVENT =>
+          throw new IllegalArgumentException(
+            s"$fileName: nested transaction payload event") // MySQL never nests
+        case _ => // QUERY (BEGIN) / XID / GTID bookkeeping: no feed event
+      }
+      p += evSize
+    }
+    require(p == raw.length,
+      s"$fileName: ${raw.length - p} trailing bytes after last inner event in transaction payload")
+    out.result()
   }
 
   /** One column value → its string form (the feed's schema-less

@@ -132,8 +132,9 @@ object BinlogJson {
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
   /** JSON string escaping — byte-identical to TemplateEngine.toJson's
-    * string case so template-rendered payloads round-trip. */
-  private def escape(s: String): String = {
+    * string case so template-rendered payloads round-trip. (Shared with
+    * [[BinlogJsonDiff]] so partially-updated documents escape the same.) */
+  private[source] def escape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 2)
     sb.append('"')
     s.foreach {

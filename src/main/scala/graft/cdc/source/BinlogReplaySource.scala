@@ -208,22 +208,33 @@ object BinlogFeeds {
       val host = Option(options.get("host")).getOrElse(
         sys.error("replication format requires a 'host' option"))
       val port = Option(options.get("port")).map(_.toInt).getOrElse(3306)
+      val user = Option(options.get("user")).getOrElse("root")
+      val password = Option(options.get("password")).getOrElse("")
+      val slaveServerId = Option(options.get("slaveServerId")).map(_.toLong).getOrElse(1001L)
+      val tlsMode = Option(options.get("tlsMode")).getOrElse("disabled")
+      val tlsCa = Option(options.get("tlsCa"))
+      val readTimeoutMs = Option(options.get("readTimeoutMs")).map(_.toLong).getOrElse(90000L)
+      val heartbeatMs = Option(options.get("heartbeatPeriodMs")).map(_.toLong).getOrElse(60000L)
+      // raw-option default TRUE = go-mysql's own retry posture (the
+      // library feed reconnects with backoff); the CONFIG layer
+      // always passes the reference default (false) explicitly
+      val restartOnError = Option(options.get("restartOnError")).forall(_.toBoolean)
+      val wanted = ReplicationFeed.fingerprint(user, password, slaveServerId,
+        tlsMode, tlsCa, readTimeoutMs, heartbeatMs, restartOnError)
       // one live client per (endpoint, spool): repeated stream (re)starts
       // share the connection and keep appending to the same relay
-      replicationFeeds.computeIfAbsent((s"$host:$port", path),
-        _ => new ReplicationFeed(host, port,
-          Option(options.get("user")).getOrElse("root"),
-          Option(options.get("password")).getOrElse(""),
-          Option(options.get("slaveServerId")).map(_.toLong).getOrElse(1001L),
-          path,
-          Option(options.get("tlsMode")).getOrElse("disabled"),
-          Option(options.get("tlsCa")),
-          Option(options.get("readTimeoutMs")).map(_.toLong).getOrElse(90000L),
-          Option(options.get("heartbeatPeriodMs")).map(_.toLong).getOrElse(60000L),
-          // raw-option default TRUE = go-mysql's own retry posture (the
-          // library feed reconnects with backoff); the CONFIG layer
-          // always passes the reference default (false) explicitly
-          Option(options.get("restartOnError")).forall(_.toBoolean)))
+      val feed = replicationFeeds.computeIfAbsent((s"$host:$port", path),
+        _ => new ReplicationFeed(host, port, user, password, slaveServerId,
+          path, tlsMode, tlsCa, readTimeoutMs, heartbeatMs, restartOnError))
+      // cache-hit guard: a restart with changed credentials/TLS/timeout
+      // options must fail loudly, not silently keep the old connection.
+      // (The key stays (endpoint, spool) — two feeds with different
+      // options appending to ONE relay spool would corrupt it.)
+      require(feed.optionsFingerprint == wanted,
+        s"a replication feed for $host:$port already owns spool '$path' with " +
+          "different options (credentials/TLS/timeouts); stop the old stream and " +
+          "use a fresh spool directory, or restart with the original options")
+      feed
     }
     else Option(options.get("socket")) match {
       case Some(hp) =>

@@ -234,8 +234,17 @@ object MysqlWire {
             var i = 1; while (i < p.length && p(i) != 0) i += 1; i
           }
           val plugin = new String(p, 1, pluginEnd - 1, StandardCharsets.UTF_8)
-          val seed = java.util.Arrays.copyOfRange(p, pluginEnd + 1,
-            math.max(pluginEnd + 1, p.length - (if (p.last == 0) 1 else 0)))
+          // seed is a FIXED 20 bytes followed by a documented NUL: take
+          // exactly 20 when available rather than NUL-stripping, so a
+          // 20-byte scramble that legitimately ends in 0x00 (with the
+          // server omitting the terminator) keeps its last real byte;
+          // NUL-strip only shorter/odd payloads.
+          val seedStart = pluginEnd + 1
+          val avail = p.length - seedStart
+          val seed =
+            if (avail >= 20) java.util.Arrays.copyOfRange(p, seedStart, seedStart + 20)
+            else java.util.Arrays.copyOfRange(p, seedStart,
+              math.max(seedStart, p.length - (if (avail > 0 && p.last == 0) 1 else 0)))
           io.write(seq + 1, tokenFor(plugin, password, seed))
         case other =>
           throw new java.io.IOException(s"unexpected auth packet 0x${other.toHexString}")

@@ -59,6 +59,13 @@ final class ReplicationFeed(host: String, port: Int, user: String,
 
   require(Set("disabled", "required", "verify_ca", "verify_identity")(tlsMode),
     s"unsupported tlsMode '$tlsMode'")
+
+  /** Full-options identity for the per-(endpoint, spool) feed cache: a
+    * restarted query whose credentials/TLS/timeout options changed must
+    * NOT silently reuse a feed built from the old options. */
+  private[source] val optionsFingerprint: String =
+    ReplicationFeed.fingerprint(user, password, slaveServerId, tlsMode,
+      tlsCa, readTimeoutMs, heartbeatPeriodMs, restartOnError)
   // go-mysql guards exactly this: with heartbeat >= read timeout an IDLE
   // healthy master times the socket out before any heartbeat arrives,
   // cycling reconnects forever
@@ -437,7 +444,14 @@ final class ReplicationFeed(host: String, port: Int, user: String,
                     else java.util.Arrays.copyOfRange(ev, 19, ev.length))
                 if (channel == null)
                   throw new IOException("event stream started without a ROTATE")
-                channel.write(ByteBuffer.wrap(ev))
+                // a reconnect re-sends the FDE with its original early
+                // log_pos; appending it mid-file would duplicate FDE
+                // bytes in the segment on EVERY reconnect cycle. Skip
+                // it when the spool is already past it (mirror of the
+                // artificial-rotate write-once guard); a fresh segment
+                // (currentPos at the magic) still gets its FDE.
+                if (!(evType == 15 && logPos <= currentPos))
+                  channel.write(ByteBuffer.wrap(ev))
                 // never move the resume point BACKWARD: a re-sent FDE on
                 // reconnect carries its original early log_pos, and
                 // honoring it would re-request (and re-spool) the file
@@ -498,4 +512,18 @@ final class ReplicationFeed(host: String, port: Int, user: String,
     val t = tail
     if (t != null) t.interrupt() // null if configure() never ran
   }
+}
+
+object ReplicationFeed {
+  /** Canonical option fingerprint shared by the feed and the
+    * [[BinlogReplaySource]] cache-hit guard -- one format, so the two
+    * sites can never drift. NUL-joined (via the escape sequence; no
+    * legal option value contains one), so distinct option sets never
+    * collide. */
+  private[source] def fingerprint(user: String, password: String,
+      slaveServerId: Long, tlsMode: String, tlsCa: Option[String],
+      readTimeoutMs: Long, heartbeatPeriodMs: Long,
+      restartOnError: Boolean): String =
+    Seq(user, password, slaveServerId, tlsMode, tlsCa.getOrElse(""),
+      readTimeoutMs, heartbeatPeriodMs, restartOnError).mkString("\u0000")
 }

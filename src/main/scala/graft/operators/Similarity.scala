@@ -36,9 +36,11 @@ object Similarity {
     * vector BEFORE the pair join (O(n·d)), one dot product per pair.
     *
     * This is the EXACT ALL-PAIRS form — O(n²) by definition — so it
-    * REFUSES inputs above `maxRows` (an eager bounded count at call
-    * time: `limit(maxRows+1).count()`, which stops scanning as soon as
-    * the bound is exceeded). For unbounded inputs use
+    * REFUSES inputs above `maxRows`. The bound rides IN the plan as a
+    * 1-row broadcast guard (count + raise_error), so construction stays
+    * lazy (no eager pre-scan at DataFrame-build time) and an over-bound
+    * input fails when the job runs, as the guard broadcast materializes
+    * — before any pair work streams. For unbounded inputs use
     * [[nearDupPairsBucketed]], which generates candidates from a
     * bucket-equality join instead of the cross product. */
   def nearDupPairs(base: DataFrame, idCol: String, vecCol: String,
@@ -47,15 +49,20 @@ object Similarity {
       maxRows: Long = 100000L): DataFrame = {
     require(maxRows >= 1 && maxRows < Int.MaxValue,
       s"maxRows must be in [1, ${Int.MaxValue - 1}], got $maxRows")
-    val n = base.limit(maxRows.toInt + 1).count()
-    require(n <= maxRows,
-      s"nearDupPairs is exact all-pairs (O(n^2)) and refuses > $maxRows rows " +
-        s"(got at least $n); pre-bucket the input or use nearDupPairsBucketed")
+    val guard = base.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") <= maxRows, col("__n"))
+        .otherwise(raise_error(concat(
+          lit(s"nearDupPairs is exact all-pairs (O(n^2)) and refuses > $maxRows rows (got "),
+          col("__n").cast("string"),
+          lit("); pre-bucket the input or use nearDupPairsBucketed")))).as("__n"))
     val e = base.select(col(idCol), col(vecCol).as("v"),
       vectorNorm(col(vecCol)).as("nrm"))
     val a = e.select(col(idCol).as("i"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col(idCol).as("j"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("i") < col("j"))
+    // the join condition references __n so column pruning can never
+    // drop the guard projection (and its raise_error) from the plan
+    a.crossJoin(broadcast(guard))
+      .join(broadcast(b), col("i") < col("j") && col("__n") >= 0L)
       .select(col("i"), col("j"),
         scoreT(vectorDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
       .filter(col("score") >= minCosine)
@@ -214,12 +221,27 @@ object Similarity {
     * so callers own the clustering granularity — centroid count must
     * grow with the corpus (ScaleProbe pins this rule: scaled centroids
     * keep the curve linear), and a pathologically hot cluster is fixed
-    * by subclustering (finer centroids there), not by this operator. */
+    * by subclustering (finer centroids there), not by this operator.
+    * The contract is ENFORCED: any cluster above `maxClusterRows`
+    * refuses loudly (the [[nearDupPairs]] contract) instead of quietly
+    * going quadratic. The occupancy check is one tiny aggregate over
+    * the just-materialized checkpoint blocks — this operator is already
+    * eager at call time by documented contract, so no extra source scan
+    * and no laziness lost. */
   def semanticDedup(base: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, minCosine: Column,
-      scoreT: Column => Column = identity): DataFrame = {
+      scoreT: Column => Column = identity,
+      maxClusterRows: Long = 100000L): DataFrame = {
     val asg = assignToCentroids(base, idCol, vecCol, centroids)
       .localCheckpoint(eager = true)
+    val hot = asg.groupBy(col("acid")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxClusterRows)
+      .orderBy(col("__c").desc).limit(1).collect()
+    require(hot.isEmpty,
+      s"semanticDedup: cluster ${if (hot.nonEmpty) hot.head.get(0) else ""} holds " +
+        s"${if (hot.nonEmpty) hot.head.getLong(1) else 0L} vectors " +
+        s"(> maxClusterRows = $maxClusterRows) — pair work is |cluster|^2; " +
+        "use finer centroids (subcluster the hot region) or raise the bound deliberately")
     val a = asg.select(col(idCol).as("__i"), col("acid").as("__ca"),
       col("__v").as("__va"))
     val b = asg.select(col(idCol).as("__j"), col("acid").as("__cb"),

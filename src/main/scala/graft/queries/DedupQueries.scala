@@ -189,11 +189,15 @@ object DedupQueries extends QueryGroup {
     // in the task binaries.
     "q76_decontamination_bloom" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
+      // no eager localCheckpoints here (r5: they cost ~0.3 s of
+      // materialization at bench scale — the whole q70 gap — while the
+      // gate picks the plain semi anyway, making q76 ≡ q70's plan).
+      // When the sketch path IS taken, the shared subtrees dedupe via
+      // exchange reuse; the lazy ScalarSubquery contract needs no
+      // checkpointed stats (LogicalRDD keeps origin estimates anyway).
       val trainH = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 =!= 7), 5)
         .select(col("h").as("th_")).distinct()
-        .localCheckpoint(eager = true)
       val evalSpans = TextDedup.spanHashes(docs.filter(col("doc_id") % 10 === 7), 5)
-        .localCheckpoint(eager = true)
       val hits = graft.operators.SketchFilter.bloomSemiAuto(
           evalSpans, "h", trainH, "th_", expectedItems = 1000000L, fpp = 0.02)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))

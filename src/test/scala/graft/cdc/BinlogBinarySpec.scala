@@ -18,6 +18,10 @@ import org.apache.spark.sql.streaming.Trigger
   * documentation, not from the decoder under test. */
 object BinlogFixture {
 
+  /** After-image marker for a JSON column arriving as a diff sequence
+    * (PARTIAL_JSON). ops: (0 replace | 1 insert | 2 remove, path, value). */
+  final case class Partial(diffs: Seq[(Int, String, BinlogFixture.JsonDoc)])
+
   case class Col(name: String, tpe: Int, meta: Int = 0)
 
   /** Independent encoder of MySQL's binary JSON format (small object /
@@ -302,6 +306,97 @@ object BinlogFixture {
 
     def rotate(nextFile: String, nextPos: Long): this.type = {
       event(BinlogBinary.ROTATE_EVENT, le(nextPos, 8) ++ nextFile.getBytes("UTF-8"))
+      this
+    }
+
+    /** One partial-JSON diff: REPLACE(0)/INSERT(1) with a binary-JSON
+      * value, REMOVE(2) with value = null. */
+    def diffBytes(diffs: Seq[(Int, String, JsonDoc)]): Array[Byte] =
+      diffs.flatMap { case (op, path, value) =>
+        val pb = path.getBytes("UTF-8")
+        val head = Array(op.toByte) ++ lenenc(pb.length.toLong) ++ pb
+        if (op == 2) head
+        else {
+          val vb = value.bytes
+          head ++ lenenc(vb.length.toLong) ++ vb
+        }
+      }.toArray
+
+    /** PARTIAL_UPDATE_ROWS_EVENT (type 39, WL#2955): like a v2 UPDATE,
+      * but each after image carries a lenenc value-options field + a
+      * partial-bits bitmap (one bit per JSON column in the image), and
+      * JSON columns whose bit is set hold a diff sequence in the usual
+      * length framing. In `images`, an after-image JSON cell may be a
+      * `Partial(diffs)` — encoded as diffs — or a plain JsonDoc (full
+      * value, bit clear). */
+    def partialRows(tableId: Long, cols: Seq[Col],
+        images: Seq[Seq[Any]]): this.type = {
+      val n = cols.size
+      val present = Array.fill((n + 7) / 8)(0.toByte)
+      (0 until n).foreach(i => present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
+      val jsonCols = cols.indices.filter(i => cols(i).tpe == BinlogBinary.T_JSON)
+      val imgBytes = images.zipWithIndex.flatMap { case (img, idx) =>
+        val isAfter = idx % 2 == 1
+        val prefix: Array[Byte] =
+          if (!isAfter) Array.empty
+          else {
+            val bits = Array.fill((jsonCols.size + 7) / 8)(0.toByte)
+            jsonCols.zipWithIndex.foreach { case (ci, j) =>
+              if (img(ci).isInstanceOf[Partial])
+                bits(j / 8) = (bits(j / 8) | (1 << (j % 8))).toByte
+            }
+            lenenc(1L) ++ bits // value_options bit 0 = PARTIAL_JSON
+          }
+        val nullBm = Array.fill((n + 7) / 8)(0.toByte)
+        img.zipWithIndex.foreach { case (v, i) =>
+          if (v == null) nullBm(i / 8) = (nullBm(i / 8) | (1 << (i % 8))).toByte
+        }
+        prefix.toSeq ++ nullBm.toSeq ++ img.zipWithIndex.flatMap { case (v, i) =>
+          v match {
+            case null => Array.empty[Byte]
+            case Partial(diffs) =>
+              val d = diffBytes(diffs)
+              le(d.length.toLong, cols(i).meta) ++ d
+            case other => value(cols(i), other)
+          }
+        }
+      }.toArray
+      val body = le(tableId, 6) ++ le(1L, 2) ++ le(2L, 2) ++
+        lenenc(n.toLong) ++ present ++ present ++ imgBytes
+      event(BinlogBinary.PARTIAL_UPDATE_ROWS_EVENT, body)
+      this
+    }
+
+    /** TRANSACTION_PAYLOAD (type 40): wraps the events built by `build`
+      * (run against a fresh inner Builder; its magic + any checksums are
+      * not part of a payload — inner events are always checksum-free) in
+      * the lenenc-TLV field block + payload layout, zstd-compressed when
+      * `compress`. Field order mirrors MySQL's writer: compression type,
+      * uncompressed size (compressed only), payload size, end mark. */
+    def txnPayload(compress: Boolean)(build: Builder => Unit): this.type = {
+      val inner = new Builder(checksum = false)
+      build(inner)
+      val raw = inner.bytes.drop(4) // strip magic: a payload is a bare event stream
+      val payload =
+        if (compress) com.github.luben.zstd.Zstd.compress(raw)
+        else raw
+      def field(t: Long, v: Long): Array[Byte] = {
+        val enc = lenenc(v)
+        lenenc(t) ++ lenenc(enc.length.toLong) ++ enc
+      }
+      val body =
+        field(2, if (compress) 0L else 255L) ++
+          (if (compress) field(3, raw.length.toLong) else Array.empty[Byte]) ++
+          field(1, payload.length.toLong) ++
+          lenenc(0L) ++ payload
+      event(BinlogBinary.TRANSACTION_PAYLOAD_EVENT, body)
+      this
+    }
+
+    /** Raw TRANSACTION_PAYLOAD with caller-supplied field block + payload
+      * (malformed-input tests). */
+    def txnPayloadRaw(fieldsAndPayload: Array[Byte]): this.type = {
+      event(BinlogBinary.TRANSACTION_PAYLOAD_EVENT, fieldsAndPayload)
       this
     }
 
@@ -646,5 +741,223 @@ class BinlogBinarySpec extends SparkTestBase {
     q.awaitTermination(60000)
     val got = CollectingConnector.drain("bb1").map(_._2).sorted
     assert(got == Seq("DELETE:-7", "INSERT:-7", "INSERT:42", "UPDATE:42"))
+  }
+
+  /** One compressed (or raw) transaction: TABLE_MAP inside the payload
+    * (as MySQL writes it), then WRITE + UPDATE + DELETE. */
+  private def txnFile(compress: Boolean, checksum: Boolean = true): Array[Byte] =
+    new Builder(checksum).fde()
+      .txnPayload(compress) { inner =>
+        inner.tableMap(23L, "testdb", "users", userCols)
+          .rows(WRITE_ROWS_V2, 23L, userCols, Seq(
+            Seq(42, "ada", 3.5, "first bio", "2024-03-05 12:34:56"),
+            Seq(-7, "bob", -0.25, null, "1999-12-31 23:59:59")))
+          .rows(UPDATE_ROWS_V2, 23L, userCols, Seq(
+            Seq(42, "ada", 3.5, "first bio", "2024-03-05 12:34:56"),
+            Seq(42, "ada lovelace", 4.0, "updated bio", "2024-03-05 12:34:56")))
+          .rows(DELETE_ROWS_V2, 23L, userCols, Seq(
+            Seq(-7, "bob", -0.25, null, "1999-12-31 23:59:59")))
+        ()
+      }
+      .bytes
+
+  test("TRANSACTION_PAYLOAD: compressed and raw transactions decode (MySQL >= 8.0.20)") {
+    for (compress <- Seq(true, false); checksum <- Seq(true, false)) {
+      val evs = BinlogBinary.decodeFile(txnFile(compress, checksum), "mysql-bin.000001")
+      assert(evs.map(_.eventType) == Vector("WriteRowsEventV2",
+        "UpdateRowsEventV2", "DeleteRowsEventV2"))
+      assert(evs(0).colNames.toSeq == Seq("id", "name", "score", "bio", "joined"))
+      assert(evs(0).rows(0).toSeq == Seq("42", "ada", "3.5", "first bio",
+        "2024-03-05 12:34:56"))
+      assert(evs(1).rows(1).toSeq == Seq("42", "ada lovelace", "4", "updated bio",
+        "2024-03-05 12:34:56"))
+      // every inner event is addressed by the OUTER payload event's end
+      // position — the transaction's only resumable offset
+      assert(evs.map(_.binlogPosition).distinct.length == 1)
+    }
+  }
+
+  test("TRANSACTION_PAYLOAD: a TABLE_MAP from before the payload serves inner rows") {
+    val b = new Builder(true).fde()
+      .tableMap(23L, "testdb", "users", userCols)
+      .txnPayload(compress = true) { inner =>
+        inner.rows(WRITE_ROWS_V2, 23L, userCols, Seq(
+          Seq(1, "eve", 1.0, "b", "2024-01-01 00:00:00")))
+        ()
+      }
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs.length == 1 && evs(0).rows(0)(1) == "eve")
+  }
+
+  test("TRANSACTION_PAYLOAD: compressed transaction drives decode->route->sink e2e") {
+    val dir = Files.createTempDirectory("binfeed-txn")
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), txnFile(compress = true))
+    CollectingConnector.clear()
+    val conns: Map[String, Connector] = Map("collector" -> new CollectingConnector("txn1"))
+    val route = Route("users", "collector", Seq("INSERT", "UPDATE", "DELETE"),
+      "testdb.users", """{{ .Data.Operation }}:{{ (index .Data.Rows 0).id }}:{{ (index .Data.Rows 0).name }}""")
+    val raw = spark.readStream.format("binlog-replay")
+      .option("path", dir.toString).option("format", "binlog").load()
+    val q = Decode.decode(raw, Map("testdb" -> Seq("users"))).writeStream
+      .foreachBatch(Connectors.forEachBatch(Seq(route), conns))
+      .option("checkpointLocation", Files.createTempDirectory("ckpttxn").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = CollectingConnector.drain("txn1").map(_._2).sorted
+    assert(got == Seq("DELETE:-7:bob", "INSERT:-7:bob", "INSERT:42:ada",
+      "UPDATE:42:ada lovelace"))
+  }
+
+  test("TRANSACTION_PAYLOAD: malformed payloads fail loudly, never wrong-decode") {
+    def lenenc(v: Long): Array[Byte] =
+      if (v < 251) Array(v.toByte)
+      else { assert(v < 65536); Array(0xfc.toByte, (v & 0xff).toByte, ((v >> 8) & 0xff).toByte) }
+    // unknown compression type 7
+    val badComp = new Builder(false).fde()
+      .txnPayloadRaw(Array[Byte](2, 1, 7, 0) ++ Array[Byte](1, 2, 3))
+    val e1 = intercept[IllegalArgumentException] {
+      BinlogBinary.decodeFile(badComp.bytes, "f")
+    }
+    assert(e1.getMessage.contains("compression type 7"))
+    // zstd payload that is not zstd (garbage bytes)
+    val garbage = Array.tabulate[Byte](32)(i => (i * 37).toByte)
+    val badZstd = new Builder(false).fde()
+      .txnPayloadRaw(Array[Byte](2, 1, 0) ++ // compression = ZSTD
+        Array[Byte](3, 1, 64) ++             // uncompressed size = 64
+        Array[Byte](0) ++ garbage)
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogBinary.decodeFile(badZstd.bytes, "f")
+    }
+    assert(e2.getMessage.contains("zstd"))
+    // payload-size field disagreeing with the actual remaining bytes
+    // (compression NONE = 255 needs the 0xfc two-byte lenenc form)
+    val noneEnc = Array[Byte](0xfc.toByte, 0xff.toByte, 0x00)
+    val badSize = new Builder(false).fde()
+      .txnPayloadRaw(Array[Byte](2, 3) ++ noneEnc ++
+        Array[Byte](1, 1, 99) ++ Array[Byte](0) ++ Array[Byte](1, 2, 3))
+    val e3 = intercept[IllegalArgumentException] {
+      BinlogBinary.decodeFile(badSize.bytes, "f")
+    }
+    assert(e3.getMessage.contains("payload size"))
+    // truncated inner event stream (raw payload cut mid-event)
+    val whole = new Builder(false)
+    whole.txnPayload(compress = false) { inner =>
+      inner.tableMap(23L, "testdb", "users", userCols)
+        .rows(WRITE_ROWS_V2, 23L, userCols, Seq(
+          Seq(1, "a", 1.0, "b", "2024-01-01 00:00:00")))
+      ()
+    }
+    // rebuild the payload with its last 3 bytes cut, keeping fields valid
+    val innerB = new Builder(false)
+    innerB.tableMap(23L, "testdb", "users", userCols)
+      .rows(WRITE_ROWS_V2, 23L, userCols, Seq(
+        Seq(1, "a", 1.0, "b", "2024-01-01 00:00:00")))
+    val cut = innerB.bytes.drop(4).dropRight(3)
+    val sizeEnc = lenenc(cut.length.toLong)
+    val torn = new Builder(false).fde()
+      .txnPayloadRaw(Array[Byte](2, 3) ++ noneEnc ++
+        Array[Byte](1, sizeEnc.length.toByte) ++ sizeEnc ++ Array[Byte](0) ++ cut)
+    val e4 = intercept[IllegalArgumentException] {
+      BinlogBinary.decodeFile(torn.bytes, "f")
+    }
+    assert(e4.getMessage.contains("truncated inner event"))
+  }
+
+  import JsonDoc._
+  private val docCols = Seq(Col("id", T_LONG), Col("doc", T_JSON, 4))
+  private val beforeDoc = JObj(
+    "name" -> JS("ada"),
+    "tags" -> JArr(JS("a"), JS("b"), JS("c")),
+    "meta" -> JObj("views" -> JI16(7), "ok" -> JBool(true)))
+  private val beforeText =
+    """{"name":"ada","tags":["a","b","c"],"meta":{"views":7,"ok":true}}"""
+
+  test("PARTIAL_JSON: diff after-images reconstruct the full document (type 39)") {
+    val b = new Builder(true).fde()
+      .tableMap(23L, "testdb", "docs", docCols)
+      .partialRows(23L, docCols, Seq(
+        Seq(1, beforeDoc), // before: full document
+        Seq(1, Partial(Seq(
+          (0, "$.meta.views", JI16(8)),             // replace nested member
+          (1, "$.tags[1]", JS("x")),                // insert into array
+          (2, "$.name", null),                      // remove member
+          (1, "$.added", JObj("k" -> JS("v"))))))))  // insert new member
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    assert(evs.length == 1 && evs(0).eventType == "PartialUpdateRowsEvent")
+    assert(evs(0).rows.length == 2)
+    assert(evs(0).rows(0)(1) == beforeText)
+    assert(evs(0).rows(1)(1) ==
+      """{"tags":["a","x","b","c"],"meta":{"views":8,"ok":true},"added":{"k":"v"}}""")
+  }
+
+  test("PARTIAL_JSON: empty diff, full value, NULL, root replace, quoted member") {
+    val b = new Builder(true).fde()
+      .tableMap(23L, "testdb", "docs", docCols)
+      .partialRows(23L, docCols, Seq(
+        Seq(1, beforeDoc), Seq(1, Partial(Seq.empty)),      // empty diff = unchanged
+        Seq(2, beforeDoc), Seq(2, JArr(JI16(1))),           // full value, bit clear
+        Seq(3, beforeDoc), Seq(3, null),                    // NULL after
+        Seq(4, beforeDoc), Seq(4, Partial(Seq(
+          (0, "$", JS("swapped"))))),                       // root replace
+        Seq(5, beforeDoc), Seq(5, Partial(Seq(
+          (1, "$.\"sp ace\"", JS("v")))))))                 // quoted member insert
+    val evs = BinlogBinary.decodeFile(b.bytes, "f")
+    val rows = evs(0).rows
+    assert(rows(1)(1) == beforeText)         // unchanged round-trips verbatim
+    assert(rows(3)(1) == "[1]")
+    assert(rows(5)(1) == null)
+    assert(rows(7)(1) == "\"swapped\"")
+    assert(rows(9)(1) == beforeText.dropRight(1) + ""","sp ace":"v"}""")
+  }
+
+  test("PARTIAL_JSON: invalid diffs fail loudly") {
+    val builder = new Builder(false)
+    def diffs(ds: (Int, String, JsonDoc)*): Array[Byte] = builder.diffBytes(ds)
+    // replace at a missing member
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cdc.source.BinlogJsonDiff.applyDiffs("""{"a":1}""", diffs((0, "$.b", JI16(2))))
+    }
+    assert(e1.getMessage.contains("missing member"))
+    // insert at an existing member
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cdc.source.BinlogJsonDiff.applyDiffs("""{"a":1}""", diffs((1, "$.a", JI16(2))))
+    }
+    assert(e2.getMessage.contains("existing member"))
+    // array index out of range
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cdc.source.BinlogJsonDiff.applyDiffs("""[1,2]""", diffs((0, "$[5]", JI16(9))))
+    }
+    assert(e3.getMessage.contains("out-of-range"))
+    // member step into a scalar
+    val e4 = intercept[IllegalArgumentException] {
+      graft.cdc.source.BinlogJsonDiff.applyDiffs("""{"a":1}""", diffs((0, "$.a.b", JI16(9))))
+    }
+    assert(e4.getMessage.contains("does not apply"))
+    // remove at root
+    val e5 = intercept[IllegalArgumentException] {
+      graft.cdc.source.BinlogJsonDiff.applyDiffs("""{"a":1}""", diffs((2, "$", null)))
+    }
+    assert(e5.getMessage.contains("at root"))
+  }
+
+  test("PARTIAL_JSON: reconstructed after-image renders through toJson templates") {
+    val dir = Files.createTempDirectory("binfeed-pjson")
+    val b = new Builder(true).fde()
+      .tableMap(23L, "testdb", "docs", docCols)
+      .partialRows(23L, docCols, Seq(
+        Seq(1, beforeDoc),
+        Seq(1, Partial(Seq((0, "$.meta.views", JI16(8)))))))
+    Files.write(dir.resolve("mysql-bin.000001.binlog"), b.bytes)
+    val raw = spark.read.format("binlog-replay")
+      .option("path", dir.toString).option("format", "binlog").load()
+    val envelope = Decode.decode(raw, Map("testdb" -> Seq("docs")))
+    val route = Route("docs", "collector", Seq("UPDATE"), "testdb.docs",
+      """{"op":"{{ .Data.Operation }}","doc":{{ (index .Data.Rows 0).doc | toJson }}}""")
+    val rendered = Routing.outbound(envelope, route)
+      .select(col("payload")).collect().map(_.getString(0)).toSeq
+    assert(rendered.size == 1)
+    // the after image (views 7→8), embedded as a JSON-escaped string
+    assert(rendered.head ==
+      """{"op":"UPDATE","doc":"{\"name\":\"ada\",\"tags\":[\"a\",\"b\",\"c\"],\"meta\":{\"views\":8,\"ok\":true}}"}""")
   }
 }

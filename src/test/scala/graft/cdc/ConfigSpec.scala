@@ -35,6 +35,8 @@ class ConfigSpec extends AnyFunSuite {
         |  "startPosition": 4,
         |  "shardingEnabled": true, "shardCount": 3, "shardIndex": 1,
         |  "shardKeyTemplate": "{{ (index .Data.Rows 0).id }}",
+        |  "sourceTlsMode": "verify_identity",
+        |  "sourceTlsCa": "/etc/certs/flat-ca.pem",
         |  "routes": [{"name": "r1", "connector": "c1",
         |              "operations": ["INSERT"], "dbTable": "testdb.users",
         |              "template": "{{ .Data.Operation }}"}]
@@ -45,6 +47,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.startFile.contains("mysql-bin.000002"))
     assert(cfg.shardCount == 3 && cfg.shardIndex == 1)
     assert(cfg.routes.head.operations == Seq("INSERT"))
+    // the flat layout maps TLS source options too (ADVICE r5: a user
+    // setting verify_identity here must not silently run plaintext)
+    assert(cfg.sourceTlsMode == "verify_identity")
+    assert(cfg.sourceTlsCa == "/etc/certs/flat-ca.pem")
   }
 
   test("reference-layout YAML config is a drop-in (binwatch.v1alpha2 shape)") {

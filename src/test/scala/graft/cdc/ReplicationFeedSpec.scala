@@ -143,6 +143,19 @@ class ReplicationFeedSpec extends SparkTestBase {
       assert(resumes.head == (("", 4L)))
       // later dumps name the spooled file and a position past the start
       assert(resumes.tail.forall { case (f, p) => f == "mysql-bin.000001" && p > 4L })
+      // every dump re-sends the FDE (as real masters do) but the spool
+      // must hold it exactly ONCE — re-appending it mid-file on each
+      // reconnect cycle would grow the segment and diverge its layout
+      val raw = Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "mysql-bin.000001.binlog"))
+      var p = 4; var fdes = 0
+      while (p + 19 <= raw.length) {
+        if ((raw(p + 4) & 0xff) == 15) fdes += 1
+        val size = (raw(p + 9) & 0xff) | ((raw(p + 10) & 0xff) << 8) |
+          ((raw(p + 11) & 0xff) << 16) | ((raw(p + 12) & 0xff) << 24)
+        p += size
+      }
+      assert(fdes == 1, s"spool holds $fdes FDEs after reconnect cycles")
     } finally { feed.close(); server.close() }
   }
 
@@ -324,9 +337,12 @@ class ReplicationFeedSpec extends SparkTestBase {
     try {
       // pre-warm the registry feed so the spool holds all events before
       // the AvailableNow cap freezes (same trick as SocketFeedSpec)
+      // restartOnError=false matches what the config layer passes for
+      // this pipeline — the cache-hit guard refuses mismatched options
       val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("format", "replication", "host", "127.0.0.1",
-          "port", server.port.toString, "user", "repl", "password", "pw"))
+          "port", server.port.toString, "user", "repl", "password", "pw",
+          "restartOnError", "false"))
       val feed = graft.cdc.source.BinlogFeeds.forOptions(dir, opts)
         .asInstanceOf[ReplicationFeed]
       awaitEvents(feed, 6)
@@ -335,6 +351,27 @@ class ReplicationFeedSpec extends SparkTestBase {
       q.awaitTermination(60000)
       val got = CollectingConnector.drain("sinkR").map(_._2).sorted
       assert(got == (1 to 5).map(i => s"$i:u$i").sorted)
+    } finally server.close()
+  }
+
+  test("feed cache refuses a reconfigured stream with changed options (ADVICE r5)") {
+    val server = new FakeMysqlServer("pw-a", Map("mysql-bin.000001" -> fixture(1)))
+    val dir = Files.createTempDirectory("repl-cache-guard").toString
+    def opts(password: String) = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("format", "replication", "host", "127.0.0.1",
+        "port", server.port.toString, "user", "repl", "password", password))
+    try {
+      val feed = graft.cdc.source.BinlogFeeds.forOptions(dir, opts("pw-a"))
+        .asInstanceOf[ReplicationFeed]
+      awaitEvents(feed, 2)
+      // same options: the cached feed is reused
+      assert(graft.cdc.source.BinlogFeeds.forOptions(dir, opts("pw-a")) eq feed)
+      // changed credentials: loud refusal, NOT silent reuse of the old
+      // connection (and not a second feed appending to the same spool)
+      val e = intercept[IllegalArgumentException] {
+        graft.cdc.source.BinlogFeeds.forOptions(dir, opts("pw-b"))
+      }
+      assert(e.getMessage.contains("different options"), e.getMessage)
     } finally server.close()
   }
 

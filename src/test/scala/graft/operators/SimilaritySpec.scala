@@ -40,13 +40,34 @@ class SimilaritySpec extends SparkTestBase {
   test("nearDupPairs refuses inputs above the all-pairs bound") {
     val df = vecDf((1 to 20).map(i =>
       (i.toLong, (0 until 8).map(t => (i + t).toFloat))): _*)
-    val e = intercept[IllegalArgumentException] {
-      Similarity.nearDupPairs(df, "vec_id", "v", lit(0.0), maxRows = 10L)
-    }
-    assert(e.getMessage.contains("O(n^2)"))
+    // construction is LAZY (no eager pre-scan, ADVICE r5); the in-plan
+    // guard fails the JOB when it runs
+    val over = Similarity.nearDupPairs(df, "vec_id", "v", lit(0.0), maxRows = 10L)
+    val e = intercept[Exception](over.count())
+    assert(e.getMessage.contains("O(n^2)"), e.getMessage)
     // within the bound the same call succeeds
     assert(Similarity.nearDupPairs(df, "vec_id", "v", lit(0.99), maxRows = 20L)
       .count() > 0)
+  }
+
+  test("semanticDedup refuses a pathologically hot cluster (skew guard)") {
+    val rnd = new scala.util.Random(3)
+    // 30 vectors all pointing the same way -> every one lands in cluster 10
+    val df = vecDf((1 to 30).map(i =>
+      (i.toLong, Seq(1f, rnd.nextFloat() * 0.01f, 0f, 0f))): _*)
+    val s = spark
+    import s.implicits._
+    val cent = Seq((10L, Seq(1f, 0f, 0f, 0f)), (20L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cv")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, "vec_id", "v", cent, lit(0.999),
+        maxClusterRows = 10L)
+    }
+    assert(e.getMessage.contains("cluster 10"), e.getMessage)
+    assert(e.getMessage.contains("30 vectors"), e.getMessage)
+    // an adequate clustering granularity (bound >= occupancy) passes
+    assert(Similarity.semanticDedup(df, "vec_id", "v", cent, lit(0.999),
+      maxClusterRows = 30L).count() == 30L)
   }
 
   test("nearDupPairsBucketed emits a subset of brute force with identical scores") {
