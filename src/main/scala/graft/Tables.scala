@@ -49,10 +49,18 @@ object Tables {
     sessionMap(spark).computeIfAbsent((dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark only reads as a
-    * raw long via the legacy nanosAsLong conf. We keep the long (`ts` —
-    * exact, used for ordering/grouping/gap arithmetic) and derive `ts_t`,
-    * a micro-truncated timestamp for event-time windowing.
+  /** Canonical `events` view: `ts` as an epoch-NANOSECOND long (exact,
+    * used for ordering/grouping/gap arithmetic throughout the catalog)
+    * and `ts_t`, the micro-precision timestamp for event-time windowing.
+    *
+    * The driver's generated `events.parquet` has shipped `ts` both as
+    * parquet TIMESTAMP(NANOS) (readable only as a raw long via the
+    * legacy nanosAsLong conf) and as TIMESTAMP(MICROS) (read as a
+    * timestamp, NTZ when the footer isn't UTC-adjusted); this adapter
+    * normalizes either physical schema to the same logical view, so the
+    * whole catalog is insulated from the file-level representation. The
+    * session time zone is UTC everywhere (Bench/Verify/tests), so the
+    * NTZ→timestamp cast is exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val m = sessionMap(spark)
@@ -62,8 +70,15 @@ object Tables {
     Option(m.get(key)).getOrElse {
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
-      val df = t(spark, dir, "events")
-        .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val raw = t(spark, dir, "events")
+      val df = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts_t",
+            timestamp_micros((col("ts") / 1000L).cast("long")))
+        case _ => // TIMESTAMP / TIMESTAMP_NTZ (micros)
+          raw.withColumn("ts_t", col("ts").cast("timestamp"))
+            .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      }
       m.putIfAbsent(key, df)
       m.get(key)
     }
