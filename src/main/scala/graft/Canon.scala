@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.MakeDecimal
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, MakeDecimal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DecimalType
@@ -27,9 +27,20 @@ object Canon {
   /** Canonical timestamp rendering. DuckDB twin: strftime(ts, '%Y-%m-%d %H:%M:%S'). */
   def tss(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Exact integral division (SQL `div`). `c / 1000L` is Spark DOUBLE
+    * division: epoch-nanos (~1.7e18) exceed 2^53, so the long→double
+    * conversion can round by up to ~128 ns before the cast truncates —
+    * enough to land on the wrong microsecond. IntegralDivide stays in
+    * long arithmetic end to end. */
+  def divL(c: Column, d: Long): Column =
+    Bridge.column(IntegralDivide(Bridge.expression(c), Bridge.expression(lit(d))))
+
+  /** Long-nanos epoch → micro-precision timestamp (exact; see divL). */
+  def nsToMicros(c: Column): Column = timestamp_micros(divL(c, 1000L))
+
   /** Long-nanos epoch → canonical string (for events.ts). DuckDB twin:
     * strftime(ts, ...) directly on its TIMESTAMP_NS column. */
-  def nsToStr(c: Column): Column = tss(timestamp_micros((c / 1000L).cast("long")))
+  def nsToStr(c: Column): Column = tss(nsToMicros(c))
 
   def big(c: Column): Column = c.cast("long")
 

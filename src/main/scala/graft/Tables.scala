@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registry over the driver-generated parquet tables (TESTDATA.md).
@@ -58,9 +58,30 @@ object Tables {
     * legacy nanosAsLong conf) and as TIMESTAMP(MICROS) (read as a
     * timestamp, NTZ when the footer isn't UTC-adjusted); this adapter
     * normalizes either physical schema to the same logical view, so the
-    * whole catalog is insulated from the file-level representation. The
-    * session time zone is UTC everywhere (Bench/Verify/tests), so the
-    * NTZ→timestamp cast is exact.
+    * whole catalog is insulated from the file-level representation.
+    *
+    * Exactness contract (both variants produce the SAME ts/ts_t for the
+    * same instant, in ANY session time zone):
+    *  - NANOS: ts is the raw long; ts_t = timestamp_micros(ts div 1000)
+    *    — integral division (Canon.divL), never the double-rounding
+    *    `/ 1000` which can be ~128 ns off above 2^53.
+    *  - MICROS, UTC-adjusted footer (TIMESTAMP): the column is already
+    *    an instant; no time zone involved.
+    *  - MICROS, NTZ footer: the wall-clock value is DEFINED as UTC by
+    *    the writer. A plain cast would re-interpret it in the session
+    *    zone, so the epoch is computed field-wise (unix_date/hour/min/
+    *    sec on the NTZ value — all zone-free operations), making the
+    *    view correct even in sessions that didn't set UTC.
+    *
+    * Pushdown note (100 TB): only the NANOS variant keeps `ts` as the
+    * raw physical column, so only there do `ts` range filters reach the
+    * parquet scan (PushedFilters + row-group min-max skipping). For the
+    * MICROS variants both ts and ts_t are derived expressions — a time
+    * filter still prunes via the scan's partition columns if the lake
+    * is date-partitioned, but row-group skipping on ts is lost. Callers
+    * scanning a MICROS-physical lake at scale should filter on the raw
+    * `ts` column BEFORE this normalization (t(spark, dir, "events")) or
+    * lay the data out date-partitioned.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val m = sessionMap(spark)
@@ -71,18 +92,32 @@ object Tables {
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
       val raw = t(spark, dir, "events")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       val df = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts_t",
-            timestamp_micros((col("ts") / 1000L).cast("long")))
-        case _ => // TIMESTAMP / TIMESTAMP_NTZ (micros)
-          raw.withColumn("ts_t", col("ts").cast("timestamp"))
-            .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+        case LongType =>
+          raw.withColumn("ts_t", Canon.nsToMicros(col("ts")))
+        case TimestampNTZType =>
+          val micros = ntzUtcMicros(col("ts"))
+          raw.withColumn("ts_t", timestamp_micros(micros))
+            .withColumn("ts", micros * 1000L)
+        case _ => // TIMESTAMP (instant; zone-free by construction)
+          raw.withColumn("ts_t", col("ts"))
+            .withColumn("ts", unix_micros(col("ts")) * 1000L)
       }
       m.putIfAbsent(key, df)
       m.get(key)
     }
   }
+
+  /** Epoch micros of a TIMESTAMP_NTZ wall-clock value interpreted as
+    * UTC, independent of spark.sql.session.timeZone: every operation
+    * here (date extraction, hour/minute, fractional-second extract) is
+    * zone-free on NTZ inputs, unlike a cast to TIMESTAMP which would
+    * shift by the session zone. */
+  private def ntzUtcMicros(c: Column): Column =
+    unix_date(c.cast("date")) * 86400000000L +
+      hour(c) * 3600000000L + minute(c) * 60000000L +
+      (date_part(lit("SECOND"), c) * 1000000L).cast("long")
 
   /** Spread a CPU-heavy per-row pipeline across all cores. The fixture
     * parquet files are single-row-group (scan = ONE task), so without

@@ -1,8 +1,8 @@
 package graft
 
 /** Smoke-level invariants for the declared query catalog on sf0.001.
-  * (Full value-level correctness is the driver's DuckDB gate, replicated
-  * locally by tools/check_oracle.py — see .claude/skills/verify.) */
+  * (Full value-level correctness is the DuckDB oracle gate, replicated
+  * locally by tools/check_oracle.py.) */
 class QueriesSpec extends SparkTestBase {
 
   test("catalog integrity: every oracle key has a query; names are q-prefixed") {
