@@ -1,9 +1,12 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpectsInputTypes, Expression, Literal, ScalarSubquery, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -41,11 +44,25 @@ object SketchFilter {
     * runs, not when it is assembled. At execution the subquery result
     * still materializes on the driver and ships with the task binaries,
     * so size the sketch like a broadcast dim (fpp/expectedItems — an
-    * undersized sketch only loses selectivity, never correctness). */
+    * undersized sketch only loses selectivity, never correctness).
+    *
+    * REFUSES sketches above `maxSketchBytes` (default 128 MB) at
+    * construction time — the nearDupPairs loudness contract: a plan
+    * LITERAL of that size re-serializes with the physical plan on
+    * every stage submission and bloats every plan string, which is the
+    * wrong physics at 10^10 keys. Use [[bloomSemiBroadcast]] there: the
+    * sketch travels once per executor as a torrent-chunked broadcast. */
   def bloomSemi(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01,
+      maxSketchBytes: Long = 128L << 20): DataFrame = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    require(numBits / 8 <= maxSketchBytes,
+      s"bloomSemi ships the sketch as a PLAN LITERAL and refuses sketches > " +
+        s"$maxSketchBytes bytes (expectedItems=$expectedItems at fpp=$fpp needs " +
+        s"${numBits / 8} bytes). At this scale a literal re-ships with every " +
+        s"stage; use bloomSemiBroadcast (torrent-chunked, fetched once per " +
+        s"executor), raise maxSketchBytes explicitly, or raise fpp.")
     val agg = new BloomFilterAggregate(
       Bridge.expression(col(rightKey)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -73,4 +90,59 @@ object SketchFilter {
       left.join(right, col(leftKey) === col(rightKey), "leftsemi")
     else bloomSemi(left, leftKey, right, rightKey, expectedItems, fpp)
   }
+
+  /** [[bloomSemi]] for sketches too big to ride as a plan literal (the
+    * 10^10-key regime): the Bloom filter is built EXECUTOR-SIDE
+    * (per-partition sketches, merged tree-wise — `stat.bloomFilter`'s
+    * treeAggregate, so no single task sees all keys), then shipped as a
+    * torrent-chunked BROADCAST: stored once in each executor's block
+    * manager and referenced from the plan by id only, instead of
+    * re-serializing GBs with every stage submission. The probe predicate
+    * is a native codegen Expression over the broadcast, so it fuses into
+    * whole-stage codegen exactly like `might_contain`.
+    *
+    * Trade-offs vs [[bloomSemi]], both inherent to broadcasting:
+    * construction is EAGER (the build-side scan runs now, like
+    * `broadcast(dim)` materialization), and the driver holds the sketch
+    * once while chunking it — size executor AND driver memory for
+    * `numBits/8` bytes. Result is bit-identical to the plain left-semi
+    * join (no false negatives; the exact join clears false positives). */
+  def bloomSemiBroadcast(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val sketch = right.stat.bloomFilter(rightKey, expectedItems, fpp)
+    val bc = left.sparkSession.sparkContext.broadcast(sketch)
+    val pre = left.filter(Bridge.column(BloomMightContainBroadcast(
+      bc, Bridge.expression(col(leftKey).cast("long")))))
+    pre.join(right, col(leftKey) === col(rightKey), "leftsemi")
+  }
+}
+
+/** `mightContainLong` over a BROADCAST Bloom sketch as a native codegen
+  * predicate — the executor-scale twin of Spark's `BloomFilterMightContain`
+  * (whose sketch child must be a foldable literal/subquery). The expression
+  * serializes as just the broadcast handle; executors fetch the sketch
+  * chunks once and every row probes the block-manager-resident bitset
+  * inside whole-stage codegen. */
+case class BloomMightContainBroadcast(
+    bf: Broadcast[BloomFilter],
+    child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  override def nullSafeEval(input: Any): Any =
+    bf.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bf)
+    // Broadcast.value() resolves to a cached local read after the first
+    // chunk fetch, so the per-row cost is one virtual call + the probe.
+    defineCodeGen(ctx, ev, c => s"(($bfClass) $bcRef.value()).mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
 }

@@ -65,6 +65,38 @@ class SketchFilterSpec extends SparkTestBase {
     assert(gated.count() == 3)
   }
 
+  test("bloomSemi refuses a plan-literal sketch above maxSketchBytes, loudly") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(1L).toDF("k")
+    val right = Seq(1L).toDF("rk")
+    val e = intercept[IllegalArgumentException] {
+      // 10^10 keys at 1% fpp ≈ 12 GB of bitset — the regime the literal
+      // form must refuse (construction-time check; no data is touched)
+      SketchFilter.bloomSemi(left, "k", right, "rk", expectedItems = 10000000000L)
+    }
+    assert(e.getMessage.contains("bloomSemiBroadcast"), e.getMessage)
+    assert(e.getMessage.contains("PLAN LITERAL"), e.getMessage)
+  }
+
+  test("bloomSemiBroadcast is bit-identical to the plain semi and probes via codegen") {
+    val s = spark
+    import s.implicits._
+    // spark.range left: filters over a LocalRelation are eagerly folded
+    // by the optimizer, which would erase the predicate under test
+    val left = spark.range(1, 5001)
+      .select(col("id"), (col("id") * 7919L % 1000L).as("k"))
+    val right = (0L to 999L by 3L).toDF("rk")
+    val exact = left.join(right, col("k") === col("rk"), "leftsemi")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val bc = SketchFilter.bloomSemiBroadcast(left, "k", right, "rk", expectedItems = 1000L)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_bc"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+    assert(bc.select("id").collect().map(_.getLong(0)).sorted.toSeq == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("the prefilter predicate is the codegen might_contain, not a UDF") {
     val s = spark
     import s.implicits._
