@@ -31,7 +31,17 @@ final class FakeMysqlServer(password: String,
     // the NUL-terminated cleartext password, verified here)
     sha2FullAuth: Boolean = false,
     // server-side TLS: accept an SSLRequest and upgrade the connection
-    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    // kill the connection MID-event: the FIRST time an event of this
+    // type streams, send only half of its framed packet and hard-close
+    // the socket — the torn wire write a crashing master produces.
+    // Later dumps stream the event normally (resume tests).
+    cutOnceMidEventType: Int = -1) extends AutoCloseable {
+
+  @volatile var cuts = 0
+  // raw socket stream of the connection served by THIS thread (for the
+  // torn-packet write, which must bypass PacketIO's whole-frame write)
+  private val rawOutTL = new ThreadLocal[java.io.OutputStream]()
 
   val registered = new CopyOnWriteArrayList[Long]()
   val queries = new CopyOnWriteArrayList[String]()
@@ -92,6 +102,7 @@ final class FakeMysqlServer(password: String,
   private def serve(plainSock: Socket): Unit = {
     var sock = plainSock
     var io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
+    rawOutTL.set(sock.getOutputStream)
     val rnd = new scala.util.Random()
     val seed = Array.fill[Byte](20)((rnd.nextInt(94) + 33).toByte) // printable, no NULs
     // ---- handshake (protocol v10) ----
@@ -118,6 +129,7 @@ final class FakeMysqlServer(password: String,
       tlsSessions += 1
       sock = ssl
       io = new MysqlWire.PacketIO(sock.getInputStream, sock.getOutputStream)
+      rawOutTL.set(sock.getOutputStream)
       // real servers keep sequencing across the upgrade: handshake=0,
       // SSLRequest=1, HandshakeResponse=2, our auth reply=3
       val post = io.read()
@@ -237,6 +249,18 @@ final class FakeMysqlServer(password: String,
   private var seq = 0
   private def sendEvent(io: MysqlWire.PacketIO, ev: Array[Byte]): Unit = {
     seq = (seq + 1) & 0xff
+    if (cutOnceMidEventType >= 0 && cuts == 0 &&
+        (ev(4) & 0xff) == cutOnceMidEventType) {
+      cuts += 1
+      val payload = 0x00.toByte +: ev
+      val torn = Array[Byte]((payload.length & 0xff).toByte,
+        ((payload.length >> 8) & 0xff).toByte,
+        ((payload.length >> 16) & 0xff).toByte, seq.toByte) ++
+        payload.take(payload.length / 2)
+      val out = rawOutTL.get()
+      out.write(torn); out.flush()
+      throw new java.io.IOException("torn mid-event (test cut)")
+    }
     io.write(seq, 0x00.toByte +: ev)
   }
 

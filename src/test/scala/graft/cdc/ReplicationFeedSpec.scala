@@ -159,6 +159,74 @@ class ReplicationFeedSpec extends SparkTestBase {
     } finally { feed.close(); server.close() }
   }
 
+  test("LIVE feed: compressed transaction + partial-JSON update; cut " +
+      "mid-payload resumes at the payload-event boundary, no dup/lost rows") {
+    import JsonDoc._
+    val docCols = Seq(Col("id", T_LONG), Col("doc", T_JSON, 4))
+    val beforeDoc = JObj("name" -> JS("ada"), "meta" -> JObj("views" -> JI16(7)))
+    // fde + tableMap + one PARTIAL_JSON update (type 39), then a zstd
+    // TRANSACTION_PAYLOAD (type 40, 2 inner writes), then a plain write
+    // — the binlog a MySQL >= 8.0.20 with default
+    // binlog_transaction_compression=ON actually ships.
+    val b = new Builder(true).fde()
+      .tableMap(23L, "testdb", "docs", docCols)
+      .partialRows(23L, docCols, Seq(
+        Seq(1, beforeDoc),
+        Seq(1, Partial(Seq((0, "$.meta.views", JI16(8)))))))
+    val payloadStart = b.lastPos // the transaction's only resumable offset
+    b.txnPayload(compress = true) { inner =>
+      inner.tableMap(7L, "testdb", "users", cols)
+        .rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(10, "u10")))
+        .rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(11, "u11")))
+      ()
+    }
+    b.rows(WRITE_ROWS_V2, 7L, cols, Seq(Seq(12, "u12")))
+
+    // the server tears the wire HALFWAY through the payload event's
+    // packet on its first send — a master crash mid-transaction
+    val server = new FakeMysqlServer("pw",
+      Map("mysql-bin.000001" -> b.bytes),
+      cutOnceMidEventType = TRANSACTION_PAYLOAD_EVENT)
+    val dir = Files.createTempDirectory("repl-txn40").toString
+    val feed = new ReplicationFeed("127.0.0.1", server.port, "repl", "pw", 3L, dir)
+    try {
+      feed.configure("mysql", None)
+      // rotate + partial + 2 inner writes + trailing write = 5
+      awaitEvents(feed, 5, timeoutSec = 60)
+      assert(server.cuts == 1, "the torn send must have happened")
+      val evs = drain(feed)
+      assert(evs.map(_.eventType) == Seq("RotateEvent", "PartialUpdateRowsEvent",
+        "WriteRowsEventV2", "WriteRowsEventV2", "WriteRowsEventV2"))
+      // partial-JSON after-image reconstructed from the before-image
+      val partial = evs(1)
+      assert(partial.rows(0)(1) == """{"name":"ada","meta":{"views":7}}""")
+      assert(partial.rows(1)(1) == """{"name":"ada","meta":{"views":8}}""")
+      // compressed-transaction rows + the trailing write: exactly once,
+      // in order, across the reconnect
+      assert(evs.drop(2).map(_.rows(0)(0)) == Seq("10", "11", "12"))
+      // the reconnect asked for the PAYLOAD-EVENT BOUNDARY: everything
+      // before the torn transaction was spooled and must not re-stream
+      val resumes = (0 until server.dumps.size).map(server.dumps.get)
+      assert(resumes.head == (("", 4L)))
+      assert(resumes.tail.nonEmpty &&
+        resumes.tail.head == (("mysql-bin.000001", payloadStart)),
+        s"expected resume at payload boundary $payloadStart, got ${resumes.tail}")
+      // the spool holds exactly ONE copy of the payload event and no
+      // torn bytes: walk the segment's event headers end to end
+      val raw = Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "mysql-bin.000001.binlog"))
+      var p = 4; var payloads = 0
+      while (p + 19 <= raw.length) {
+        if ((raw(p + 4) & 0xff) == TRANSACTION_PAYLOAD_EVENT) payloads += 1
+        val size = (raw(p + 9) & 0xff) | ((raw(p + 10) & 0xff) << 8) |
+          ((raw(p + 11) & 0xff) << 16) | ((raw(p + 12) & 0xff) << 24)
+        p += size
+      }
+      assert(p == raw.length, "spool must end on an event boundary (no torn tail)")
+      assert(payloads == 1, s"spool holds $payloads payload events")
+    } finally { feed.close(); server.close() }
+  }
+
   private val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
 
   /** fde + tableMap + 3 GTID-delimited single-row transactions, each
