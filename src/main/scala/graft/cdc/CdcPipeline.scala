@@ -24,7 +24,8 @@ object CdcPipeline {
         case "webhook" =>
           new WebhookConnector(c.name, c.url, c.method, c.headers,
             for (u <- c.basicAuthUser; p <- c.basicAuthPass) yield (u, p),
-            Duration.ofSeconds(10), c.maxInFlight, c.tlsSkipVerify): Connector
+            Duration.ofSeconds(10), c.maxInFlight, c.tlsSkipVerify,
+            c.batchSize): Connector
         case "google_pubsub" =>
           new PubSubConnector(c.name, c.projectId, c.topicId,
             endpoint = if (c.url.nonEmpty) c.url else "https://pubsub.googleapis.com",

@@ -113,6 +113,10 @@ final case class ConnectorConfig(
     // webhook TLS verification skip (connectors.webhook.go:38-39)
     tlsSkipVerify: Boolean = false,
     maxInFlight: Int = 64,
+    // ENGINE EXTENSION (no reference equivalent): webhook delivery
+    // batching — N rendered payloads per request as a JSON array.
+    // 1 = per-event delivery, reference parity.
+    batchSize: Int = 1,
     // google_pubsub (config.go:135-139: Pubsub.ProjectID / Pubsub.TopicID)
     projectId: String = "",
     topicId: String = "",
@@ -230,6 +234,7 @@ object Config {
           basicAuthUser = cAt("webhook", "credentials", "username").map(_.asText()).filter(_.nonEmpty),
           basicAuthPass = cAt("webhook", "credentials", "password").map(_.asText()).filter(_.nonEmpty),
           tlsSkipVerify = cAt("webhook", "tlsSkipVerify").exists(_.asBoolean()),
+          batchSize = cAt("webhook", "batchSize").map(_.asInt()).filter(_ > 0).getOrElse(1),
           projectId = cAt("pubsub", "projectID").map(_.asText()).getOrElse(""),
           topicId = cAt("pubsub", "topicID").map(_.asText()).getOrElse(""),
           serviceAccount = cAt("pubsub", "serviceAccount").map(_.asText()).filter(_.nonEmpty))
@@ -333,6 +338,8 @@ object Config {
             basicAuthPass = Option.when(c.hasNonNull("basicAuthPass"))(c.get("basicAuthPass").asText()),
             tlsSkipVerify = c.hasNonNull("tlsSkipVerify") && c.get("tlsSkipVerify").asBoolean(),
             maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64,
+            batchSize =
+              if (c.hasNonNull("batchSize")) math.max(1, c.get("batchSize").asInt()) else 1,
             projectId = if (c.hasNonNull("projectId")) c.get("projectId").asText() else "",
             topicId = if (c.hasNonNull("topicId")) c.get("topicId").asText() else "",
             authToken = Option.when(c.hasNonNull("authToken"))(c.get("authToken").asText()),

@@ -57,7 +57,18 @@ final class WebhookConnector(
     // STRICTER than Go's flag: hostname verification against the
     // presented cert stays on (disabling it in java.net.http needs a
     // JVM-global property — a side effect a library shouldn't make).
-    tlsSkipVerify: Boolean = false) extends Connector {
+    tlsSkipVerify: Boolean = false,
+    // OPT-IN delivery batching (engine extension; default 1 = the
+    // reference's per-event POST). When > 1, up to `batchSize` rendered
+    // payloads are joined — in send order — into ONE request whose body
+    // is a JSON array of the payloads and whose idempotency key is
+    // "<firstKey>..<lastKey>" (the batch's event range; receivers dedup
+    // whole batches, and at-least-once replay re-sends whole batches).
+    // Requires templates that render standalone JSON values. Lifts the
+    // per-event-POST ceiling (the measured ~16k ev/s warm loopback
+    // stage) by ~the batch factor: request count, header parsing, and
+    // response round-trips all divide by `batchSize`.
+    batchSize: Int = 1) extends Connector {
 
   // One HttpClient per executor JVM (not per deserialized task closure):
   // keeps the keep-alive connection pool warm across partitions and
@@ -72,8 +83,40 @@ final class WebhookConnector(
   // at-least-once contract and idempotent receivers dedup by key.
   @transient private lazy val inFlight =
     new java.util.ArrayDeque[(HttpRequest, java.util.concurrent.CompletableFuture[HttpResponse[String]])]()
+  // Batch accumulator (per task instance, like the window): payloads
+  // waiting for the batch to fill or for flush().
+  @transient private lazy val pending =
+    new java.util.ArrayList[(Array[Byte], String)]()
 
-  override def send(payload: Array[Byte], idempotencyKey: String): Unit = {
+  override def send(payload: Array[Byte], idempotencyKey: String): Unit =
+    if (batchSize <= 1) enqueue(payload, idempotencyKey)
+    else {
+      pending.add(payload -> idempotencyKey)
+      if (pending.size >= batchSize) drainPending()
+    }
+
+  /** Join the accumulated payloads into one JSON-array request. */
+  private def drainPending(): Unit = if (!pending.isEmpty) {
+    val n = pending.size
+    var total = n + 1 // brackets + commas
+    var i = 0
+    while (i < n) { total += pending.get(i)._1.length; i += 1 }
+    val body = new java.io.ByteArrayOutputStream(total)
+    body.write('[')
+    i = 0
+    while (i < n) {
+      if (i > 0) body.write(',')
+      val p = pending.get(i)._1
+      body.write(p, 0, p.length)
+      i += 1
+    }
+    body.write(']')
+    val key = s"${pending.get(0)._2}..${pending.get(n - 1)._2}"
+    pending.clear()
+    enqueue(body.toByteArray, key)
+  }
+
+  private def enqueue(payload: Array[Byte], idempotencyKey: String): Unit = {
     val b = HttpRequest.newBuilder(URI.create(url))
       .timeout(timeout)
       .method(method, HttpRequest.BodyPublishers.ofByteArray(payload))
@@ -117,7 +160,10 @@ final class WebhookConnector(
         s"webhook '$name' returned status ${resp.statusCode()}")
   }
 
-  override def flush(): Unit = while (!inFlight.isEmpty) awaitOldest()
+  override def flush(): Unit = {
+    if (batchSize > 1) drainPending() // partial tail batch rides out now
+    while (!inFlight.isEmpty) awaitOldest()
+  }
 }
 
 object WebhookConnector {

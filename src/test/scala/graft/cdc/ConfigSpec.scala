@@ -100,6 +100,7 @@ class ConfigSpec extends AnyFunSuite {
         |  webhook:
         |    url: http://127.0.0.1:8085/api/v1/data
         |    method: PUT
+        |    batchSize: 4
         |    headers:
         |      "Content-Type": "application/json"
         |    credentials:
@@ -143,6 +144,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(hook.connType === "webhook" && hook.url.endsWith("/api/v1/data")
       && hook.method === "PUT"
       && hook.basicAuthUser === Some("u1") && hook.basicAuthPass === Some("p1"))
+    assert(hook.batchSize === 4) // engine-extension key under webhook:
     val ps = cfg.connectors.find(_.name == "ps-a").get
     assert(ps.connType === "google_pubsub"
       && ps.projectId === "proj-x" && ps.topicId === "topic-y")
@@ -164,6 +166,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.shardCount == 1 && cfg.routes.isEmpty)
     assert(cfg.startFlavor == "mysql" && cfg.startGtid.isEmpty
       && cfg.sourceFormat == "jsonl")
+  }
+
+  test("flat layout: webhook batchSize opt-in, per-event default") {
+    val cfg = Config.parse(
+      """{"serverId":"b1","connectors":[
+        |  {"name":"w16","type":"webhook","url":"http://h/","batchSize":16},
+        |  {"name":"w1","type":"webhook","url":"http://h/"}]}""".stripMargin)
+    assert(cfg.connectors.find(_.name == "w16").get.batchSize === 16)
+    assert(cfg.connectors.find(_.name == "w1").get.batchSize === 1)
   }
 
   test("mariadb flavor + GTID start position from the nested layout") {

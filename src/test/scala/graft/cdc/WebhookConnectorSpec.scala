@@ -81,6 +81,41 @@ class WebhookConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("batchSize=N joins payloads into JSON-array requests with range keys") {
+    withServer() { (url, got) =>
+      val c = new WebhookConnector("w", url, batchSize = 3)
+      (1 to 7).foreach(i => c.send(s"""{"i":$i}""".getBytes("UTF-8"), s"f/$i/0"))
+      c.flush() // 7 events -> 2 full batches + 1 partial tail batch
+      assert(got.size === 3)
+      val byKey = got.asScala.map(r => r.headers("X-idempotency-key") -> r.body).toMap
+      assert(byKey("f/1/0..f/3/0") === """[{"i":1},{"i":2},{"i":3}]""")
+      assert(byKey("f/4/0..f/6/0") === """[{"i":4},{"i":5},{"i":6}]""")
+      assert(byKey("f/7/0..f/7/0") === """[{"i":7}]""")
+    }
+  }
+
+  test("batched delivery keeps the non-2xx error and flush-before-commit contract") {
+    withServer(status = 503) { (url, _) =>
+      val c = new WebhookConnector("w", url, batchSize = 10)
+      (1 to 4).foreach(i => c.send("{}".getBytes, s"k$i"))
+      // nothing has shipped yet (batch not full) — the failure must
+      // still surface on flush, failing the task before the commit
+      val e = intercept[RuntimeException](c.flush())
+      assert(e.getMessage.contains("503"))
+    }
+  }
+
+  test("batchSize=1 (default) stays per-event — reference parity unchanged") {
+    withServer() { (url, got) =>
+      val c = new WebhookConnector("w", url)
+      (1 to 3).foreach(i => c.send(s"p$i".getBytes, s"k$i"))
+      c.flush()
+      assert(got.size === 3)
+      assert(got.asScala.map(_.body).toSet === Set("p1", "p2", "p3"))
+      assert(got.asScala.forall(!_.headers("X-idempotency-key").contains("..")))
+    }
+  }
+
   /** Self-signed HTTPS server (keytool-generated PKCS12, SAN=localhost)
     * — the endpoint shape tlsSkipVerify exists for. */
   private def withTlsServer(f: (String, ConcurrentLinkedQueue[Recorded]) => Unit): Unit = {
