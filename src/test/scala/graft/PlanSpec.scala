@@ -112,6 +112,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q75 containment keeps q33's candidate shape (r6 recovery pin)") {
+    // The r5->r6 q75 swing (5.68x -> 1.61x with no containmentPairs
+    // change) was never pinned; this freezes the plan properties that
+    // keep it fast so a silent regression cannot hide behind suite
+    // order: LSH band-EQUALITY candidates (no cross product), the
+    // per-doc profile materialized ONCE via the eager localCheckpoint
+    // (read back as ExistingRDD by the band join and both verify
+    // sides), and no window anywhere (SuiteOrderProbe is the matching
+    // measurement harness; findings in BASELINE.md).
+    val plan = SparkEntry.queries("q75_dedup_containment")(spark, sf001)
+      .queryExecution.executedPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!plan.exists(_.nodeName.contains("Window")), p)
+  }
+
   test("q77 bucketed near-dup candidates come from an equality join") {
     val p = plan("q77_neardup_bucketed")
     assert(!p.contains("CartesianProduct"), p)
