@@ -144,6 +144,53 @@ object ScaleProbe {
       println(s"""{"op":"semantic_dedup","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
 
+    // q86's histogram-only quantile band filter (r6 one-scan rewrite):
+    // corpus-sized work is ONE tokenize+histogram partial agg; the rank
+    // arithmetic and kept-set aggregates run on histogram CELLS. Group
+    // key = copy id, so group count grows with the corpus like real
+    // languages and per-group cell counts stay flat. Linear growth here
+    // proves the rewrite left no hidden second corpus pass.
+    for (f <- factors) {
+      val d = scaled(base, f)
+      def run(): Long = {
+        import org.apache.spark.sql.expressions.Window
+        val t = d.select(expr("doc_id div 1000000").as("lang"),
+          size(filter(split(lower(col("text")), "[^a-z]+"), x => x =!= ""))
+            .cast("long").as("n_tok"))
+        val hist = t.groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+        val cw = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+        val nw = Window.partitionBy(col("lang"))
+        def pick(p: Double) =
+          min(when(col("hi") >= ceil(lit(p) * col("n")).cast("long"), col("n_tok"))).over(nw)
+        hist.withColumn("hi", sum(col("c")).over(cw))
+          .withColumn("n", sum(col("c")).over(nw))
+          .withColumn("p10", pick(0.1)).withColumn("p90", pick(0.9))
+          .filter(col("n_tok") >= col("p10") && col("n_tok") <= col("p90"))
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).cast("long").as("n_kept"),
+            sum(col("n_tok") * col("c")).cast("long").as("kept_tok"))
+          .count()
+      }
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"quantile_band","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // Exact all-pairs near-dup WITH the r6 in-plan guard (1-row
+    // broadcast count + raise_error referenced by the join condition):
+    // quadratic BY DESIGN — the probe sizes stay inside maxRows and the
+    // interesting signal is the guard's overhead staying O(1): the
+    // factor curve must match the pure |n|² pair work (4× pairs from
+    // 2×, ~arithmetic growth), with no extra per-factor constant.
+    for (f <- factors.filter(_ <= 4)) {
+      val d = scaledEmb(f).filter(col("vec_id") % 1000000L < 1500)
+      def run(): Long = graft.operators.Similarity.nearDupPairs(
+        d, "vec_id", "embedding", lit(0.3), maxRows = 100000L).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"neardup_exact_guarded","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
     // Multimodal decode: synthesize + REAL-container decode + features
     // for audio (WAV chunk walk) and video (Y4M frame walk) — narrow
     // per-partition passes whose linearity confirms no hidden shuffle.
