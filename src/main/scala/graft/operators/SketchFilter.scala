@@ -110,6 +110,18 @@ object SketchFilter {
   def bloomSemiBroadcast(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // Same BIGINT key contract as bloomSemi — but here it must be
+    // ENFORCED: the build side sketches via putLong and the probe via
+    // mightContainLong, so a silently-widened string/decimal key would
+    // produce FALSE NEGATIVES (dropped matches), not an analysis error.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for ((df, k, side) <- Seq((left, leftKey, "probe"), (right, rightKey, "build")))
+      require(integral.contains(df.schema(k).dataType),
+        s"bloomSemiBroadcast $side key '$k' must be an integral type " +
+          s"(got ${df.schema(k).dataType.simpleString}); hash wider keys " +
+          "to BIGINT first (e.g. xxhash64) — a lossy cast here would drop matches")
     val sketch = right.stat.bloomFilter(rightKey, expectedItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(sketch)
     val pre = left.filter(Bridge.column(BloomMightContainBroadcast(

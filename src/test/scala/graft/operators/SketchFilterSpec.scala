@@ -97,6 +97,21 @@ class SketchFilterSpec extends SparkTestBase {
     assert(exact.nonEmpty)
   }
 
+  test("bloomSemiBroadcast refuses non-integral keys (lossy cast would drop matches)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("a", 1L)).toDF("k", "x")
+    val right = Seq("a").toDF("rk")
+    val e = intercept[IllegalArgumentException] {
+      SketchFilter.bloomSemiBroadcast(left, "k", right, "rk", 10L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // int keys are fine (sketched via putLong, probed via mightContainLong)
+    val li = spark.range(1, 100).select(col("id").cast("int").as("k"))
+    val ri = Seq(3, 5).toDF("rk").select(col("rk").cast("int").as("rk"))
+    assert(SketchFilter.bloomSemiBroadcast(li, "k", ri, "rk", 10L).count() == 2)
+  }
+
   test("the prefilter predicate is the codegen might_contain, not a UDF") {
     val s = spark
     import s.implicits._
