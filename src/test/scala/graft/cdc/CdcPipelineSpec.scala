@@ -125,6 +125,50 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(upd.getAs[Long]("id") === 1L && upd.getAs[String]("name") === "ada2")
   }
 
+  test("config batchSize -> sync pipeline delivers JSON-array batches with range keys") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (x: HttpExchange) => {
+      got.add(x.getRequestHeaders.getFirst("X-Idempotency-Key") ->
+        new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+      x.sendResponseHeaders(200, 2)
+      x.getResponseBody.write("ok".getBytes); x.close()
+    })
+    server.start()
+    try {
+      val cfg = Config.parse(
+        s"""{
+           |  "serverId": "batch1",
+           |  "itemByRow": true,
+           |  "dbTables": {"testdb": ["users"]},
+           |  "connectors": [{"name": "wh", "type": "webhook",
+           |    "url": "http://127.0.0.1:${server.getAddress.getPort}/hook",
+           |    "batchSize": 2}],
+           |  "routes": [{
+           |    "name": "users-writes", "connector": "wh",
+           |    "operations": ["INSERT", "UPDATE"], "dbTable": "testdb.users",
+           |    "template": "{\\"id\\":{{ (index .Data.Rows 0).id }}}"
+           |  }]
+           |}""".stripMargin)
+      val ckpt = Files.createTempDirectory("cdc-batch-ckpt").toString
+      CdcPipeline.sync(spark, cfg, writeFixtures(), ckpt).awaitTermination(60000)
+      // 3 routed items (2 INSERT rows + 1 UPDATE after-image) at
+      // batchSize=2 -> one full batch + one flushed tail batch, each a
+      // JSON array, keys spanning the batch's event range
+      val bodies = got.toArray.map(_.asInstanceOf[(String, String)])
+      assert(bodies.length == 2, bodies.mkString("; "))
+      assert(bodies.forall { case (_, b) => b.startsWith("[") && b.endsWith("]") })
+      val ids = bodies.flatMap(_._2.replaceAll("[\\[\\]{}]", "")
+        .split(",").filter(_.nonEmpty).map(_.stripPrefix("\"id\":")))
+      assert(ids.sorted.toSeq == Seq("1", "1", "2"))
+      assert(bodies.forall { case (k, _) => k.contains("..") })
+      assert(bodies.forall { case (k, _) => k.split("\\.\\.").forall(
+        _.startsWith("mysql-bin.000001/")) })
+    } finally server.stop(0)
+  }
+
   test("sharded configs partition deliveries exactly (FNV parity mode)") {
     CollectingConnector.clear()
     val base =
