@@ -73,22 +73,32 @@ object SketchFilter {
     pre.join(right, col(leftKey) === col(rightKey), "leftsemi")
   }
 
-  /** Cost-gated [[bloomSemi]]: the sketch-build pass over `right` only
-    * pays for itself when the probe side is big enough that shrinking
-    * its shuffle matters — below `minProbeBytes` (Catalyst's estimate
-    * for the optimized probe plan; localCheckpointed inputs keep their
-    * origin estimate) this falls back to the PLAIN semi join, which is
-    * the same answer through a cheaper plan at bench scale. An UNKNOWN
-    * estimate (Catalyst's Long.MaxValue default) counts as big — at
-    * real scale the conservative choice is the sketch. */
+  /** Cost-gated [[bloomSemi]] — a three-way gate by probe size and
+    * sketch size:
+    *  - probe estimate under `minProbeBytes` (Catalyst's estimate for
+    *    the optimized probe plan; localCheckpointed inputs keep their
+    *    origin estimate): the PLAIN semi join — the sketch-build pass
+    *    only pays for itself when shrinking the probe shuffle matters.
+    *    An UNKNOWN estimate (Catalyst's Long.MaxValue default) counts
+    *    as big — at real scale the conservative choice is the sketch.
+    *  - sketch fits in `maxSketchBytes`: the LAZY plan-literal form
+    *    ([[bloomSemi]] — nothing executes at construction).
+    *  - sketch above `maxSketchBytes` (the 10^10-key regime):
+    *    [[bloomSemiBroadcast]] — EAGER build-side scan now, sketch
+    *    shipped as a torrent-chunked broadcast instead of a plan
+    *    literal; at that scale the build pass is inevitable and the
+    *    literal form would refuse anyway. */
   def bloomSemiAuto(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01,
-      minProbeBytes: Long = 256L << 20): DataFrame = {
+      minProbeBytes: Long = 256L << 20,
+      maxSketchBytes: Long = 128L << 20): DataFrame = {
     val est = left.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est < BigInt(minProbeBytes))
       left.join(right, col(leftKey) === col(rightKey), "leftsemi")
-    else bloomSemi(left, leftKey, right, rightKey, expectedItems, fpp)
+    else if (BloomFilter.optimalNumOfBits(expectedItems, fpp) / 8 > maxSketchBytes)
+      bloomSemiBroadcast(left, leftKey, right, rightKey, expectedItems, fpp)
+    else bloomSemi(left, leftKey, right, rightKey, expectedItems, fpp, maxSketchBytes)
   }
 
   /** [[bloomSemi]] for sketches too big to ride as a plan literal (the

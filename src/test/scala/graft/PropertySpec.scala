@@ -67,6 +67,18 @@ class PropertySpec extends SparkTestBase {
   private val rowGen: Gen[Map[String, Any]] =
     Gen.mapOf(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), scalarGen))
 
+  test("Canon.divL equals exact integral division for arbitrary longs") {
+    val s = spark
+    import s.implicits._
+    // batched: one Spark job for all 400 generated values, incl. the
+    // >2^53 band where double division rounds (the r6 ADVICE defect)
+    val vals = (1 to 400).map(i => sample(Gen.oneOf(
+      Gen.long, Gen.choose(1L << 53, Long.MaxValue),
+      Gen.choose(1600000000000000000L, 1800000000000000000L)), 7000L + i))
+    val got = vals.toDF("v").select(Canon.divL(col("v"), 1000L)).as[Long].collect()
+    assert(got.toSeq == vals.map(_ / 1000L))
+  }
+
   test("template render never throws on arbitrary rows (total function)") {
     val nodes = TemplateEngine.parse(
       """{"op":"{{ .Data.Operation }}","rows":{{ .Data.Rows | toJson }},"x":{{ .Data.Missing | toJson }}}""")

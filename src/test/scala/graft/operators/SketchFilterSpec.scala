@@ -97,6 +97,20 @@ class SketchFilterSpec extends SparkTestBase {
     assert(exact.nonEmpty)
   }
 
+  test("bloomSemiAuto routes oversized sketches to the broadcast form") {
+    val s = spark
+    import s.implicits._
+    val left = spark.range(1, 101).select(col("id").as("k"))
+    val right = Seq(3L, 5L, 97L).toDF("rk")
+    // force the sketch path (minProbeBytes=0) with a tiny maxSketchBytes:
+    // the gate must pick the broadcast predicate, not refuse
+    val auto = SketchFilter.bloomSemiAuto(left, "k", right, "rk", 10000L,
+      minProbeBytes = 0L, maxSketchBytes = 1024L)
+    val p = auto.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain_bc"), p)
+    assert(auto.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 97L))
+  }
+
   test("bloomSemiBroadcast refuses non-integral keys (lossy cast would drop matches)") {
     val s = spark
     import s.implicits._
