@@ -130,6 +130,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.exists(_.nodeName.contains("Window")), p)
   }
 
+  test("q87 landed-lake read prunes partitions and group-limits before the window") {
+    // The composition query's 100 TB properties: the (database, table)
+    // filter reaches the lake scan as PARTITION pruning (a multi-table
+    // lake reads exactly one table's files), the read schema prunes to
+    // the 3 referenced columns, and the rn=1 state merge runs as
+    // WindowGroupLimit — partial top-1 per pk BEFORE the window
+    // exchange, so the shuffle carries ~one row per key per map task.
+    val p = plan("q87_cdc_landed_quality")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("= corpus") && p.contains("= docs"), p)
+    assert(p.contains("ReadSchema: struct<operation:string,binlog_position:bigint,rows_json:string>"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q77 bucketed near-dup candidates come from an equality join") {
     val p = plan("q77_neardup_bucketed")
     assert(!p.contains("CartesianProduct"), p)
