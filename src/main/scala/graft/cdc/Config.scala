@@ -234,7 +234,11 @@ object Config {
           basicAuthUser = cAt("webhook", "credentials", "username").map(_.asText()).filter(_.nonEmpty),
           basicAuthPass = cAt("webhook", "credentials", "password").map(_.asText()).filter(_.nonEmpty),
           tlsSkipVerify = cAt("webhook", "tlsSkipVerify").exists(_.asBoolean()),
-          batchSize = cAt("webhook", "batchSize").map(_.asInt()).filter(_ > 0).getOrElse(1),
+          batchSize = cAt("webhook", "batchSize").map(_.asInt()).map { v =>
+            require(v > 0, s"webhook.batchSize must be >= 1, got $v " +
+              "(1 = per-event delivery; omit the key for the default)")
+            v
+          }.getOrElse(1),
           projectId = cAt("pubsub", "projectID").map(_.asText()).getOrElse(""),
           topicId = cAt("pubsub", "topicID").map(_.asText()).getOrElse(""),
           serviceAccount = cAt("pubsub", "serviceAccount").map(_.asText()).filter(_.nonEmpty))
@@ -339,7 +343,12 @@ object Config {
             tlsSkipVerify = c.hasNonNull("tlsSkipVerify") && c.get("tlsSkipVerify").asBoolean(),
             maxInFlight = if (c.hasNonNull("maxInFlight")) c.get("maxInFlight").asInt() else 64,
             batchSize =
-              if (c.hasNonNull("batchSize")) math.max(1, c.get("batchSize").asInt()) else 1,
+              if (c.hasNonNull("batchSize")) {
+                val v = c.get("batchSize").asInt()
+                require(v > 0, s"batchSize must be >= 1, got $v " +
+                  "(1 = per-event delivery; omit the key for the default)")
+                v
+              } else 1,
             projectId = if (c.hasNonNull("projectId")) c.get("projectId").asText() else "",
             topicId = if (c.hasNonNull("topicId")) c.get("topicId").asText() else "",
             authToken = Option.when(c.hasNonNull("authToken"))(c.get("authToken").asText()),

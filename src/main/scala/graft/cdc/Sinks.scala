@@ -277,6 +277,18 @@ object Connectors {
   def dispatch(routes: Seq[Route], connectors: Map[String, Connector],
       strictCompat: Boolean = false)(envelope: DataFrame): Unit = {
     val outbound = Routing.outboundAll(envelope, routes, strictCompat)
+      // Deterministic per-partition LOG order (connector, file, position,
+      // rowIdx) — a local sort, no shuffle. Without it, iterator order
+      // after the decode shuffle can differ between a task and its
+      // at-least-once RETRY, which would re-batch the same events under
+      // a different range idempotency key and defeat receiver-side
+      // batch dedup (per-event keys are order-immune; batch keys are
+      // not). Partition CONTENTS are hash-deterministic, so sorted
+      // replays rebuild byte-identical batches under identical keys —
+      // and per-event mode gets in-log-order delivery within each
+      // partition for free.
+      .sortWithinPartitions(col("connector"), col("log.binlogFile"),
+        col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
       .select(col("connector"), col("payload"),
         concat_ws("/", col("log.binlogFile"),
           col("log.binlogPosition").cast("string"),

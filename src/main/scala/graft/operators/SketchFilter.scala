@@ -87,7 +87,13 @@ object SketchFilter {
     *    [[bloomSemiBroadcast]] — EAGER build-side scan now, sketch
     *    shipped as a torrent-chunked broadcast instead of a plan
     *    literal; at that scale the build pass is inevitable and the
-    *    literal form would refuse anyway. */
+    *    literal form would refuse anyway. CAVEATS inherited from the
+    *    broadcast form when this branch is taken: construction runs a
+    *    full build-side job (plan-only inspection is no longer free),
+    *    and keys must be integral (it throws on string keys, where the
+    *    literal form would have analyzed) — callers that need lazy
+    *    assembly or non-integral keys at this size should pre-hash to
+    *    BIGINT and call a form explicitly. */
   def bloomSemiAuto(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01,
@@ -116,10 +122,27 @@ object SketchFilter {
     * `broadcast(dim)` materialization), and the driver holds the sketch
     * once while chunking it — size executor AND driver memory for
     * `numBits/8` bytes. Result is bit-identical to the plain left-semi
-    * join (no false negatives; the exact join clears false positives). */
+    * join (no false negatives; the exact join clears false positives).
+    *
+    * Lifetime: the broadcast lives while the returned DataFrame is
+    * reachable (the expression holds the handle); once the plan is
+    * GC'd, Spark's ContextCleaner unpersists the blocks — the same
+    * physics as a cached broadcast-join plan. For multi-GB sketches in
+    * long-lived sessions don't wait for GC: use
+    * [[bloomSemiBroadcastWithHandle]] and `destroy()` the handle after
+    * the query's last execution. */
   def bloomSemiBroadcast(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    bloomSemiBroadcastWithHandle(left, leftKey, right, rightKey, expectedItems, fpp)._1
+
+  /** [[bloomSemiBroadcast]] + the broadcast handle, so callers can
+    * `handle.destroy()` a multi-GB sketch deterministically instead of
+    * waiting for the plan to be GC'd (executing the DataFrame after
+    * destroying the handle fails — destroy only after the last run). */
+  def bloomSemiBroadcastWithHandle(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      expectedItems: Long, fpp: Double = 0.01): (DataFrame, Broadcast[BloomFilter]) = {
     // Same BIGINT key contract as bloomSemi — but here it must be
     // ENFORCED: the build side sketches via putLong and the probe via
     // mightContainLong, so a silently-widened string/decimal key would
@@ -136,7 +159,7 @@ object SketchFilter {
     val bc = left.sparkSession.sparkContext.broadcast(sketch)
     val pre = left.filter(Bridge.column(BloomMightContainBroadcast(
       bc, Bridge.expression(col(leftKey).cast("long")))))
-    pre.join(right, col(leftKey) === col(rightKey), "leftsemi")
+    (pre.join(right, col(leftKey) === col(rightKey), "leftsemi"), bc)
   }
 }
 

@@ -20,8 +20,18 @@ object StreamTwins extends QueryGroup {
   private val GapNs: Long = 30L * 60L * 1000000000L // 30-min session gap
 
   // --- q87: source→lake→operator composition ------------------------------
+  // Bounded LRU like Tables.relationCache (same reasoning: the key
+  // strongly references its SparkSession, so an unbounded map would pin
+  // every session a churning JVM ever created). Evicted entries just
+  // drop the path reference — the temp lake stays on disk for any
+  // in-flight readers and dies with /tmp.
   private val landedLakes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.LinkedHashMap[(SparkSession, String), String](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
+        size() > 8
+    }
 
   /** Build ONCE per (session, dataset) the q87 landed lake: derive the
     * deterministic change stream from `documents` (q62's op rules; pk =
@@ -39,7 +49,9 @@ object StreamTwins extends QueryGroup {
     * (CdcThroughput); analytics queries read the landed lake. A bench
     * rerun therefore re-reads the lake, it does not re-capture it. */
   private def landedDocsLake(s: SparkSession, d: String): String =
-    landedLakes.computeIfAbsent((s, d), _ => {
+    // synchronized over the whole build: LinkedHashMap isn't concurrent,
+    // and two racing builders would land the same lake twice anyway
+    landedLakes.synchronized { Option(landedLakes.get((s, d))).getOrElse {
       import scala.jdk.CollectionConverters._
       val work = java.nio.file.Files.createTempDirectory("graft-q87").toString
       val src = s"$work/src"; val out = s"$work/lake"; val ckpt = s"$work/ckpt"
@@ -67,8 +79,9 @@ object StreamTwins extends QueryGroup {
       val cfg = Config.parse("""{"serverId":"q87","dbTables":{"corpus":["docs"]}}""")
       require(CdcPipeline.land(s, cfg, src, ckpt, out).awaitTermination(600000),
         "q87 landing stream did not complete")
+      landedLakes.put((s, d), out)
       out
-    })
+    }}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B25: tumbling 1-hour event-time window (epoch-aligned, so it equals

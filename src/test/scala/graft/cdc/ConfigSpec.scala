@@ -177,6 +177,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.connectors.find(_.name == "w1").get.batchSize === 1)
   }
 
+  test("batchSize <= 0 is refused loudly, not silently clamped") {
+    val e = intercept[IllegalArgumentException](Config.parse(
+      """{"serverId":"b2","connectors":[
+        |  {"name":"w","type":"webhook","url":"http://h/","batchSize":0}]}""".stripMargin))
+    assert(e.getMessage.contains("batchSize"), e.getMessage)
+  }
+
   test("mariadb flavor + GTID start position from the nested layout") {
     val yaml =
       """source:

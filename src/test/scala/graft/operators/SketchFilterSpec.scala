@@ -111,6 +111,17 @@ class SketchFilterSpec extends SparkTestBase {
     assert(auto.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 97L))
   }
 
+  test("bloomSemiBroadcastWithHandle: explicit destroy after the last run") {
+    val s = spark
+    import s.implicits._
+    val left = spark.range(1, 50).select(col("id").as("k"))
+    val right = Seq(7L, 11L).toDF("rk")
+    val (df, handle) = SketchFilter.bloomSemiBroadcastWithHandle(
+      left, "k", right, "rk", 100L)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 11L))
+    handle.destroy() // deterministic cleanup of the sketch blocks
+  }
+
   test("bloomSemiBroadcast refuses non-integral keys (lossy cast would drop matches)") {
     val s = spark
     import s.implicits._
