@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Registry over the driver-generated parquet tables (TESTDATA.md).
   *
-  * Scale notes (100 TB design): every accessor returns the raw
+  * Scale notes (100 TB design): every plain accessor returns the raw
   * `spark.read.parquet` scan so Catalyst can push filters/projections into
   * the `FileSourceScanExec` (verified via `.explain` — `PushedFilters` /
-  * `ReadSchema`). No caching, no collect: at 1000 executors the scan
-  * parallelism comes from parquet row-group splits
-  * (`spark.sql.files.maxPartitionBytes`).
+  * `ReadSchema`); the one exception is [[events]], a normalizing adapter
+  * whose pushdown trade-offs are documented on it. No caching, no
+  * collect: at 1000 executors the scan parallelism comes from parquet
+  * row-group splits (`spark.sql.files.maxPartitionBytes`).
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
