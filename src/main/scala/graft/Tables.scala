@@ -126,10 +126,19 @@ object Tables {
     * the input already has at least defaultParallelism partitions: at
     * 100 TB the scan's thousands of row-group splits provide the
     * parallelism and a blind repartition would be a pointless extra
-    * shuffle. Only use in front of compute-bound maps. */
+    * shuffle. Only use in front of compute-bound maps.
+    *
+    * The partition count comes from plan metadata (FileIndex split math
+    * / existing-RDD count — Bridge.sourcePartitionEstimate), not
+    * `df.rdd`, which would whole-stage-compile a physical plan that the
+    * repartitioned branch immediately discards (r7 advisory). The exact
+    * physical count is the fallback for plan shapes the estimator
+    * doesn't recognize (none among current call sites). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val parts = org.apache.spark.sql.graftbridge.Bridge.sourcePartitionEstimate(df)
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (parts >= target) df else df.repartition(target)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")

@@ -108,7 +108,8 @@ object CdcPipeline {
     // reference's store-after-send ordering (blsenderwork.go:204-213):
     // a crash between send and store replays, never skips.
     val dispatch = Connectors.forEachBatch(
-      cfg.routes, buildConnectors(cfg), cfg.strictRouteCompat)
+      cfg.routes, buildConnectors(cfg), cfg.strictRouteCompat,
+      cfg.deliveryPartitions)
     val mirror = buildMirror(cfg)
     val deliverAndMirror: (org.apache.spark.sql.DataFrame, Long) => Unit =
       (batch, id) =>

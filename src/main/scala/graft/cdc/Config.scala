@@ -77,6 +77,13 @@ final case class GraftConfig(
     connectors: Seq[ConnectorConfig] = Seq.empty,
     // strict reference compat for the empty-dbTable quirk (SURVEY §2.A)
     strictRouteCompat: Boolean = false,
+    // ENGINE EXTENSION: partition count the dispatcher hash-pins batched
+    // delivery to (only used when some connector has batchSize > 1).
+    // Batch identity — and hence the range idempotency keys receivers
+    // dedup on — is a function of this value: keep it STABLE across
+    // restarts of one pipeline; changing it re-batches replayed events
+    // under new keys (duplicates for non-idempotent receivers).
+    deliveryPartitions: Int = 32,
     // runtime wiring for the CLI entry point (the reference reads the
     // MySQL endpoint from source.*, config.go:103-116; the replay twin
     // reads a directory, optionally fed live over TCP) + server.api
@@ -289,6 +296,10 @@ object Config {
       routes = routes,
       connectors = connectors,
       strictRouteCompat = boolAt(dflt = false, "strictRouteCompat"),
+      deliveryPartitions = {
+        val v = intAt(32, "deliveryPartitions")
+        require(v > 0, s"deliveryPartitions must be >= 1, got $v"); v
+      },
       sourcePath = strAt("", "sourcePath"),
       socketSource = strAt("", "socketSource"),
       checkpointDir = strAt("", "checkpointDir"),
@@ -387,6 +398,11 @@ object Config {
       routes = routes,
       connectors = connectors,
       strictRouteCompat = bool("strictRouteCompat", dflt = false),
+      deliveryPartitions =
+        if (n.hasNonNull("deliveryPartitions")) {
+          val v = n.get("deliveryPartitions").asInt()
+          require(v > 0, s"deliveryPartitions must be >= 1, got $v"); v
+        } else 32,
       sourcePath = str("sourcePath", ""),
       socketSource = str("socketSource", ""),
       checkpointDir = str("checkpointDir", ""),

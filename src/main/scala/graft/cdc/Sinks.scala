@@ -30,6 +30,11 @@ trait Connector extends Serializable {
     * commits, so at-least-once is preserved. */
   def flush(): Unit = ()
   def close(): Unit = ()
+  /** True when this connector joins multiple events into one delivery
+    * (range idempotency keys). Dispatch pins the partition layout and
+    * sorts only when some connector batches — per-event keys are
+    * order-immune and skip both. */
+  def batching: Boolean = false
 }
 
 /** HTTP webhook connector — parity with connectors.webhook.go:24-76:
@@ -64,11 +69,17 @@ final class WebhookConnector(
     // is a JSON array of the payloads and whose idempotency key is
     // "<firstKey>..<lastKey>" (the batch's event range; receivers dedup
     // whole batches, and at-least-once replay re-sends whole batches).
+    // Batch identity is layout-pinned by the dispatcher: events are
+    // hash-placed by key into `deliveryPartitions` buckets and sorted
+    // into log order, so replays and restarts re-form byte-identical
+    // batches regardless of session shuffle/AQE config (r7 advisory).
     // Requires templates that render standalone JSON values. Lifts the
     // per-event-POST ceiling (the measured ~16k ev/s warm loopback
     // stage) by ~the batch factor: request count, header parsing, and
     // response round-trips all divide by `batchSize`.
     batchSize: Int = 1) extends Connector {
+
+  override def batching: Boolean = batchSize > 1
 
   // One HttpClient per executor JVM (not per deserialized task closure):
   // keeps the keep-alive connection pool warm across partitions and
@@ -275,20 +286,30 @@ object CollectingConnector {
 /** Connector factory (A15 parity — connectors.go:17-33). */
 object Connectors {
   def dispatch(routes: Seq[Route], connectors: Map[String, Connector],
-      strictCompat: Boolean = false)(envelope: DataFrame): Unit = {
-    val outbound = Routing.outboundAll(envelope, routes, strictCompat)
-      // Deterministic per-partition LOG order (connector, file, position,
-      // rowIdx) — a local sort, no shuffle. Without it, iterator order
-      // after the decode shuffle can differ between a task and its
-      // at-least-once RETRY, which would re-batch the same events under
-      // a different range idempotency key and defeat receiver-side
-      // batch dedup (per-event keys are order-immune; batch keys are
-      // not). Partition CONTENTS are hash-deterministic, so sorted
-      // replays rebuild byte-identical batches under identical keys —
-      // and per-event mode gets in-log-order delivery within each
-      // partition for free.
-      .sortWithinPartitions(col("connector"), col("log.binlogFile"),
-        col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
+      strictCompat: Boolean = false, deliveryPartitions: Int = 32)(envelope: DataFrame): Unit = {
+    val routed = Routing.outboundAll(envelope, routes, strictCompat)
+    // Batch-key determinism needs BOTH layout pinning and order pinning,
+    // and only when some connector batches (r7 advisory: per-event keys
+    // are order- and layout-immune, so the default path pays neither):
+    //  - repartition on the event keys with a CONFIG-pinned count
+    //    (`deliveryPartitions`, not spark.sql.shuffle.partitions): which
+    //    partition an event lands in becomes a pure function of its key,
+    //    so a checkpoint resumed under different session confs (shuffle
+    //    partitions, AQE) re-forms the SAME batches. Changing
+    //    deliveryPartitions itself re-batches — that is an explicit
+    //    config-file edit, documented on the field.
+    //  - sortWithinPartitions into log order: iterator order after the
+    //    exchange differs between a task and its at-least-once retry;
+    //    sorted replays rebuild byte-identical batches under identical
+    //    range idempotency keys, so receiver-side batch dedup holds.
+    val ordered =
+      if (!connectors.values.exists(_.batching)) routed
+      else routed
+        .repartition(deliveryPartitions, col("connector"), col("log.binlogFile"),
+          col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
+        .sortWithinPartitions(col("connector"), col("log.binlogFile"),
+          col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
+    val outbound = ordered
       .select(col("connector"), col("payload"),
         concat_ws("/", col("log.binlogFile"),
           col("log.binlogPosition").cast("string"),
@@ -312,6 +333,7 @@ object Connectors {
   /** foreachBatch adapter for Structured Streaming:
     * stream.writeStream.foreachBatch(Connectors.forEachBatch(routes, conns)). */
   def forEachBatch(routes: Seq[Route], connectors: Map[String, Connector],
-      strictCompat: Boolean = false): (DataFrame, Long) => Unit =
-    (batch, _) => dispatch(routes, connectors, strictCompat)(batch)
+      strictCompat: Boolean = false,
+      deliveryPartitions: Int = 32): (DataFrame, Long) => Unit =
+    (batch, _) => dispatch(routes, connectors, strictCompat, deliveryPartitions)(batch)
 }

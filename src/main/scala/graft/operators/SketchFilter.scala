@@ -87,24 +87,36 @@ object SketchFilter {
     *    [[bloomSemiBroadcast]] — EAGER build-side scan now, sketch
     *    shipped as a torrent-chunked broadcast instead of a plan
     *    literal; at that scale the build pass is inevitable and the
-    *    literal form would refuse anyway. CAVEATS inherited from the
-    *    broadcast form when this branch is taken: construction runs a
-    *    full build-side job (plan-only inspection is no longer free),
+    *    literal form would refuse anyway. This branch changes two
+    *    behaviors the caller may not anticipate from a growing
+    *    `expectedItems` (r7 advisory): construction runs a full
+    *    build-side Spark job (plan-only inspection is no longer free),
     *    and keys must be integral (it throws on string keys, where the
-    *    literal form would have analyzed) — callers that need lazy
-    *    assembly or non-integral keys at this size should pre-hash to
-    *    BIGINT and call a form explicitly. */
+    *    literal form would have analyzed). It therefore requires the
+    *    explicit `autoBroadcast = true` opt-in; without it the gate
+    *    FAILS FAST here with a pointer instead of silently running the
+    *    eager job. Callers that need lazy assembly or non-integral keys
+    *    at this size should pre-hash to BIGINT and call a form
+    *    explicitly. */
   def bloomSemiAuto(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       expectedItems: Long, fpp: Double = 0.01,
       minProbeBytes: Long = 256L << 20,
-      maxSketchBytes: Long = 128L << 20): DataFrame = {
+      maxSketchBytes: Long = 128L << 20,
+      autoBroadcast: Boolean = false): DataFrame = {
     val est = left.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est < BigInt(minProbeBytes))
       left.join(right, col(leftKey) === col(rightKey), "leftsemi")
-    else if (BloomFilter.optimalNumOfBits(expectedItems, fpp) / 8 > maxSketchBytes)
+    else if (BloomFilter.optimalNumOfBits(expectedItems, fpp) / 8 > maxSketchBytes) {
+      require(autoBroadcast,
+        s"bloomSemiAuto: the sketch for expectedItems=$expectedItems at fpp=$fpp " +
+          s"(${BloomFilter.optimalNumOfBits(expectedItems, fpp) / 8} bytes) exceeds " +
+          s"maxSketchBytes=$maxSketchBytes, and the broadcast fallback runs an " +
+          "EAGER build-side job and requires integral keys. Opt in with " +
+          "autoBroadcast = true, call bloomSemiBroadcast directly, raise " +
+          "maxSketchBytes explicitly, or raise fpp.")
       bloomSemiBroadcast(left, leftKey, right, rightKey, expectedItems, fpp)
-    else bloomSemi(left, leftKey, right, rightKey, expectedItems, fpp, maxSketchBytes)
+    } else bloomSemi(left, leftKey, right, rightKey, expectedItems, fpp, maxSketchBytes)
   }
 
   /** [[bloomSemi]] for sketches too big to ride as a plan literal (the

@@ -53,6 +53,56 @@ object Bridge {
       .getOrElse(df)
   }
 
+  /** Estimate the SOURCE partition count of a plan from metadata alone —
+    * no physical planning, no RDD materialization (r7 advisory:
+    * `df.rdd.getNumPartitions` whole-stage-COMPILES a physical plan the
+    * caller may immediately discard for a repartitioned one). Handles
+    * the shapes `Tables.spread` actually sees:
+    *  - file-scan leaves: Spark's own split math over the already-listed
+    *    FileIndex (`FilePartition.maxSplitBytes` + greedy packing
+    *    approximated as ceil(Σ(len+openCost) / maxSplitBytes), exact to
+    *    ±1 per bin boundary — plenty for a threshold decision);
+    *  - materialized leaves (localCheckpoint → LogicalRDD): the existing
+    *    RDD's count, no construction needed.
+    * Plans with a shuffle between leaf and root, or other leaf kinds,
+    * return None — the caller decides (spread falls back to the exact
+    * physical count there). */
+  def sourcePartitionEstimate(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Filter, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val conf = classic.sparkSession.sessionState.conf
+    // Only narrow single-child nodes between root and leaf: anything
+    // wide (join/agg/window/repartition) changes the partitioning and
+    // the leaf count no longer describes the root.
+    def leafOf(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case _: LogicalRelation | _: LogicalRDD => Some(p)
+      case _: Filter | _: Project | _: SubqueryAlias => leafOf(p.children.head)
+      case _ => None
+    }
+    leafOf(classic.queryExecution.optimizedPlan).flatMap {
+      case r: LogicalRDD => Some(r.rdd.getNumPartitions.toLong)
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val openCost = conf.filesOpenCostInBytes
+          val maxBytes = conf.filesMaxPartitionBytes
+          val minPart = conf.filesMinPartitionNum
+            .getOrElse(classic.sparkSession.sparkContext.defaultParallelism)
+          val lens = fs.location.listFiles(Nil, Nil).flatMap(_.files).map(_.getLen)
+          if (lens.isEmpty) Some(0L)
+          else {
+            val total = lens.map(_ + openCost).sum
+            val bytesPerCore = total / math.max(1, minPart)
+            val maxSplit = math.min(maxBytes, math.max(openCost, bytesPerCore))
+            Some(math.max(1L, (total + maxSplit - 1) / maxSplit))
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Register a function builder on an ALREADY-RUNNING session's
     * registry — the post-hoc twin of SparkSessionExtensions
     * .injectFunction for sessions the caller didn't build (notebooks,

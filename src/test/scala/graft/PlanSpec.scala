@@ -140,7 +140,15 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q87_cdc_landed_quality")
     assert(p.contains("PartitionFilters"), p)
     assert(p.contains("= corpus") && p.contains("= docs"), p)
-    assert(p.contains("ReadSchema: struct<operation:string,binlog_position:bigint,rows_json:string>"), p)
+    // pruning pin: the 3 referenced columns are read, the unreferenced
+    // lake columns are not (presence-based, not the exact struct string —
+    // column order/rendering is incidental across Spark versions)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$p"))
+    for (c <- Seq("operation:", "binlog_position:", "rows_json:"))
+      assert(read.contains(c), s"$c missing from ReadSchema <$read>")
+    for (c <- Seq("binlog_file", "row_idx"))
+      assert(!read.contains(c), s"$c not pruned from ReadSchema <$read>")
     assert(p.contains("WindowGroupLimit"), p)
   }
 
@@ -199,6 +207,26 @@ class PlanSpec extends SparkTestBase {
     val topk = Bridge.renderSort(SparkEntry.queries("q15_topk")(spark, sf001))
     assert(topk.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
+  }
+
+  test("spread decides from plan metadata, not a materialized RDD (r7 advisory)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // single-file fixture scan: estimator resolves (file-scan leaf) and
+    // spread widens it to defaultParallelism
+    val docs = Tables.documents(spark, sf001)
+    assert(Bridge.sourcePartitionEstimate(docs).nonEmpty)
+    assert(Tables.spread(docs).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // filter/project on top of the scan still resolves (the call-site shape)
+    import org.apache.spark.sql.functions.col
+    assert(Bridge.sourcePartitionEstimate(
+      docs.filter(col("doc_id") < 100).select("doc_id", "text")).nonEmpty)
+    // already-wide materialized input (LogicalRDD leaf): exact count, no-op
+    val wide = docs.repartition(8).localCheckpoint(true)
+    assert(Bridge.sourcePartitionEstimate(wide).contains(8L))
+    assert(Tables.spread(wide) eq wide)
+    // a shuffle between leaf and root is NOT claimed by the estimator
+    assert(Bridge.sourcePartitionEstimate(docs.repartition(8)).isEmpty)
   }
 
   test("bucketed tables join without a shuffle (co-located join at scale)") {

@@ -187,6 +187,7 @@ class CdcPipelineSpec extends SparkTestBase {
         s"""{
            |  "serverId": "batch1",
            |  "itemByRow": true,
+           |  "deliveryPartitions": 1,
            |  "dbTables": {"testdb": ["users"]},
            |  "connectors": [{"name": "wh", "type": "webhook",
            |    "url": "http://127.0.0.1:${server.getAddress.getPort}/hook",
@@ -208,9 +209,12 @@ class CdcPipelineSpec extends SparkTestBase {
       val ids = bodies.flatMap(_._2.replaceAll("[\\[\\]{}]", "")
         .split(",").filter(_.nonEmpty).map(_.stripPrefix("\"id\":")))
       assert(ids.sorted.toSeq == Seq("1", "1", "2"))
-      // batch boundaries are DETERMINISTIC: dispatch sorts each
-      // partition into log order, so a replay rebuilds these exact
-      // range keys (receiver-side batch dedup depends on it)
+      // batch boundaries are DETERMINISTIC and LAYOUT-PINNED: dispatch
+      // hash-places events by key into the config-pinned
+      // deliveryPartitions (1 here, so all three co-locate) and sorts
+      // into log order — a replay, or a restart under different session
+      // shuffle/AQE confs, rebuilds these exact range keys
+      // (receiver-side batch dedup depends on it)
       // (the UPDATE's after-image keeps its image index, rowIdx 1)
       assert(bodies.map(_._1).toSet == Set(
         "mysql-bin.000001/120/0..mysql-bin.000001/120/1",

@@ -103,9 +103,16 @@ class SketchFilterSpec extends SparkTestBase {
     val left = spark.range(1, 101).select(col("id").as("k"))
     val right = Seq(3L, 5L, 97L).toDF("rk")
     // force the sketch path (minProbeBytes=0) with a tiny maxSketchBytes:
-    // the gate must pick the broadcast predicate, not refuse
+    // without the explicit opt-in the gate must FAIL FAST (r7 advisory:
+    // the broadcast branch runs an eager build-side job), with it the
+    // gate picks the broadcast predicate
+    val refused = intercept[IllegalArgumentException] {
+      SketchFilter.bloomSemiAuto(left, "k", right, "rk", 10000L,
+        minProbeBytes = 0L, maxSketchBytes = 1024L)
+    }
+    assert(refused.getMessage.contains("autoBroadcast"), refused.getMessage)
     val auto = SketchFilter.bloomSemiAuto(left, "k", right, "rk", 10000L,
-      minProbeBytes = 0L, maxSketchBytes = 1024L)
+      minProbeBytes = 0L, maxSketchBytes = 1024L, autoBroadcast = true)
     val p = auto.queryExecution.executedPlan.toString
     assert(p.contains("bloom_might_contain_bc"), p)
     assert(auto.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 97L))
