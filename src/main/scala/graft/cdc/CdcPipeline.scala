@@ -191,6 +191,185 @@ object CdcPipeline {
       (Seq(col("operation"), col("binlog_file"), col("binlog_position")) ++ typed): _*)
   }
 
+  /** One exploded change-row view over a landed table: one output row
+    * per change ROW (posexplode breaks ties inside a multi-row event),
+    * with the pk extracted from the schema-less row map. The ordering
+    * key (binlog_file, binlog_position, row_idx, elem_idx) totally
+    * orders a key's change history — the same order the binlog wrote. */
+  private def changeRows(landed: org.apache.spark.sql.DataFrame,
+      database: String, table: String, pkField: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val rowsType = ArrayType(MapType(StringType, StringType))
+    landed
+      .filter(col("database") === database && col("table") === table)
+      .select(col("operation"), col("binlog_file"), col("binlog_position"),
+        coalesce(col("row_idx"), lit(0)).as("row_idx"),
+        posexplode(from_json(col("rows_json"), rowsType)).as(Seq("elem_idx", "row")))
+      .withColumn("pk", element_at(col("row"), pkField))
+  }
+
+  private def latestPerKey(changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pk")).orderBy(
+      col("binlog_file").desc, col("binlog_position").desc,
+      col("row_idx").desc, col("elem_idx").desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Snapshot materialization for one landed table — the fix for the
+    * lake's read-amplification at scale: current-state reads that
+    * re-window the FULL change history cost O(history), not O(live
+    * rows), once years of changes accumulate. `compact` applies the
+    * latest-wins merge ONCE up to a high-water offset and writes:
+    *  - `snapshotDir/state/`: the live rows (latest non-DELETE per pk)
+    *    as parquet, still schema-less (pk string + row_json) so the
+    *    capture layer's schema-drift bargain survives compaction;
+    *  - `snapshotDir/_snapshot_meta.json`: the high-water mark
+    *    (file, position) the snapshot covers.
+    * [[readCurrentState]] then merges the snapshot with only the
+    * POST-snapshot changes — the lake scan prunes to the delta via the
+    * pushed (file, position) range filter (row-group stats skip
+    * fully-compacted files), so read cost tracks live rows + new
+    * changes. Deletion semantics need no tombstones in the snapshot: a
+    * key whose last covered op was DELETE is simply absent, and any
+    * delta change for it outranks the snapshot by offset anyway.
+    *
+    * `upTo` bounds the covered prefix ((file, position) inclusive);
+    * None covers the whole lake as of now. Returns the high-water
+    * actually covered: the max change actually SCANNED, never `upTo`
+    * itself — if `upTo` points into a quiet region beyond the landed
+    * maximum, claiming it would mark future landings in that gap as
+    * already covered and silently skip them. It is the ONE driver-side
+    * row this job collects (the
+    * snapshot boundary is by definition a scalar; parity with the
+    * store-after-send mirror agg in [[sync]]). Re-compaction is the
+    * same call again with a later `upTo`: the merge re-reads
+    * snapshot ∪ delta exactly like a read, so compaction cost also
+    * tracks live + delta, never full history. Idempotent per
+    * (snapshotDir): overwrite semantics.
+    *
+    * Scale notes: one shuffle on pk (the merge-on-read compaction
+    * shape); the state write is repartitioned by pk so a 1000-executor
+    * read starts pk-clustered. Generalizes the reference's
+    * checkpoint-resume semantics (blsenderwork.go:204-213,
+    * cache.go:19-30) from "offset of the last delivered event" to
+    * "offset the materialized state covers". */
+  def compact(spark: SparkSession, lakeDir: String, snapshotDir: String,
+      database: String, table: String, pkField: String,
+      upTo: Option[(String, Long)] = None): (String, Long) = {
+    import org.apache.spark.sql.functions._
+    val lake = spark.read.parquet(lakeDir)
+    val bounded = upTo match {
+      case Some((f, p)) => lake.filter(col("binlog_file") < f ||
+        (col("binlog_file") === f && col("binlog_position") <= p))
+      case None => lake
+    }
+    val prior = readSnapshotMeta(snapshotDir)
+    prior.foreach(m => require(m._3 == pkField,
+      s"compact: snapshot at $snapshotDir was built with pkField '${m._3}', " +
+        s"got '$pkField' — one snapshot tracks one key definition"))
+    val changes = priorSnapshotChanges(spark, snapshotDir, prior) match {
+      case Some(snap) =>
+        val (pf, pp) = (prior.get._1, prior.get._2)
+        snap.unionByName(changeRows(bounded.filter(col("binlog_file") > pf ||
+          (col("binlog_file") === pf && col("binlog_position") > pp)),
+          database, table, pkField))
+      case None => changeRows(bounded, database, table, pkField)
+    }
+    val hw = changes.agg(max(struct(col("binlog_file"), col("binlog_position")))).head()
+    require(!hw.isNullAt(0) || prior.nonEmpty,
+      s"compact: no changes for ($database, $table) in $lakeDir — nothing to snapshot")
+    // coverage never regresses: a DELETE absent from the prior snapshot's
+    // rows may still be the prior high-water, so take the max of both
+    val scanned = if (hw.isNullAt(0)) None
+      else Some((hw.getStruct(0).getString(0), hw.getStruct(0).getLong(1)))
+    val (hwFile, hwPos) = (scanned.toSeq ++ prior.map(m => (m._1, m._2)))
+      .maxBy(identity)(Ordering.Tuple2(Ordering.String, Ordering.Long))
+    latestPerKey(changes)
+      .filter(col("operation") =!= "DELETE")
+      .select(col("pk"), col("operation"), col("binlog_file"),
+        col("binlog_position"), col("row_idx"), col("elem_idx"),
+        to_json(col("row")).as("row_json"))
+      .repartition(col("pk"))
+      .write.mode("overwrite").parquet(s"$snapshotDir/state")
+    val meta = s"""{"database":${TemplateEngine.toJson(database)},""" +
+      s""""table":${TemplateEngine.toJson(table)},""" +
+      s""""pkField":${TemplateEngine.toJson(pkField)},""" +
+      s""""binlogFile":${TemplateEngine.toJson(hwFile)},"binlogPosition":$hwPos}"""
+    java.nio.file.Files.write(snapshotMetaPath(snapshotDir),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (hwFile, hwPos)
+  }
+
+  private def snapshotMetaPath(snapshotDir: String): java.nio.file.Path = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(snapshotDir))
+    java.nio.file.Paths.get(snapshotDir, "_snapshot_meta.json")
+  }
+
+  /** (file, position, pkField) of an existing snapshot, if any. */
+  def readSnapshotMeta(snapshotDir: String): Option[(String, Long, String)] = {
+    val p = java.nio.file.Paths.get(snapshotDir, "_snapshot_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p))
+      Some((n.get("binlogFile").asText(), n.get("binlogPosition").asLong(),
+        n.get("pkField").asText()))
+    }
+  }
+
+  /** Snapshot rows re-shaped as change rows (they ARE the latest
+    * non-DELETE change up to the covered offset), so the incremental
+    * merge is the SAME latest-wins algebra over snapshot ∪ delta. */
+  private def priorSnapshotChanges(spark: SparkSession, snapshotDir: String,
+      meta: Option[(String, Long, String)]): Option[org.apache.spark.sql.DataFrame] =
+    meta.map { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val rowType = MapType(StringType, StringType)
+      spark.read.parquet(s"$snapshotDir/state")
+        .select(col("operation"), col("binlog_file"), col("binlog_position"),
+          col("row_idx"), col("elem_idx"),
+          from_json(col("row_json"), rowType).as("row"), col("pk"))
+    }
+
+  /** Current state of a landed table from snapshot + delta: the
+    * compacted twin of `liftLanded` + latest-wins — identical result,
+    * read cost O(live rows + post-snapshot changes) instead of O(full
+    * history). Columns: operation, binlog_file, binlog_position, then
+    * the declared typed columns (same shape as [[liftLanded]] after a
+    * latest-wins merge, minus DELETEd keys). Falls back to the full-
+    * history merge when no snapshot exists, so callers can point it at
+    * an uncompacted lake. */
+  def readCurrentState(spark: SparkSession, lakeDir: String, snapshotDir: String,
+      database: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = readSnapshotMeta(snapshotDir)
+    val lake = spark.read.parquet(lakeDir)
+    val merged = priorSnapshotChanges(spark, snapshotDir, meta) match {
+      case Some(snap) =>
+        val (hwFile, hwPos, pkField) = meta.get
+        // the delta predicate pushes to the parquet scan: row-group
+        // min/max stats on binlog_position skip fully-compacted files
+        val delta = changeRows(lake.filter(col("binlog_file") > hwFile ||
+          (col("binlog_file") === hwFile && col("binlog_position") > hwPos)),
+          database, table, pkField)
+        latestPerKey(snap.unionByName(delta))
+      case None =>
+        sys.error(s"readCurrentState: no snapshot at $snapshotDir — " +
+          "run compact first, or use liftLanded + a latest-wins merge " +
+          "for full-history reads")
+    }
+    val typed = schema.fields.map(f =>
+      element_at(col("row"), f.name).cast(f.dataType).as(f.name))
+    merged.filter(col("operation") =!= "DELETE")
+      .select(Seq(col("operation"), col("binlog_file"), col("binlog_position")) ++ typed: _*)
+  }
+
   /** Run under the restart supervisor (A19): stopInError=false restarts
     * from the checkpoint indefinitely, parity with restartSyncerOnError. */
   def syncSupervised(spark: SparkSession, cfg: GraftConfig, sourcePath: String,

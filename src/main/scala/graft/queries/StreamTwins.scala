@@ -33,6 +33,23 @@ object StreamTwins extends QueryGroup {
         size() > 8
     }
 
+  // q88's compacted snapshot of the q87 lake, same caching physics.
+  private val lakeSnapshots =
+    new java.util.LinkedHashMap[(SparkSession, String), (String, Long)](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), (String, Long)]): Boolean =
+        size() > 8
+    }
+
+  /** Wall-clock of the one-time q87 landing / q88 compaction jobs (the
+    * capture→lake leg the per-query bench numbers deliberately exclude
+    * — landing is a continuously-running stream in production). Bench
+    * surfaces these as elapsed_landing_sec / elapsed_compact_sec so the
+    * round artifact records the leg's cost (r7 verdict item). */
+  @volatile var landingElapsedSec: Option[Double] = None
+  @volatile var compactElapsedSec: Option[Double] = None
+
   /** Build ONCE per (session, dataset) the q87 landed lake: derive the
     * deterministic change stream from `documents` (q62's op rules; pk =
     * doc_id div 3 so each key sees ~3 versions, seq = doc_id =
@@ -77,10 +94,32 @@ object StreamTwins extends QueryGroup {
           java.nio.file.Files.move(p, p.resolveSibling(f"changes-$i%05d.jsonl")) }
       finally st.close()
       val cfg = Config.parse("""{"serverId":"q87","dbTables":{"corpus":["docs"]}}""")
+      val t0 = System.nanoTime()
       require(CdcPipeline.land(s, cfg, src, ckpt, out).awaitTermination(600000),
         "q87 landing stream did not complete")
+      landingElapsedSec = Some((System.nanoTime() - t0) / 1e9)
       landedLakes.put((s, d), out)
       out
+    }}
+
+  /** Build ONCE per (session, dataset) the q88 snapshot: compact the
+    * q87 lake up to its midpoint offset, so the q88 read genuinely
+    * exercises BOTH legs — snapshot for the first half of the change
+    * history, delta merge for the second. Returns (snapshotDir,
+    * cutoff). The midpoint (max position / 2) is a 1-row agg on the
+    * lake — one-time setup, like the landing job itself. */
+  private def snapshotOfLake(s: SparkSession, d: String): (String, Long) =
+    lakeSnapshots.synchronized { Option(lakeSnapshots.get((s, d))).getOrElse {
+      val lake = landedDocsLake(s, d)
+      val cutoff = s.read.parquet(lake)
+        .agg(max(col("binlog_position"))).head().getLong(0) / 2
+      val snapDir = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      val t0 = System.nanoTime()
+      CdcPipeline.compact(s, lake, snapDir, "corpus", "docs", "pk",
+        upTo = Some(("mysql-bin.000001", cutoff)))
+      compactElapsedSec = Some((System.nanoTime() - t0) / 1e9)
+      lakeSnapshots.put((s, d), (snapDir, cutoff))
+      (snapDir, cutoff)
     }}
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -197,24 +236,48 @@ object StreamTwins extends QueryGroup {
     // the quality pass is a narrow map — same plan at 1000 executors.
     "q87_cdc_landed_quality" -> ((s, d) => {
       val landed = s.read.parquet(landedDocsLake(s, d))
-      val lifted = CdcPipeline.liftLanded(landed, "corpus", "docs",
-        StructType(Seq(StructField("pk", LongType), StructField("lang", StringType),
-          StructField("n_chars", LongType), StructField("text", StringType))))
+      val lifted = CdcPipeline.liftLanded(landed, "corpus", "docs", docsLiftSchema)
       val w = Window.partitionBy(col("pk")).orderBy(col("binlog_position").desc)
       val state = lifted.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("operation") =!= "DELETE")
-      state
-        .withColumn("tok_n",
-          size(filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")).cast("long"))
-        .withColumn("len", length(col("text")).cast("long"))
-        .filter(col("tok_n") >= 8)
-        .groupBy(col("lang"), floor(col("tok_n") / lit(32.0)).cast("long").as("band"))
-        .agg(count(lit(1)).as("n"), big(sum(col("len"))).as("sum_len"),
-          min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
-          big(sum(col("n_chars"))).as("sum_chars"))
-        .orderBy(col("lang"), col("band"))
+      qualityBands(state)
+    }),
+
+    // Compacted current-state read (the r7 verdict's scale gap): the
+    // SAME algebra as q87 — and the same oracle, computed from full
+    // history — but served from CdcPipeline.compact's snapshot (first
+    // half of the change log, latest-wins pre-applied) merged with only
+    // the post-snapshot delta. Any drift in the snapshot write, the
+    // high-water bookkeeping, the delta pruning predicate, or the
+    // incremental merge breaks the hash against the full-history twin.
+    // Scale: read cost is O(live rows + delta), not O(history); the
+    // delta range filter pushes into the lake scan (PlanSpec pin).
+    "q88_cdc_compacted_state" -> ((s, d) => {
+      val (snapDir, _) = snapshotOfLake(s, d)
+      val state = CdcPipeline.readCurrentState(
+        s, landedDocsLake(s, d), snapDir, "corpus", "docs", docsLiftSchema)
+      qualityBands(state)
     })
   )
+
+  private val docsLiftSchema = StructType(Seq(
+    StructField("pk", LongType), StructField("lang", StringType),
+    StructField("n_chars", LongType), StructField("text", StringType)))
+
+  /** The q87/q88 text-quality aggregation over a current-state table
+    * (B29's tokenizer, banded) — shared so the full-history and
+    * snapshot+delta reads are compared under the IDENTICAL consumer. */
+  private def qualityBands(state: DataFrame): DataFrame =
+    state
+      .withColumn("tok_n",
+        size(filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")).cast("long"))
+      .withColumn("len", length(col("text")).cast("long"))
+      .filter(col("tok_n") >= 8)
+      .groupBy(col("lang"), floor(col("tok_n") / lit(32.0)).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"), big(sum(col("len"))).as("sum_len"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        big(sum(col("n_chars"))).as("sum_chars"))
+      .orderBy(col("lang"), col("band"))
 
   override def oracle: Map[String, String] = Map(
     "q25_tumbling_window" ->
@@ -286,26 +349,31 @@ object StreamTwins extends QueryGroup {
     // Every column rode the wire as strings inside the landed rows_json
     // and was lifted back via declared casts (pk/n_chars long), so the
     // oracle's direct typed view over `documents` is value-identical.
-    "q87_cdc_landed_quality" ->
-      """WITH changes AS (
-        |  SELECT doc_id // 3 AS pk, doc_id AS seq,
-        |         CASE WHEN doc_id % 10 < 6 THEN 'INSERT'
-        |              WHEN doc_id % 10 < 9 THEN 'UPDATE'
-        |              ELSE 'DELETE' END AS operation,
-        |         lang, CAST(n_chars AS BIGINT) AS n_chars, text
-        |  FROM documents),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
-        |      FROM changes),
-        |state AS (SELECT * FROM r WHERE rn = 1 AND operation <> 'DELETE'),
-        |q AS (SELECT pk, lang, n_chars, CAST(length(text) AS BIGINT) AS len,
-        |             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                  x -> x <> '')) AS BIGINT) AS tok_n
-        |      FROM state)
-        |SELECT lang, CAST(floor(tok_n / 32.0) AS BIGINT) AS band,
-        |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(len) AS BIGINT) AS sum_len,
-        |       MIN(pk) AS min_pk, MAX(pk) AS max_pk,
-        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM q WHERE tok_n >= 8 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    // q88 reads the same state via snapshot+delta, so the SAME
+    // full-history twin must hash-match it too.
+    "q88_cdc_compacted_state" -> q87OracleSql,
+    "q87_cdc_landed_quality" -> q87OracleSql
   )
+
+  private val q87OracleSql: String =
+    """WITH changes AS (
+      |  SELECT doc_id // 3 AS pk, doc_id AS seq,
+      |         CASE WHEN doc_id % 10 < 6 THEN 'INSERT'
+      |              WHEN doc_id % 10 < 9 THEN 'UPDATE'
+      |              ELSE 'DELETE' END AS operation,
+      |         lang, CAST(n_chars AS BIGINT) AS n_chars, text
+      |  FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+      |      FROM changes),
+      |state AS (SELECT * FROM r WHERE rn = 1 AND operation <> 'DELETE'),
+      |q AS (SELECT pk, lang, n_chars, CAST(length(text) AS BIGINT) AS len,
+      |             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                  x -> x <> '')) AS BIGINT) AS tok_n
+      |      FROM state)
+      |SELECT lang, CAST(floor(tok_n / 32.0) AS BIGINT) AS band,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(len) AS BIGINT) AS sum_len,
+      |       MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM q WHERE tok_n >= 8 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -152,6 +152,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q88 compacted-state read prunes the lake scan to the delta") {
+    // The compaction contract at scale: the post-snapshot read must not
+    // re-scan the covered history — the (database, table) filter prunes
+    // lake partitions and the high-water range predicate pushes into
+    // the delta's parquet scan (row-group stats then skip
+    // fully-compacted files); the merge still group-limits before the
+    // window exchange like q87.
+    val p = plan("q88_cdc_compacted_state")
+    assert(p.contains("= corpus") && p.contains("= docs"), p)
+    // the high-water range predicate sits on the lake scan and pushes
+    // down (the PushedFilters rendering truncates at 100 chars, so pin
+    // the Filter node and the pushed prefix separately)
+    assert("binlog_position#\\d+L? > \\d+".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("PushedFilters: [Or(GreaterThan(binlog_file"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q77 bucketed near-dup candidates come from an equality join") {
     val p = plan("q77_neardup_bucketed")
     assert(!p.contains("CartesianProduct"), p)
