@@ -64,14 +64,25 @@ object BpeTrain {
 
   /** Learn `numMerges` merges from the corpus; returns them in learned
     * order as (rank, left, right, freq). Stops early if no pair repeats. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
+    trainTrace(docs, textCol, numMerges).map(_._1)
+
+  /** [[train]] plus the post-round corpus tokenization size — the total
+    * symbol count Σ cnt·|syms(w)| after each merge is applied. The
+    * extra per-round aggregate is one tiny job over the |V|-row
+    * checkpointed word table; it makes the whole LOOP oracle-checkable
+    * (q89): the winning pair proves the count/argmax/tie-break chain,
+    * the shrinking total proves the greedy apply actually rewrote the
+    * words it claims. */
+  def trainTrace(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Merge, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var syms: Dataset[(Seq[String], Long)] = words(docs, textCol)
       .select(split(col("w"), "").as("s"), col("cnt"))
       .as[(Seq[String], Long)]
       .localCheckpoint(eager = true)
-    val learned = Seq.newBuilder[Merge]
+    val learned = Seq.newBuilder[(Merge, Long)]
     var round = 1
     var exhausted = false
     while (round <= numMerges && !exhausted) {
@@ -81,13 +92,15 @@ object BpeTrain {
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += Merge(round, l, r, f)
         val prev = syms
         syms = syms.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
           .localCheckpoint(eager = true)
         // a 32k-merge run must not pin every round's |V|-row checkpoint
         // until the ContextCleaner notices — drop the dead one now
         prev.unpersist()
+        val nSyms = syms.toDF("s", "cnt")
+          .agg(sum(size(col("s")).cast("long") * col("cnt"))).head().getLong(0)
+        learned += ((Merge(round, l, r, f), nSyms))
         round += 1
       }
     }

@@ -33,6 +33,63 @@ object TextQueries extends QueryGroup {
   private def langWordsSqlValues: String =
     langWords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
+  private val BpeRounds = 8
+
+  /** One unrolled BPE merge round for the q89 DuckDB twin. Greedy
+    * left-to-right application without recursion: occurrences of the
+    * winning pair can only overlap when it is a SELF pair (l = r, a
+    * run of the same symbol), and there the left-to-right scan merges
+    * exactly the even offsets within each maximal run of matching
+    * positions — a window computation (gaps-and-islands run id + the
+    * offset-parity rule). Merged symbols never re-match in-round
+    * (l ≠ l·r and r ≠ l·r), so one pass per round is exact. CTEs are
+    * MATERIALIZED: each is referenced more than once and DuckDB's
+    * default inlining re-evaluates the whole chain per reference
+    * (measured 28× slower at 4 rounds). */
+  private def bpeRoundSql(k: Int): String = {
+    val p = s"syms_${k - 1}"
+    s"""pairs_$k AS MATERIALIZED (
+       |  SELECT s[u.i] AS l, s[u.i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS freq
+       |  FROM $p, UNNEST(range(1, len(s))) AS u(i)
+       |  GROUP BY 1, 2),
+       |top_$k AS MATERIALIZED (
+       |  SELECT l, r, freq FROM pairs_$k ORDER BY freq DESC, l, r LIMIT 1),
+       |exp_$k AS MATERIALIZED (
+       |  SELECT w, cnt, u.i AS pos, s[u.i] AS sym,
+       |         COALESCE(s[u.i] = (SELECT l FROM top_$k)
+       |                  AND s[u.i+1] = (SELECT r FROM top_$k), FALSE) AS hit
+       |  FROM $p, UNNEST(range(1, len(s)+1)) AS u(i)),
+       |runs_$k AS MATERIALIZED (
+       |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, hit ORDER BY pos) AS grp
+       |  FROM exp_$k),
+       |ch_$k AS MATERIALIZED (
+       |  SELECT w, cnt, pos, sym,
+       |         hit AND (pos - MIN(pos) OVER (PARTITION BY w, hit, grp)) % 2 = 0 AS chosen
+       |  FROM runs_$k),
+       |syms_$k AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |         list(CASE WHEN chosen THEN (SELECT l || r FROM top_$k) ELSE sym END
+       |              ORDER BY pos) AS s
+       |  FROM (SELECT *, LAG(chosen, 1, FALSE) OVER (PARTITION BY w ORDER BY pos) AS prevch
+       |        FROM ch_$k)
+       |  WHERE NOT prevch GROUP BY w, cnt),
+       |stat_$k AS MATERIALIZED (
+       |  SELECT CAST($k AS BIGINT) AS rank, (SELECT l FROM top_$k) AS l,
+       |         (SELECT r FROM top_$k) AS r, (SELECT freq FROM top_$k) AS freq,
+       |         CAST(SUM(cnt * len(s)) AS BIGINT) AS n_syms FROM syms_$k)""".stripMargin
+  }
+
+  private def bpeLoopOracle: String =
+    """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '')) AS w FROM documents),
+      |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY w),
+      |syms_0 AS MATERIALIZED (SELECT w, cnt, string_split_regex(w, '') AS s FROM wc),
+      |""".stripMargin +
+      (1 to BpeRounds).map(bpeRoundSql).mkString(",\n") +
+      "\nSELECT * FROM (" +
+      (1 to BpeRounds).map(k => s"SELECT * FROM stat_$k").mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B29: top-50 corpus tokens.
     "q29_text_top_tokens" -> ((s, d) =>
@@ -54,6 +111,28 @@ object TextQueries extends QueryGroup {
           Tables.spread(Tables.documents(s, d)), "text")
         .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(20)),
+
+    // The BPE merge LOOP itself (r7 verdict item 2): BpeTrain.trainTrace
+    // runs 8 full rounds — vocabulary-sized pair count, (freq desc, l,
+    // r) argmax, greedy left-to-right apply — and emits one row per
+    // round: the learned pair, its frequency, and the corpus
+    // tokenization size AFTER the round (Σ cnt·|syms|). The DuckDB twin
+    // recomputes all 8 rounds from scratch (unrolled CTE chain; greedy
+    // application via the run-parity window rule — for a self-pair only
+    // even offsets within a run of matches merge, which IS the
+    // left-to-right scan), so the argmax chain, the deterministic
+    // tie-break, AND the rewrite are all hash-checked. The per-round
+    // 1-row argmax collect is inherent to BPE (each round's rule depends
+    // on the last); every distributed pass is vocabulary-sized.
+    "q89_bpe_merge_loop" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      graft.operators.BpeTrain
+        .trainTrace(Tables.spread(Tables.documents(s, d)), "text", BpeRounds)
+        .map { case (m, nSyms) => (m.rank.toLong, m.left, m.right, m.freq, nSyms) }
+        .toDF("rank", "l", "r", "freq", "n_syms")
+        .orderBy(col("rank"))
+    }),
 
     // Language ID by stopword-hit argmax (n-gram heuristic). The
     // wordlists are tiny literals, so scoring is pure per-row narrow
@@ -364,6 +443,8 @@ object TextQueries extends QueryGroup {
         |                            x -> x <> '')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q89_bpe_merge_loop" -> bpeLoopOracle,
 
     "q85_bpe_pair_stats" ->
       """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
