@@ -108,6 +108,28 @@ object DedupQueries extends QueryGroup {
           Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
         .orderBy(col("d1"), col("d2"))),
 
+    // Stream-static dedup-on-ingest, batch twin (r7 verdict item 8):
+    // TextDedup.nearDupAgainst checks an INCOMING document stream
+    // against a STATIC reference corpus — in-row shingles + minhash
+    // minima on the stream side (no stream-side aggregation, so the
+    // true streaming form is append-mode safe; TextDedupSpec exercises
+    // it), band-signature equality against the corpus profile for
+    // candidates, per-doc profile lookup for exact-Jaccard verify.
+    // Here the corpus splits 1:4 into ingest/reference twins and the
+    // SAME oracle algebra recomputes the cross join of band-equal
+    // (stream, corpus) pairs. nearDupAgainst emits one row per
+    // matching band by contract; the declared-exactly-once form is
+    // distinct(), matching the oracle's DISTINCT candidates.
+    "q90_neardup_ingest" -> ((s, d) => {
+      val docs = Tables.spread(
+        Tables.documents(s, d).filter(col("doc_id") < 2000))
+      TextDedup.nearDupAgainst(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), 3000L)
+        .distinct()
+        .orderBy(col("doc_id"), col("ref_doc_id"))
+    }),
+
     // Duplicate-cluster resolution: connected components over the
     // verified MinHash+LSH near-dup pairs (transitive closure — A~B~C
     // collapses to one cluster even though A,C never compared). Library
@@ -286,8 +308,10 @@ object DedupQueries extends QueryGroup {
 
   /** Shared CTE chain for the MinHash+LSH pipeline (q33/q56): shingle
     * hashes → per-permutation minima → band signatures → candidate
-    * pairs → exact-Jaccard sizes. */
-  private def lshCtes: String = {
+    * pairs → exact-Jaccard sizes. `candPred` selects which band-equal
+    * pairs are candidates (self-join upper triangle by default; q90
+    * passes the stream-vs-corpus split). */
+  private def lshCtes(candPred: String = "a.doc_id < b.doc_id"): String = {
     val hkValues = HashParams.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
     s"""$shingleHashSql,
        |hk(k, a, b) AS (VALUES $hkValues),
@@ -298,7 +322,7 @@ object DedupQueries extends QueryGroup {
        |          FROM mh GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.sig = b.sig AND $candPred),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
        |          FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
@@ -331,12 +355,22 @@ object DedupQueries extends QueryGroup {
          |ORDER BY d1, d2""".stripMargin,
 
     "q33_dedup_minhash_lsh" ->
-      s"""WITH $lshCtes
+      s"""WITH ${lshCtes()}
          |$lshPairsSelect
          |ORDER BY d1, d2""".stripMargin,
 
+    // q90 = the SAME LSH algebra with the candidate join split
+    // stream-vs-corpus instead of the self-join upper triangle.
+    "q90_neardup_ingest" ->
+      s"""WITH ${lshCtes("a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0")}
+         |SELECT d1 AS doc_id, d2 AS ref_doc_id,
+         |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
+         |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+         |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
+         |ORDER BY doc_id, ref_doc_id""".stripMargin,
+
     "q75_dedup_containment" ->
-      s"""WITH $lshCtes
+      s"""WITH ${lshCtes()}
          |SELECT d1, d2,
          |       CAST(floor(inter * 1.0 / z1.n * 10000 + 0.5) AS BIGINT) AS cont1_1e4,
          |       CAST(floor(inter * 1.0 / z2.n * 10000 + 0.5) AS BIGINT) AS cont2_1e4
@@ -352,7 +386,7 @@ object DedupQueries extends QueryGroup {
     "q70_decontamination" -> decontaminationSql,
 
     "q69_dedup_resolution" ->
-      s"""WITH RECURSIVE $lshCtes,
+      s"""WITH RECURSIVE ${lshCtes()},
          |pairs AS ($lshPairsSelect),
          |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs
          |       UNION SELECT d2, d1 FROM pairs),
@@ -369,7 +403,7 @@ object DedupQueries extends QueryGroup {
     // min-reachable-id per node = the component label (identical to the
     // Spark min-label-propagation fixpoint).
     "q56_dedup_components" ->
-      s"""WITH RECURSIVE $lshCtes,
+      s"""WITH RECURSIVE ${lshCtes()},
          |pairs AS ($lshPairsSelect),
          |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs
          |       UNION SELECT d2, d1 FROM pairs),

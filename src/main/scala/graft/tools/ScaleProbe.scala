@@ -89,6 +89,27 @@ object ScaleProbe {
       println(s"""{"op":"$name","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
 
+    // Stream-static dedup-on-ingest (nearDupAgainst, q90's operator):
+    // the reference corpus is FIXED; only the incoming side scales
+    // (id-shifted copies in the SAME token space, so candidates really
+    // hit the corpus bands and verified pairs grow with the factor).
+    // Linear growth proves per-incoming-row work: the static profile is
+    // built once per run and candidates come from band-bucket equality
+    // against it — never incoming × corpus.
+    locally {
+      val corpus = base.filter(col("doc_id") % 20 =!= 0)
+      val inBase = base.filter(col("doc_id") % 20 === 0)
+      for (f <- factors) {
+        val inc = (0 until f).map(k =>
+          inBase.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            col("text"))).reduce(_ union _)
+        def run(): Long = TextDedup.nearDupAgainst(inc, corpus, 3000L).count()
+        run() // warm
+        val (sec, rows) = time(run())
+        println(s"""{"op":"neardup_ingest","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+      }
+    }
+
     // ---- vector operators over scaled embeddings ----
     // Copies are dimension-ROTATED (a cyclic shift of the 64 dims per
     // copy): rotation is an isometry, so every within-copy dot/norm/
