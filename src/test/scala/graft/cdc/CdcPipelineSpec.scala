@@ -222,6 +222,84 @@ class CdcPipelineSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("restart recovery with batching ON: replayed batches carry identical range keys") {
+    // The crash window the r7 verdict asked to close e2e: delivery
+    // SUCCEEDS at the receiver but the query dies before the checkpoint
+    // commits. Simulated from the receiver's seat: the server reads the
+    // full body, records it, and answers 500 — delivered-but-
+    // unacknowledged. The task fails, the query fails, and a restarted
+    // sync() replays the micro-batch from the same checkpoint — under a
+    // DIFFERENT session shuffle config, the advisory's re-batching
+    // hazard. The layout-pinned dispatch (deliveryPartitions + log-order
+    // sort) must re-form BYTE-IDENTICAL batches under identical range
+    // idempotency keys, so the receiver's dedup-by-key set sees each
+    // batch exactly once.
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val attempts = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String)]()
+    val failing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (x: HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      val attempt = if (failing.get()) 1 else 2
+      attempts.add((attempt, x.getRequestHeaders.getFirst("X-Idempotency-Key"), body))
+      val code = if (failing.get()) 500 else 200
+      x.sendResponseHeaders(code, 2)
+      x.getResponseBody.write("ok".getBytes); x.close()
+    })
+    server.start()
+    try {
+      val cfg = Config.parse(
+        s"""{
+           |  "serverId": "recover1",
+           |  "itemByRow": true,
+           |  "deliveryPartitions": 1,
+           |  "dbTables": {"testdb": ["users"]},
+           |  "connectors": [{"name": "wh", "type": "webhook",
+           |    "url": "http://127.0.0.1:${server.getAddress.getPort}/hook",
+           |    "batchSize": 2}],
+           |  "routes": [{
+           |    "name": "users-writes", "connector": "wh",
+           |    "operations": ["INSERT", "UPDATE"], "dbTable": "testdb.users",
+           |    "template": "{\\"id\\":{{ (index .Data.Rows 0).id }}}"
+           |  }]
+           |}""".stripMargin)
+      val src = writeFixtures()
+      val ckpt = Files.createTempDirectory("cdc-recover-ckpt").toString
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      // attempt 1: delivery lands, ack fails -> the query must DIE
+      // without committing the batch
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = CdcPipeline.sync(spark, cfg, src, ckpt)
+        q.awaitTermination(60000); q.stop()
+        fail("query should have failed on the 500 ack")
+      }
+      assert(failed.getMessage.contains("status 500"), failed.getMessage)
+      // attempt 2: receiver healthy again; restart from the SAME
+      // checkpoint under a different shuffle width
+      failing.set(false)
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(CdcPipeline.sync(spark, cfg, src, ckpt).awaitTermination(60000))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+
+      val all = attempts.toArray.map(_.asInstanceOf[(Int, String, String)]).toSeq
+      val a1 = all.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+      val a2 = all.filter(_._1 == 2).map(t => t._2 -> t._3).toMap
+      // both attempts delivered the SAME batches: identical key sets,
+      // byte-identical bodies per key
+      assert(a1.keySet == a2.keySet, s"replay re-batched: ${a1.keySet} vs ${a2.keySet}")
+      assert(a1.keySet == Set(
+        "mysql-bin.000001/120/0..mysql-bin.000001/120/1",
+        "mysql-bin.000001/260/1..mysql-bin.000001/260/1"), a1.keySet)
+      for (k <- a1.keySet) assert(a1(k) == a2(k), s"batch $k bytes drifted on replay")
+      // receiver-side dedup by key observes each batch exactly once
+      assert(all.groupBy(_._2).values.map(_.map(x => (x._1, x._3)).distinct.size).toSet
+        == Set(2)) // each key: one delivery per attempt, nothing more
+      assert(all.map(_._2).distinct.size == 2)
+    } finally server.stop(0)
+  }
+
   test("sharded configs partition deliveries exactly (FNV parity mode)") {
     CollectingConnector.clear()
     val base =
