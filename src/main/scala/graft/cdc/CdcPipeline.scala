@@ -304,6 +304,40 @@ object CdcPipeline {
     (hwFile, hwPos)
   }
 
+  /** The maintenance trigger for [[compact]] — the cadence rule a
+    * production lake runs on: re-compact when the un-compacted delta
+    * has grown past `maxDeltaRatio` of the snapshot's live rows (and
+    * past `minDeltaRows`, so a tiny lake is not re-churned per call),
+    * or when no snapshot exists yet. Returns the new high-water when a
+    * compaction ran, None when the delta is still within bounds.
+    *
+    * Cost of the check itself: the snapshot count is a parquet
+    * count(*) (footer metadata); the delta count scans only
+    * post-high-water row groups — the same pushed (file, position)
+    * range filter the read path uses, so fully-compacted files are
+    * skipped from their stats. Both are driver-side scalars, like the
+    * high-water agg in [[compact]]. */
+  def compactIfNeeded(spark: SparkSession, lakeDir: String, snapshotDir: String,
+      database: String, table: String, pkField: String,
+      maxDeltaRatio: Double = 0.2, minDeltaRows: Long = 0L): Option[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    readSnapshotMeta(snapshotDir) match {
+      case None =>
+        Some(compact(spark, lakeDir, snapshotDir, database, table, pkField))
+      case Some((hwFile, hwPos, _)) =>
+        val deltaRows = spark.read.parquet(lakeDir)
+          .filter(col("database") === database && col("table") === table)
+          .filter(col("binlog_file") > hwFile ||
+            (col("binlog_file") === hwFile && col("binlog_position") > hwPos))
+          .count()
+        val snapRows = spark.read.parquet(s"$snapshotDir/state").count()
+        if (deltaRows > 0 &&
+            deltaRows >= math.max(minDeltaRows.toDouble, maxDeltaRatio * snapRows))
+          Some(compact(spark, lakeDir, snapshotDir, database, table, pkField))
+        else None
+    }
+  }
+
   private def snapshotMetaPath(snapshotDir: String): java.nio.file.Path = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(snapshotDir))
     java.nio.file.Paths.get(snapshotDir, "_snapshot_meta.json")

@@ -111,6 +111,33 @@ class CompactSpec extends SparkTestBase {
     assert(state(lake, snap) == Seq("k1" -> 3L))
   }
 
+  test("compactIfNeeded: bootstrap, within-bounds no-op, ratio-triggered re-compact") {
+    val s = spark
+    import s.implicits._
+    val lake = writeLake(Seq(
+      ("INSERT", 1L, 0, row("k1", 10)), ("INSERT", 2L, 0, row("k2", 20)),
+      ("INSERT", 3L, 0, row("k3", 30)), ("INSERT", 4L, 0, row("k4", 40))))
+    val snap = Files.createTempDirectory("compact-snap7").toString
+    // no snapshot yet -> bootstraps one
+    assert(CdcPipeline.compactIfNeeded(spark, lake, snap, "db", "t", "pk")
+      == Some(("mysql-bin.000001", 4L)))
+    // zero delta -> no-op regardless of thresholds
+    assert(CdcPipeline.compactIfNeeded(spark, lake, snap, "db", "t", "pk") == None)
+    // one new change against 4 live rows: under the 50% ratio -> no-op,
+    // under a lower ratio -> re-compacts and advances the high-water
+    Seq(("UPDATE", 5L, 0, row("k1", 11)))
+      .toDF("operation", "binlog_position", "row_idx", "rows_json")
+      .withColumn("binlog_file", lit("mysql-bin.000001"))
+      .withColumn("database", lit("db")).withColumn("table", lit("t"))
+      .write.mode("append").partitionBy("database", "table").parquet(lake)
+    assert(CdcPipeline.compactIfNeeded(spark, lake, snap, "db", "t", "pk",
+      maxDeltaRatio = 0.5) == None)
+    assert(CdcPipeline.compactIfNeeded(spark, lake, snap, "db", "t", "pk",
+      maxDeltaRatio = 0.2) == Some(("mysql-bin.000001", 5L)))
+    assert(state(lake, snap) ==
+      Seq("k1" -> 11L, "k2" -> 20L, "k3" -> 30L, "k4" -> 40L))
+  }
+
   test("pkField mismatch and missing snapshot fail loudly") {
     val lake = writeLake(Seq(("INSERT", 1L, 0, row("k1", 10))))
     val snap = Files.createTempDirectory("compact-snap5").toString
