@@ -287,6 +287,30 @@ object CollectingConnector {
 object Connectors {
   def dispatch(routes: Seq[Route], connectors: Map[String, Connector],
       strictCompat: Boolean = false, deliveryPartitions: Int = 32)(envelope: DataFrame): Unit = {
+    val outbound =
+      outboundFrame(routes, connectors, strictCompat, deliveryPartitions)(envelope)
+    // Executor-side delivery: no collect; one connector instance per
+    // partition, rows streamed through it; flush before the partition
+    // (and hence the batch) completes so pipelined sends are durable.
+    outbound.foreachPartition { (it: Iterator[Row]) =>
+      val used = scala.collection.mutable.Set.empty[String]
+      it.foreach { r =>
+        val name = r.getAs[String]("connector")
+        used += name
+        connectors(name).send(
+          r.getAs[String]("payload").getBytes(StandardCharsets.UTF_8),
+          r.getAs[String]("idemKey"))
+      }
+      used.foreach(connectors(_).flush())
+    }
+  }
+
+  /** The dispatch plan up to (but not including) the foreachPartition
+    * action — exposed so plan tests can pin its shape (e.g. that the
+    * batch-mode exchange carries only the delivery columns, never the
+    * decoded row payloads). */
+  private[cdc] def outboundFrame(routes: Seq[Route], connectors: Map[String, Connector],
+      strictCompat: Boolean = false, deliveryPartitions: Int = 32)(envelope: DataFrame): DataFrame = {
     val routed = Routing.outboundAll(envelope, routes, strictCompat)
     // Batch-key determinism needs BOTH layout pinning and order pinning,
     // and only when some connector batches (r7 advisory: per-event keys
@@ -309,25 +333,11 @@ object Connectors {
           col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
         .sortWithinPartitions(col("connector"), col("log.binlogFile"),
           col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
-    val outbound = ordered
+    ordered
       .select(col("connector"), col("payload"),
         concat_ws("/", col("log.binlogFile"),
           col("log.binlogPosition").cast("string"),
           coalesce(col("rowIdx"), lit(0)).cast("string")).as("idemKey"))
-    // Executor-side delivery: no collect; one connector instance per
-    // partition, rows streamed through it; flush before the partition
-    // (and hence the batch) completes so pipelined sends are durable.
-    outbound.foreachPartition { (it: Iterator[Row]) =>
-      val used = scala.collection.mutable.Set.empty[String]
-      it.foreach { r =>
-        val name = r.getAs[String]("connector")
-        used += name
-        connectors(name).send(
-          r.getAs[String]("payload").getBytes(StandardCharsets.UTF_8),
-          r.getAs[String]("idemKey"))
-      }
-      used.foreach(connectors(_).flush())
-    }
   }
 
   /** foreachBatch adapter for Structured Streaming:
