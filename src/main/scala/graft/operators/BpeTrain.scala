@@ -68,12 +68,19 @@ object BpeTrain {
     trainTrace(docs, textCol, numMerges).map(_._1)
 
   /** [[train]] plus the post-round corpus tokenization size — the total
-    * symbol count Σ cnt·|syms(w)| after each merge is applied. The
-    * extra per-round aggregate is one tiny job over the |V|-row
-    * checkpointed word table; it makes the whole LOOP oracle-checkable
-    * (q89): the winning pair proves the count/argmax/tie-break chain,
-    * the shrinking total proves the greedy apply actually rewrote the
-    * words it claims. */
+    * symbol count Σ cnt·|syms(w)| after each merge is applied. It makes
+    * the whole LOOP oracle-checkable (q89): the winning pair proves the
+    * count/argmax/tie-break chain, the shrinking total proves the
+    * greedy apply actually rewrote the words it claims.
+    *
+    * Job accounting (BPE's cost is round-scheduling, not data): TWO
+    * tiny jobs per round — the merge-apply checkpoint and ONE fused
+    * aggregate over the pair table that yields both the next argmax
+    * (`min_by` over the lexicographic (-freq, l, r) key ≡ the
+    * deterministic (freq DESC, l, r) tie-break) and the total pair
+    * mass, from which the symbol total falls out for free: every word
+    * has |s| ≥ 1, so Σ cnt·|s| = Σ freq + Σ cnt, and Σ cnt (word
+    * occurrences) never changes across rounds. */
   def trainTrace(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(Merge, Long)] = {
     val spark = docs.sparkSession
@@ -82,27 +89,37 @@ object BpeTrain {
       .select(split(col("w"), "").as("s"), col("cnt"))
       .as[(Seq[String], Long)]
       .localCheckpoint(eager = true)
-    val learned = Seq.newBuilder[(Merge, Long)]
-    var round = 1
-    var exhausted = false
-    while (round <= numMerges && !exhausted) {
-      val top = pairCounts(syms.toDF("s", "cnt"))
-        .orderBy(col("freq").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+    val totalCnt = syms.toDF("s", "cnt")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    // (winning l, winning r, its freq, Σ freq) — None when no pair repeats
+    def stats(ds: Dataset[(Seq[String], Long)]): Option[(String, String, Long, Long)] = {
+      val row = pairCounts(ds.toDF("s", "cnt")).agg(
+        min_by(struct(col("l"), col("r"), col("freq")),
+          struct((-col("freq")).as("nf"), col("l"), col("r"))).as("top"),
+        sum(col("freq")).as("tot")).head()
+      if (row.isNullAt(0)) None
       else {
-        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val prev = syms
-        syms = syms.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
-          .localCheckpoint(eager = true)
-        // a 32k-merge run must not pin every round's |V|-row checkpoint
-        // until the ContextCleaner notices — drop the dead one now
-        prev.unpersist()
-        val nSyms = syms.toDF("s", "cnt")
-          .agg(sum(size(col("s")).cast("long") * col("cnt"))).head().getLong(0)
-        learned += ((Merge(round, l, r, f), nSyms))
-        round += 1
+        val t = row.getStruct(0)
+        Some((t.getString(0), t.getString(1), t.getLong(2), row.getLong(1)))
       }
+    }
+    val learned = Seq.newBuilder[(Merge, Long)]
+    var cur = stats(syms)
+    var round = 1
+    while (round <= numMerges && cur.nonEmpty) {
+      val (l, r, f, _) = cur.get
+      val prev = syms
+      syms = syms.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
+        .localCheckpoint(eager = true)
+      // a 32k-merge run must not pin every round's |V|-row checkpoint
+      // until the ContextCleaner notices — drop the dead one now
+      prev.unpersist()
+      // next round's stats double as THIS round's post-merge totals; a
+      // fully-merged corpus (no pairs left) is one symbol per word
+      // occurrence, Σ freq = 0
+      cur = stats(syms)
+      learned += ((Merge(round, l, r, f), cur.map(_._4).getOrElse(0L) + totalCnt))
+      round += 1
     }
     learned.result()
   }
