@@ -219,6 +219,23 @@ object CdcPipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** The ONE definition of the high-water boundary algebra — the strict
+    * "after (file, pos)" filter and its inclusive complement. Every
+    * compaction/read/cadence path goes through these two, so the
+    * boundary comparison can never desynchronize between coverage
+    * claims and delta reads. */
+  private def afterHw(file: String, pos: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("binlog_file") > file ||
+      (col("binlog_file") === file && col("binlog_position") > pos)
+  }
+
+  private def upToHw(file: String, pos: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("binlog_file") < file ||
+      (col("binlog_file") === file && col("binlog_position") <= pos)
+  }
+
   /** Snapshot materialization for one landed table — the fix for the
     * lake's read-amplification at scale: current-state reads that
     * re-window the FULL change history cost O(history), not O(live
@@ -242,18 +259,19 @@ object CdcPipeline {
     * actually covered: the max change actually SCANNED, never `upTo`
     * itself — if `upTo` points into a quiet region beyond the landed
     * maximum, claiming it would mark future landings in that gap as
-    * already covered and silently skip them. It is the ONE driver-side
-    * row this job collects (the
-    * snapshot boundary is by definition a scalar; parity with the
-    * store-after-send mirror agg in [[sync]]). Re-compaction is the
-    * same call again with a later `upTo`: the merge re-reads
-    * snapshot ∪ delta exactly like a read, so compaction cost also
-    * tracks live + delta, never full history. Idempotent per
-    * (snapshotDir): overwrite semantics.
+    * already covered and silently skip them. The high-water is the ONE
+    * driver-side scalar this collects, and it comes from the RAW
+    * (file, position) columns of the pruned delta scan — no JSON parse
+    * or row explode, so the expensive decode pipeline runs exactly
+    * once, in the write pass. Re-compaction is the same call again
+    * with a later `upTo`: the merge re-reads snapshot ∪ delta exactly
+    * like a read, so compaction cost also tracks live + delta, never
+    * full history. Idempotent per (snapshotDir): overwrite semantics.
     *
     * Scale notes: one shuffle on pk (the merge-on-read compaction
-    * shape); the state write is repartitioned by pk so a 1000-executor
-    * read starts pk-clustered. Generalizes the reference's
+    * shape) — the latest-wins window hash-clusters on pk and the state
+    * write keeps that clustering, so a 1000-executor read starts
+    * pk-clustered with no extra exchange. Generalizes the reference's
     * checkpoint-resume semantics (blsenderwork.go:204-213,
     * cache.go:19-30) from "offset of the last delivered event" to
     * "offset the materialized state covers". */
@@ -263,37 +281,41 @@ object CdcPipeline {
     import org.apache.spark.sql.functions._
     val lake = spark.read.parquet(lakeDir)
     val bounded = upTo match {
-      case Some((f, p)) => lake.filter(col("binlog_file") < f ||
-        (col("binlog_file") === f && col("binlog_position") <= p))
+      case Some((f, p)) => lake.filter(upToHw(f, p))
       case None => lake
     }
     val prior = readSnapshotMeta(snapshotDir)
-    prior.foreach(m => require(m._3 == pkField,
-      s"compact: snapshot at $snapshotDir was built with pkField '${m._3}', " +
-        s"got '$pkField' — one snapshot tracks one key definition"))
-    val changes = priorSnapshotChanges(spark, snapshotDir, prior) match {
-      case Some(snap) =>
-        val (pf, pp) = (prior.get._1, prior.get._2)
-        snap.unionByName(changeRows(bounded.filter(col("binlog_file") > pf ||
-          (col("binlog_file") === pf && col("binlog_position") > pp)),
-          database, table, pkField))
-      case None => changeRows(bounded, database, table, pkField)
+    prior.foreach(validateMeta(_, snapshotDir, database, table, pkField, "compact"))
+    // the raw delta, scoped and pruned BEFORE any JSON work: feeds both
+    // the high-water scalar (cheap, two pruned columns) and the merge
+    val rawDelta = prior match {
+      case Some(m) => bounded
+        .filter(col("database") === database && col("table") === table)
+        .filter(afterHw(m.binlogFile, m.binlogPosition))
+      case None => bounded
+        .filter(col("database") === database && col("table") === table)
     }
-    val hw = changes.agg(max(struct(col("binlog_file"), col("binlog_position")))).head()
+    val hw = rawDelta
+      .agg(max(struct(col("binlog_file"), col("binlog_position")))).head()
     require(!hw.isNullAt(0) || prior.nonEmpty,
       s"compact: no changes for ($database, $table) in $lakeDir — nothing to snapshot")
     // coverage never regresses: a DELETE absent from the prior snapshot's
     // rows may still be the prior high-water, so take the max of both
     val scanned = if (hw.isNullAt(0)) None
       else Some((hw.getStruct(0).getString(0), hw.getStruct(0).getLong(1)))
-    val (hwFile, hwPos) = (scanned.toSeq ++ prior.map(m => (m._1, m._2)))
-      .maxBy(identity)(Ordering.Tuple2(Ordering.String, Ordering.Long))
+    val (hwFile, hwPos) =
+      (scanned.toSeq ++ prior.map(m => (m.binlogFile, m.binlogPosition)))
+        .maxBy(identity)(Ordering.Tuple2(Ordering.String, Ordering.Long))
+    val deltaChanges = changeRows(rawDelta, database, table, pkField)
+    val changes = priorSnapshotChanges(spark, snapshotDir, prior) match {
+      case Some(snap) => snap.unionByName(deltaChanges)
+      case None => deltaChanges
+    }
     latestPerKey(changes)
       .filter(col("operation") =!= "DELETE")
       .select(col("pk"), col("operation"), col("binlog_file"),
         col("binlog_position"), col("row_idx"), col("elem_idx"),
         to_json(col("row")).as("row_json"))
-      .repartition(col("pk"))
       .write.mode("overwrite").parquet(s"$snapshotDir/state")
     val meta = s"""{"database":${TemplateEngine.toJson(database)},""" +
       s""""table":${TemplateEngine.toJson(table)},""" +
@@ -324,11 +346,11 @@ object CdcPipeline {
     readSnapshotMeta(snapshotDir) match {
       case None =>
         Some(compact(spark, lakeDir, snapshotDir, database, table, pkField))
-      case Some((hwFile, hwPos, _)) =>
+      case Some(m) =>
+        validateMeta(m, snapshotDir, database, table, pkField, "compactIfNeeded")
         val deltaRows = spark.read.parquet(lakeDir)
           .filter(col("database") === database && col("table") === table)
-          .filter(col("binlog_file") > hwFile ||
-            (col("binlog_file") === hwFile && col("binlog_position") > hwPos))
+          .filter(afterHw(m.binlogFile, m.binlogPosition))
           .count()
         val snapRows = spark.read.parquet(s"$snapshotDir/state").count()
         if (deltaRows > 0 &&
@@ -343,23 +365,37 @@ object CdcPipeline {
     java.nio.file.Paths.get(snapshotDir, "_snapshot_meta.json")
   }
 
-  /** (file, position, pkField) of an existing snapshot, if any. */
-  def readSnapshotMeta(snapshotDir: String): Option[(String, Long, String)] = {
+  /** What a snapshot covers: which table, keyed how, up to which
+    * (file, position). Every consumer validates the identity fields
+    * against its own arguments — a snapshotDir aimed at the wrong
+    * table must fail loudly, never merge cross-table state. */
+  final case class SnapshotMeta(database: String, table: String,
+      pkField: String, binlogFile: String, binlogPosition: Long)
+
+  def readSnapshotMeta(snapshotDir: String): Option[SnapshotMeta] = {
     val p = java.nio.file.Paths.get(snapshotDir, "_snapshot_meta.json")
     if (!java.nio.file.Files.exists(p)) None
     else {
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readAllBytes(p))
-      Some((n.get("binlogFile").asText(), n.get("binlogPosition").asLong(),
-        n.get("pkField").asText()))
+      Some(SnapshotMeta(n.get("database").asText(), n.get("table").asText(),
+        n.get("pkField").asText(),
+        n.get("binlogFile").asText(), n.get("binlogPosition").asLong()))
     }
   }
+
+  private def validateMeta(m: SnapshotMeta, snapshotDir: String,
+      database: String, table: String, pkField: String, caller: String): Unit =
+    require(m.database == database && m.table == table && m.pkField == pkField,
+      s"$caller: snapshot at $snapshotDir tracks (${m.database}, ${m.table}) " +
+        s"by '${m.pkField}', got ($database, $table) by '$pkField' — one " +
+        "snapshot tracks one table and one key definition")
 
   /** Snapshot rows re-shaped as change rows (they ARE the latest
     * non-DELETE change up to the covered offset), so the incremental
     * merge is the SAME latest-wins algebra over snapshot ∪ delta. */
   private def priorSnapshotChanges(spark: SparkSession, snapshotDir: String,
-      meta: Option[(String, Long, String)]): Option[org.apache.spark.sql.DataFrame] =
+      meta: Option[SnapshotMeta]): Option[org.apache.spark.sql.DataFrame] =
     meta.map { _ =>
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
@@ -375,9 +411,10 @@ object CdcPipeline {
     * read cost O(live rows + post-snapshot changes) instead of O(full
     * history). Columns: operation, binlog_file, binlog_position, then
     * the declared typed columns (same shape as [[liftLanded]] after a
-    * latest-wins merge, minus DELETEd keys). Falls back to the full-
-    * history merge when no snapshot exists, so callers can point it at
-    * an uncompacted lake. */
+    * latest-wins merge, minus DELETEd keys). REFUSES a missing or
+    * mismatched snapshot (wrong table / key definition) loudly — for a
+    * full-history read over an uncompacted lake, use [[liftLanded]]
+    * plus a latest-wins merge instead. */
   def readCurrentState(spark: SparkSession, lakeDir: String, snapshotDir: String,
       database: String, table: String,
       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
@@ -386,12 +423,13 @@ object CdcPipeline {
     val lake = spark.read.parquet(lakeDir)
     val merged = priorSnapshotChanges(spark, snapshotDir, meta) match {
       case Some(snap) =>
-        val (hwFile, hwPos, pkField) = meta.get
+        val m = meta.get
+        validateMeta(m, snapshotDir, database, table, m.pkField, "readCurrentState")
         // the delta predicate pushes to the parquet scan: row-group
         // min/max stats on binlog_position skip fully-compacted files
-        val delta = changeRows(lake.filter(col("binlog_file") > hwFile ||
-          (col("binlog_file") === hwFile && col("binlog_position") > hwPos)),
-          database, table, pkField)
+        val delta = changeRows(
+          lake.filter(afterHw(m.binlogFile, m.binlogPosition)),
+          database, table, m.pkField)
         latestPerKey(snap.unionByName(delta))
       case None =>
         sys.error(s"readCurrentState: no snapshot at $snapshotDir — " +

@@ -35,6 +35,13 @@ trait Connector extends Serializable {
     * sorts only when some connector batches — per-event keys are
     * order-immune and skip both. */
   def batching: Boolean = false
+  /** True when this connector delivers strictly in the order send() is
+    * called (no pipelining window), so sorted iteration gives the
+    * receiver in-log-order application — the reference's
+    * senderWorkers=1 total-order mode. Dispatch sorts partitions into
+    * log order for such connectors; pipelined connectors complete out
+    * of order anyway, so sorting buys them nothing. */
+  def ordered: Boolean = false
 }
 
 /** HTTP webhook connector — parity with connectors.webhook.go:24-76:
@@ -80,6 +87,10 @@ final class WebhookConnector(
     batchSize: Int = 1) extends Connector {
 
   override def batching: Boolean = batchSize > 1
+  // maxInFlight=1 is the reference's senderWorkers=1 total-order mode
+  // (README.md:38): sends block one at a time, so sorted input IS
+  // delivery order. A wider window completes out of order by design.
+  override def ordered: Boolean = maxInFlight <= 1
 
   // One HttpClient per executor JVM (not per deserialized task closure):
   // keeps the keep-alive connection pool warm across partitions and
@@ -235,6 +246,10 @@ final class PubSubConnector(
 
   @transient private lazy val client: HttpClient = WebhookConnector.shared
 
+  // send() blocks on the publish ack (result.Get parity), so sorted
+  // input is delivery order — always total-order
+  override def ordered: Boolean = true
+
   /** Reference topic path form (pubsub.Client.Topic(topicID) under
     * project — "projects/{project}/topics/{topic}"). */
   val topicPath: String = s"projects/$projectId/topics/$topicId"
@@ -266,6 +281,7 @@ final class PubSubConnector(
   * connector, connectors.pubsub.go:19-42, is Send ≙ blocking publish;
   * the seam here is identical). */
 final class CollectingConnector(val name: String) extends Connector {
+  override def ordered: Boolean = true // synchronous record, like pubsub
   override def send(payload: Array[Byte], idempotencyKey: String): Unit =
     CollectingConnector.record(name, idempotencyKey, new String(payload, StandardCharsets.UTF_8))
 }
@@ -312,27 +328,34 @@ object Connectors {
   private[cdc] def outboundFrame(routes: Seq[Route], connectors: Map[String, Connector],
       strictCompat: Boolean = false, deliveryPartitions: Int = 32)(envelope: DataFrame): DataFrame = {
     val routed = Routing.outboundAll(envelope, routes, strictCompat)
-    // Batch-key determinism needs BOTH layout pinning and order pinning,
-    // and only when some connector batches (r7 advisory: per-event keys
-    // are order- and layout-immune, so the default path pays neither):
-    //  - repartition on the event keys with a CONFIG-pinned count
-    //    (`deliveryPartitions`, not spark.sql.shuffle.partitions): which
-    //    partition an event lands in becomes a pure function of its key,
-    //    so a checkpoint resumed under different session confs (shuffle
-    //    partitions, AQE) re-forms the SAME batches. Changing
-    //    deliveryPartitions itself re-batches — that is an explicit
-    //    config-file edit, documented on the field.
-    //  - sortWithinPartitions into log order: iterator order after the
-    //    exchange differs between a task and its at-least-once retry;
-    //    sorted replays rebuild byte-identical batches under identical
-    //    range idempotency keys, so receiver-side batch dedup holds.
+    // Two independent reasons to pin order, composed per what the
+    // configured connectors actually need (r7 advisory: the default
+    // pipelined per-event path needs neither and pays for neither):
+    //  - BATCHING connectors additionally need layout pinning:
+    //    repartition on the event keys with a CONFIG-pinned count
+    //    (`deliveryPartitions`, not spark.sql.shuffle.partitions), so
+    //    which partition an event lands in is a pure function of its
+    //    key and a checkpoint resumed under different session confs
+    //    (shuffle partitions, AQE) re-forms the SAME batches — sorted
+    //    replays then rebuild byte-identical batches under identical
+    //    range idempotency keys. Changing deliveryPartitions itself
+    //    re-batches — an explicit config-file edit, documented there.
+    //  - ORDERED connectors (blocking sends: maxInFlight=1 webhooks —
+    //    the reference's senderWorkers=1 total-order mode — and
+    //    pubsub's acked publishes) need the log-order sort so sorted
+    //    iteration IS delivery order; pipelined connectors complete
+    //    out of order regardless, so they skip the sort.
+    val batching = connectors.values.exists(_.batching)
+    val needSort = batching || connectors.values.exists(_.ordered)
+    val placed =
+      if (!batching) routed
+      else routed.repartition(deliveryPartitions, col("connector"),
+        col("log.binlogFile"), col("log.binlogPosition"),
+        coalesce(col("rowIdx"), lit(0)))
     val ordered =
-      if (!connectors.values.exists(_.batching)) routed
-      else routed
-        .repartition(deliveryPartitions, col("connector"), col("log.binlogFile"),
-          col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
-        .sortWithinPartitions(col("connector"), col("log.binlogFile"),
-          col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
+      if (!needSort) placed
+      else placed.sortWithinPartitions(col("connector"), col("log.binlogFile"),
+        col("log.binlogPosition"), coalesce(col("rowIdx"), lit(0)))
     ordered
       .select(col("connector"), col("payload"),
         concat_ws("/", col("log.binlogFile"),

@@ -89,8 +89,11 @@ object BpeTrain {
       .select(split(col("w"), "").as("s"), col("cnt"))
       .as[(Seq[String], Long)]
       .localCheckpoint(eager = true)
-    val totalCnt = syms.toDF("s", "cnt")
-      .agg(sum(col("cnt"))).head().getLong(0)
+    // sum over zero rows is SQL NULL — an empty/token-free corpus must
+    // return Seq.empty like it always did, not NPE on getLong
+    val totalCntRow = syms.toDF("s", "cnt").agg(sum(col("cnt"))).head()
+    if (totalCntRow.isNullAt(0)) return Seq.empty
+    val totalCnt = totalCntRow.getLong(0)
     // (winning l, winning r, its freq, Σ freq) — None when no pair repeats
     def stats(ds: Dataset[(Seq[String], Long)]): Option[(String, String, Long, Long)] = {
       val row = pairCounts(ds.toDF("s", "cnt")).agg(

@@ -84,6 +84,11 @@ object Bridge {
     leafOf(classic.queryExecution.optimizedPlan).flatMap {
       case r: LogicalRDD => Some(r.rdd.getNumPartitions.toLong)
       case l: LogicalRelation => l.relation match {
+        // partitioned relations would need the pruning predicates applied
+        // to the listing, and bucketed scans produce one partition per
+        // bucket, not the split math — both fall back to the exact count
+        case fs: HadoopFsRelation
+            if fs.partitionSchema.nonEmpty || fs.bucketSpec.nonEmpty => None
         case fs: HadoopFsRelation =>
           val openCost = conf.filesOpenCostInBytes
           val maxBytes = conf.filesMaxPartitionBytes

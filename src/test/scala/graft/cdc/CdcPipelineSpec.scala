@@ -252,13 +252,23 @@ class CdcPipelineSpec extends SparkTestBase {
     for (banned <- Seq("data", "itemID"))
       assert(!shipped.contains(banned),
         s"exchange ships '$banned' — decoded envelope not pruned: $shipped")
-    // per-event mode has no exchange at all
+    // pipelined per-event mode plans neither exchange nor sort
     val perEvent = Map("wh" -> (new WebhookConnector("wh",
       "http://127.0.0.1:9/"): Connector))
     val p2 = Connectors.outboundFrame(Seq(route), perEvent,
       strictCompat = false, deliveryPartitions = 4)(env)
       .queryExecution.sparkPlan
     assert(!p2.exists(_.nodeName == "Exchange"), p2.toString)
+    assert(!p2.exists(_.nodeName == "Sort"), p2.toString)
+    // a total-order connector (maxInFlight=1, the senderWorkers=1
+    // parity mode) gets the log-order sort but still no exchange
+    val orderedConn = Map("wh" -> (new WebhookConnector("wh",
+      "http://127.0.0.1:9/", maxInFlight = 1): Connector))
+    val p3 = Connectors.outboundFrame(Seq(route), orderedConn,
+      strictCompat = false, deliveryPartitions = 4)(env)
+      .queryExecution.sparkPlan
+    assert(!p3.exists(_.nodeName == "Exchange"), p3.toString)
+    assert(p3.exists(_.nodeName == "Sort"), p3.toString)
   }
 
   test("restart recovery with batching ON: replayed batches carry identical range keys") {

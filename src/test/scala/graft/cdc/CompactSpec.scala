@@ -72,7 +72,8 @@ class CompactSpec extends SparkTestBase {
     // second compact covers the rest: reads prior snapshot + delta only
     val hw2 = CdcPipeline.compact(spark, lake, snap, "db", "t", "pk")
     assert(hw2 == ("mysql-bin.000001", 6L))
-    assert(CdcPipeline.readSnapshotMeta(snap).map(m => (m._1, m._2)) ==
+    assert(CdcPipeline.readSnapshotMeta(snap)
+      .map(m => (m.binlogFile, m.binlogPosition)) ==
       Some(("mysql-bin.000001", 6L)))
     val snapPks = spark.read.parquet(s"$snap/state")
       .select("pk").collect().map(_.getString(0)).toSeq
@@ -138,17 +139,28 @@ class CompactSpec extends SparkTestBase {
       Seq("k1" -> 11L, "k2" -> 20L, "k3" -> 30L, "k4" -> 40L))
   }
 
-  test("pkField mismatch and missing snapshot fail loudly") {
+  test("identity mismatches and missing snapshot fail loudly") {
     val lake = writeLake(Seq(("INSERT", 1L, 0, row("k1", 10))))
     val snap = Files.createTempDirectory("compact-snap5").toString
     intercept[RuntimeException] {
       CdcPipeline.readCurrentState(spark, lake, snap, "db", "t", schema)
     }
     CdcPipeline.compact(spark, lake, snap, "db", "t", "pk")
+    // wrong key definition
     val e = intercept[IllegalArgumentException] {
       CdcPipeline.compact(spark, lake, snap, "db", "t", "other")
     }
-    assert(e.getMessage.contains("pkField"))
+    assert(e.getMessage.contains("one snapshot tracks one table"))
+    // wrong table: a snapshotDir aimed at another table must never
+    // merge cross-table state — compact, the cadence check, and the
+    // read all refuse
+    for (bad <- Seq(
+        () => CdcPipeline.compact(spark, lake, snap, "db", "t2", "pk"),
+        () => CdcPipeline.compactIfNeeded(spark, lake, snap, "db", "t2", "pk"),
+        () => CdcPipeline.readCurrentState(spark, lake, snap, "db", "t2", schema))) {
+      val m = intercept[IllegalArgumentException](bad()).getMessage
+      assert(m.contains("(db, t2)"), m)
+    }
   }
 
   test("the delta read prunes: (file, position) range filter reaches the lake scan") {

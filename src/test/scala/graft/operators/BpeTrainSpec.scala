@@ -34,6 +34,17 @@ class BpeTrainSpec extends SparkTestBase {
     assert(BpeTrain.encodeWord("low", merges) == Seq("low"))
   }
 
+  test("empty or token-free corpus trains to the empty merge list") {
+    // zero word rows make sum(cnt) a SQL NULL — must degrade to
+    // Seq.empty like it always did, not NPE (r8 review finding)
+    val s = spark
+    import s.implicits._
+    assert(BpeTrain.train(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", 3) == Seq.empty)
+    assert(BpeTrain.trainTrace(Seq((1L, "123 456 !!")).toDF("doc_id", "text"),
+      "text", 3) == Seq.empty)
+  }
+
   test("train stops early when no pair repeats; encode counts distribute") {
     val s = spark
     import s.implicits._
