@@ -106,3 +106,72 @@ object TokenSpanHashes {
   def tokenSpanHashes(c: Column, w: Int): Column =
     Bridge.column(TokenSpanHashes(Bridge.expression(c), w))
 }
+
+/** POSITIONAL rolling w-token span hashes: one hash per window start, in
+  * token order (output index k = span over tokens [k, k+w)), with NO
+  * dedup — the occurrence-level form that exact-substring removal (q91)
+  * needs, where every position of a repeated span matters, not just its
+  * first appearance. Same per-token byte fold and per-window 8191 fold
+  * as [[TokenSpanHashes]] (bit-identical hash values, ASCII-only token
+  * contract), same tight primitive loop inside whole-stage codegen.
+  */
+case class TokenSpanHashesAll(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 1, s"span width must be >= 1, got $w")
+
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_span_hashes_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSpanHashesAll.allSpans(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenSpanHashesAll.allSpans($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSpanHashesAll =
+    copy(child = newChild)
+}
+
+object TokenSpanHashesAll {
+  private final val P = 1000000007L
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def allSpans(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = n - w + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val bytes = toks.getUTF8String(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < bytes.length) {
+        h = (h * 31L + (bytes(j) & 0xffL)) % P
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      var h = 0L
+      var j = k
+      val lim = k + w
+      while (j < lim) {
+        h = (h * 8191L + th(j)) % P
+        j += 1
+      }
+      out(k) = h
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def tokenSpanHashesAll(c: Column, w: Int): Column =
+    Bridge.column(TokenSpanHashesAll(Bridge.expression(c), w))
+}

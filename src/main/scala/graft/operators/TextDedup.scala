@@ -98,6 +98,64 @@ object TextDedup {
       explode(graft.functions.TokenSpanHashes.tokenSpanHashes(
         toks(col("text")), w)).as("h"))
 
+  /** Exact-substring removal (the DESTRUCTIVE form of span dedup — q68
+    * only reports duplicate-span statistics; this rewrites the text):
+    * every w-token span occurring more than once across the corpus keeps
+    * exactly its first occurrence (min (doc_id, position) in log order)
+    * and every token covered by a non-first occurrence is removed, then
+    * each document's surviving tokens are re-joined into cleaned text.
+    * The Lee-et-al.-2021 "exact substring deduplication" shape used by
+    * RefinedWeb-style pipelines, with span identity by polynomial hash
+    * instead of a suffix array — the equality-joinable form.
+    *
+    * Scale shape: occurrences are 16-byte (h, encoded doc·pos) rows — the
+    * text itself never shuffles with them. The canonical pass is one
+    * groupBy(h) min; non-first occurrences join back on h (same key, AQE
+    * reuses the exchange layout); the drop-set explodes only duplicate
+    * occurrences (w× those rows, not the corpus), aggregates to one
+    * array per affected doc, and the rewrite is a narrow in-row HOF over
+    * the original row's own tokens — no token explode, no text
+    * reassembly shuffle beyond the one doc_id join.
+    *
+    * Position encoding: pos is 0-based; canonical order compares
+    * doc_id·10^7 + pos, so per-doc token counts must stay below 10^7
+    * (loudly guarded — at 100 TB that bound holds for any sane document;
+    * shard first if it doesn't).
+    *
+    * Output: (doc_id, n_toks, n_kept, clean_text), one row per input doc
+    * (docs shorter than w tokens pass through unchanged).
+    */
+  def removeDuplicateSpans(docs: DataFrame, w: Int): DataFrame = {
+    val Enc = 10000000L
+    val occ = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TokenSpanHashesAll.tokenSpanHashesAll(
+          toks(col("text")), w)).as(Seq("pos", "h")))
+      .select(col("h"),
+        (col("doc_id") * Enc + when(col("pos") < Enc, col("pos"))
+          .otherwise(raise_error(lit(
+            s"removeDuplicateSpans: a doc has >= $Enc tokens — shard it first")))
+        ).as("k"))
+    val firstK = occ.groupBy(col("h")).agg(min(col("k")).as("firstk"))
+    val dropIdx = occ.join(firstK, "h")
+      .filter(col("k") =!= col("firstk"))
+      .select(expr(s"k div $Enc").as("doc_id"),
+        explode(sequence(col("k") % Enc, col("k") % Enc + (w - 1))).as("idx"))
+      .distinct()
+    val drops = dropIdx.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("drops"))
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        when(col("drops").isNull, col("toks"))
+          .otherwise(filter(col("toks"),
+            (_, i) => !array_contains(col("drops"), i.cast("long")))).as("kept"))
+      .select(col("doc_id"), col("n_toks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Exact Jaccard (scaled 1e4) for given candidate pairs over a shingle
     * set (doc_id, h). Keep-all-pairs semantics: every candidate pair is
     * emitted, including zero-intersection pairs (jacc_1e4 = 0) — callers

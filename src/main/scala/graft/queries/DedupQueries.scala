@@ -130,6 +130,20 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"), col("ref_doc_id"))
     }),
 
+    // Exact-substring REMOVAL (q68 reports duplicate-span stats; this
+    // one rewrites the corpus — the destructive Lee-et-al.-2021 step):
+    // every 5-token span occurring twice anywhere keeps only its first
+    // occurrence in (doc_id, position) log order, covered tokens of
+    // later occurrences are dropped, survivors re-join into clean_text.
+    // Library operator TextDedup.removeDuplicateSpans; the oracle
+    // recomputes the identical rewrite in DuckDB, hash-comparing the
+    // full cleaned text of every doc. Only 16-byte (h, k) occurrence
+    // rows shuffle; the rewrite is an in-row HOF on the original row.
+    "q91_substring_removal" -> ((s, d) =>
+      TextDedup.removeDuplicateSpans(
+          Tables.spread(Tables.documents(s, d)), 5)
+        .orderBy(col("doc_id"))),
+
     // Duplicate-cluster resolution: connected components over the
     // verified MinHash+LSH near-dup pairs (transitive closure — A~B~C
     // collapses to one cluster even though A,C never compared). Library
@@ -368,6 +382,37 @@ object DedupQueries extends QueryGroup {
          |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
          |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
          |ORDER BY doc_id, ref_doc_id""".stripMargin,
+
+    // q91: positions are 0-based on both sides; canonical order compares
+    // doc_id*1e7 + pos exactly like the Spark operator's encoded key.
+    "q91_substring_removal" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                      x -> x <> '') AS toks
+         |           FROM documents),
+         |hh AS (SELECT doc_id, toks, list_transform(toks, w -> $strHashSql) AS th
+         |       FROM t),
+         |occ AS (SELECT doc_id,
+         |          doc_id * 10000000 + (i - 1) AS k,
+         |          list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |        FROM hh, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |firsts AS (SELECT h, MIN(k) AS firstk FROM occ GROUP BY h),
+         |dup AS (SELECT o.doc_id, o.k % 10000000 AS pos
+         |        FROM occ o JOIN firsts f ON o.h = f.h WHERE o.k <> f.firstk),
+         |drop0 AS (SELECT DISTINCT doc_id, pos + j AS idx
+         |          FROM dup, unnest(range(0, 5)) v(j)),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |               unnest(range(0, len(toks))) AS idx
+         |        FROM hh),
+         |kept AS (SELECT t2.doc_id, t2.tok, t2.idx FROM tok t2
+         |         ANTI JOIN drop0 d ON t2.doc_id = d.doc_id AND t2.idx = d.idx),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY idx) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT hh.doc_id, CAST(len(hh.toks) AS BIGINT) AS n_toks,
+         |       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(reb.clean_text, '') AS clean_text
+         |FROM hh LEFT JOIN reb ON hh.doc_id = reb.doc_id
+         |ORDER BY hh.doc_id""".stripMargin,
 
     "q75_dedup_containment" ->
       s"""WITH ${lshCtes()}

@@ -26,6 +26,26 @@ object PipelineQueries extends QueryGroup {
     (((c % P) * 40503L + 17L) % P) % 1000L
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order (Morton) layout clustering (round 8): the multi-dim lake
+    // layout tool — interleave the bits of two clustering keys so that
+    // sorting on the interleaved value bounds BOTH keys per file/row
+    // group (Delta OPTIMIZE ZORDER's algebra). The query proves the
+    // tile property under the oracle: bucketing the 16-bit z-value by
+    // its top 8 bits must bound x AND y to a 16×16 tile in every
+    // bucket (max-min ≤ 15 on both axes — the hash check pins the
+    // exact interleave, not just the bound). ZOrderSpec proves the
+    // file-skipping consequence on a real z-ordered parquet write.
+    "q92_zorder_layout" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(256L)).as("x"),
+          pmod(col("event_id"), lit(256L)).as("y"))
+        .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y"), 8))
+        .groupBy(expr("z div 256").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))),
+
     // Deterministic 80/10/10 split: pure per-row hash — no sampling RNG,
     // no shuffle, reproducible across engines/runs/cluster sizes, and a
     // document keeps its split when the corpus grows (stable assignment).
@@ -176,6 +196,17 @@ object PipelineQueries extends QueryGroup {
   )
 
   override def oracle: Map[String, String] = Map(
+    // q92: the interleave is the SAME generated bit-algebra expression
+    // on both sides (ZOrder.zValueSql == ZOrder.zValue term by term).
+    "q92_zorder_layout" ->
+      s"""WITH b AS (SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+         |z AS (SELECT x, y, ${graft.operators.ZOrder.zValueSql("x", "y", 8)} AS z
+         |      FROM b)
+         |SELECT z // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q46_split_assign" ->
       """WITH b AS (SELECT ((doc_id % 1000000007) * 40503 + 17) % 1000000007 % 1000 AS b, n_chars
         |           FROM documents)

@@ -79,6 +79,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q91 substring removal shuffles occurrences, never exploded tokens") {
+    // The rewrite's scale contract: span occurrences (16-byte rows) are
+    // the only exploded stream — the final text rebuild is an in-row
+    // HOF over the original row's token array, so exactly TWO Generate
+    // nodes may exist (posexplode of the span hashes, explode of the
+    // dropped-index sequences) and no third token-level explode.
+    // Canonical-occurrence selection is a min aggregation, not a
+    // window, and no candidate generation may go quadratic.
+    // plan-string based: AQE's root node hides its subtree from
+    // collect/exists, but toString prints the whole initial plan
+    val p = plan("q91_substring_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    val nGenerate = "(?m)^\\s*(?:[+:]-\\s*)?Generate ".r.findAllIn(p).size
+    assert(nGenerate == 2, s"expected 2 Generate nodes, got $nGenerate:\n$p")
+  }
+
   test("q73 batch-probe ANN is a bucket-equality join, never a per-probe sweep") {
     val p = plan("q73_ann_batch_probe")
     // candidates must come from equality on the bucket id: no

@@ -18,6 +18,32 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("TokenSpanHashesAll: positional spans agree with the distinct kernel") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "a", "b", "c", "z")),
+      (2L, Seq("a", "b")), // shorter than the window -> empty
+      (3L, Seq.empty[String])).toDF("id", "toks")
+    val all1 = df.filter(col("id") === 1)
+      .select(TokenSpanHashesAll.tokenSpanHashesAll(col("toks"), 3))
+      .head().getSeq[Long](0)
+    // one hash per window start, repeats preserved at their positions
+    assert(all1.size == 5)
+    assert(all1(0) == all1(3)) // (a b c) at 0 and 3
+    assert(all1.distinct.size == 4)
+    // the distinct kernel is exactly first-occurrence order of this one
+    val dis1 = df.filter(col("id") === 1)
+      .select(TokenSpanHashes.tokenSpanHashes(col("toks"), 3))
+      .head().getSeq[Long](0)
+    assert(dis1 == all1.distinct)
+    // short and empty inputs yield empty span arrays
+    val short = df.filter(col("id") > 1)
+      .select(TokenSpanHashesAll.tokenSpanHashesAll(col("toks"), 3))
+      .collect().map(_.getSeq[Long](0))
+    assert(short.forall(_.isEmpty))
+  }
+
   test("NGrams generator: counts, edges, and equivalence to manual shingles") {
     val s = spark
     import s.implicits._

@@ -66,4 +66,34 @@ class TextDedupSpec extends SparkTestBase {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
+
+  test("removeDuplicateSpans keeps first occurrences, rewrites the rest") {
+    val s = spark
+    import s.implicits._
+    // w=3. doc1 owns every canonical span; doc2 repeats (a b c) and
+    // (b c d) so indices 1..4 drop, keeping "x y"; doc3 repeats
+    // (a b c) twice (cross-doc AND in-doc) so 0..5 drop, keeping "z";
+    // doc4 is shorter than the window and passes through untouched.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "a b c a b c z"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val got = TextDedup.removeDuplicateSpans(df, 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 6L, 2L, "x y"),
+      (3L, 7L, 1L, "z"),
+      (4L, 2L, 2L, "p q")))
+    // idempotent: a second pass finds no remaining duplicate spans
+    val again = TextDedup.removeDuplicateSpans(
+      TextDedup.removeDuplicateSpans(df, 3)
+        .select(col("doc_id"), col("clean_text").as("text")), 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(again.toSeq === Seq(
+      (1L, "a b c d e"), (2L, "x y"), (3L, "z"), (4L, "p q")))
+  }
 }
