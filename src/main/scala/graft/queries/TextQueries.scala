@@ -311,6 +311,42 @@ object TextQueries extends QueryGroup {
     // (unigram dim is vocab-sized; the bigram dim joins by hash — never
     // broadcast, never global), scoring is a hash join of the doc bigram
     // stream against them; 16-byte rows only.
+    // DSIR-style importance weights (round 8; Xie et al. 2023's data
+    // selection shape): per-doc log-likelihood ratio between a TARGET
+    // unigram model (here: the lang='en' slice) and the BACKGROUND
+    // model (whole corpus), add-1 smoothed over the shared vocabulary.
+    // High-weight docs are the ones importance resampling keeps when
+    // fitting a general crawl to a target domain. Same fixed-point
+    // discipline as q72: per-token log-probs quantize to 1e-6 BEFORE
+    // the order-independent per-doc sum, so the result is exact.
+    // Scale: BOTH count dims come from ONE groupBy(token) pass
+    // (conditional count for the target slice); dims join by token
+    // hash — vocabulary-sized, never a corpus broadcast; the totals
+    // row is the only broadcast (3 scalars).
+    "q93_dsir_weights" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .withColumn("th", graft.operators.TextDedup.tokenHashes(col("text")))
+      val stream = docs.select(col("doc_id"), col("lang"), explode(col("th")).as("t"))
+      val dim = stream.groupBy(col("t")).agg(
+        count(lit(1)).as("cb"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = dim.agg(sum(col("ct")).as("nt"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("v"))
+      stream.join(dim, "t")
+        .crossJoin(broadcast(tot))
+        .withColumn("llr_1e6",
+          floor(log((col("ct").cast("double") + 1.0) /
+            (col("nt").cast("double") + col("v").cast("double"))) * 1e6 + 0.5).cast("long") -
+          floor(log((col("cb").cast("double") + 1.0) /
+            (col("nb").cast("double") + col("v").cast("double"))) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("llr_1e6")).as("llr_sum_1e6"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          ratio1e4(col("llr_sum_1e6").cast("double") /
+            (col("n_toks").cast("double") * 1e6)).as("mean_llr_1e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q72_ngram_lm_score" -> ((s, d) => {
       val th = graft.operators.TextDedup.tokenHashes(col("text"))
       val docs = Tables.spread(Tables.documents(s, d)).withColumn("th", th)
@@ -400,6 +436,27 @@ object TextQueries extends QueryGroup {
       |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q93_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                        x -> x <> ''), w -> $strHashSqlW) AS th
+         |           FROM documents),
+         |st AS (SELECT doc_id, lang, unnest(th) AS t1 FROM t),
+         |dim AS (SELECT t1, COUNT(*) AS cb,
+         |               COUNT(*) FILTER (lang = 'en') AS ct
+         |        FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cb) AS BIGINT) AS nb,
+         |               COUNT(*) AS v FROM dim),
+         |sc AS (SELECT st.doc_id, st.lang,
+         |         CAST(floor(ln((dim.ct + 1.0) / (tot.nt + tot.v)) * 1000000 + 0.5) AS BIGINT)
+         |       - CAST(floor(ln((dim.cb + 1.0) / (tot.nb + tot.v)) * 1000000 + 0.5) AS BIGINT) AS llr
+         |       FROM st JOIN dim ON st.t1 = dim.t1, tot),
+         |agg AS (SELECT doc_id, lang, COUNT(*) AS n_toks, CAST(SUM(llr) AS BIGINT) AS llr_sum
+         |        FROM sc GROUP BY 1, 2)
+         |SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+         |       CAST(floor(llr_sum * 1.0 / (n_toks * 1000000.0) * 10000 + 0.5) AS BIGINT) AS mean_llr_1e4
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q72_ngram_lm_score" ->
       s"""WITH t AS (SELECT doc_id,
          |             list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
