@@ -30,6 +30,11 @@ object Multimodal {
 
   case class FrameFeature(doc_id: Long, frame_idx: Long, fsum: Long)
 
+  /** Features of a box-downsampled image (q94): output dims plus exact
+    * per-channel sums over the resized pixels. */
+  case class ResizedFeatures(doc_id: Long, kind: String, out_w: Long,
+      out_h: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
   /** Real encoders/decoders for the two public image containers. */
   object ImageCodecs {
 
@@ -82,6 +87,48 @@ object Multimodal {
       else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
       else throw new IllegalArgumentException(
         f"unsupported media container (magic 0x${bytes(0)}%02x${bytes(1)}%02x)")
+    }
+
+    /** 2×2 box-downsample with exact integer math: output pixel (ox,
+      * oy) is the truncating mean of the up-to-4 source pixels
+      * {2ox, 2ox+1}×{2oy, 2oy+1} that exist (odd edges average the 2
+      * in-bounds pixels), per channel. Output dims ⌈w/2⌉ × ⌈h/2⌉. */
+    def boxHalve(img: Image): Image = {
+      val ow = (img.width + 1) / 2
+      val oh = (img.height + 1) / 2
+      val out = new Array[Byte](3 * ow * oh)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var c = 0
+          while (c < 3) {
+            var s = 0
+            var n = 0
+            var dy = 0
+            while (dy < 2) {
+              val y = 2 * oy + dy
+              if (y < img.height) {
+                var dx = 0
+                while (dx < 2) {
+                  val x = 2 * ox + dx
+                  if (x < img.width) {
+                    s += img.rgb(3 * (img.width * y + x) + c) & 0xff
+                    n += 1
+                  }
+                  dx += 1
+                }
+              }
+              dy += 1
+            }
+            out(3 * (ow * oy + ox) + c) = (s / n).toByte
+            c += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      Image(ow, oh, out)
     }
 
     /** PPM header per the Netpbm spec: tokens separated by whitespace,
@@ -209,6 +256,35 @@ object Multimodal {
           }
           ImageFeatures(r.doc_id, r.kind, img.width.toLong, img.height.toLong,
             sr, sg, sb, dark)
+        }
+      }
+      .toDF()
+  }
+
+  /** The resize stage (q94): decode → exact 2×2 box-downsample →
+    * re-encode into a PPM container → re-decode → features, all inside
+    * one narrow mapPartitions (no shuffle; codec state per partition).
+    * The deliberate container round-trip makes the WRITE path of the
+    * codec part of the verified op, not just the parser: a broken
+    * encoder (header, row order, channel order) hash-mismatches q94
+    * even though the pure resize math would have been right. */
+  def resizedFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = decode(encodePpm(boxHalve(decode(r.content))))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            sr += img.rgb(3 * i) & 0xff
+            sg += img.rgb(3 * i + 1) & 0xff
+            sb += img.rgb(3 * i + 2) & 0xff
+            i += 1
+          }
+          ResizedFeatures(r.doc_id, r.kind, img.width.toLong,
+            img.height.toLong, sr, sg, sb)
         }
       }
       .toDF()

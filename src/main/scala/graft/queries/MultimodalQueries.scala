@@ -41,6 +41,21 @@ object MultimodalQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Image RESIZE (round 8; completes decode/feature/resize/
+    // frame-sample): exact 2×2 box-downsample of the decoded pixels,
+    // round-tripped through the PPM container (so the ENCODER is under
+    // the oracle too), then per-channel sums of the resized image. The
+    // oracle recomputes the truncating box means straight from the
+    // synthesized byte algebra, including the odd-bottom-row 2-pixel
+    // mean rule.
+    "q94_image_resize" -> ((s, d) => {
+      val media = Multimodal.attachImage(s, Tables.documents(s, d))
+      Multimodal.resizedFeatures(s, media)
+        .select(col("doc_id"), col("kind"), col("out_w"), col("out_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Audio features from REAL decoded RIFF/WAVE PCM: header fields,
     // integer duration, peak, exact sum-of-squares energy, sign-flip
     // zero crossings. The fixture WAVs carry an odd-sized JUNK chunk, so
@@ -107,7 +122,34 @@ object MultimodalQueries extends QueryGroup {
       |        j -> (CAST(ascii(text[(j % len) + 1]) AS BIGINT) - 96) * 256) AS sm
       |      FROM d)""".stripMargin
 
+  /** q94 oracle helper: the per-channel resized sum — truncating mean
+    * of each 2×2 source box (2-pixel mean on an odd bottom row), summed
+    * over the 4×oh output pixels. Channel `c` is 0-based rgb. */
+  private def resizedChanSql(c: Int): String = {
+    def src(xExpr: String, yExpr: String): String =
+      s"b[3 * (8 * ($yExpr) + ($xExpr)) + ${c + 1}]"
+    val (x0, x1) = ("2 * (i % 4)", "2 * (i % 4) + 1")
+    val (y0, y1) = ("2 * (i // 4)", "2 * (i // 4) + 1")
+    s"""list_reduce(list_transform(range(0, 4 * oh), i ->
+       |  CASE WHEN 2 * (i // 4) + 1 < h
+       |    THEN (${src(x0, y0)} + ${src(x1, y0)}
+       |        + ${src(x0, y1)} + ${src(x1, y1)}) // 4
+       |    ELSE (${src(x0, y0)} + ${src(x1, y0)}) // 2
+       |  END), (a, v) -> a + v)""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q94_image_resize" ->
+      s"""WITH $imageCtes,
+         |rz AS (SELECT doc_id, h, (h + 1) // 2 AS oh, b FROM bs)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS kind,
+         |  CAST(4 AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+         |  CAST(${resizedChanSql(0)} AS BIGINT) AS sum_r,
+         |  CAST(${resizedChanSql(1)} AS BIGINT) AS sum_g,
+         |  CAST(${resizedChanSql(2)} AS BIGINT) AS sum_b
+         |FROM rz ORDER BY doc_id""".stripMargin,
+
     "q41_multimodal_features" ->
       s"""WITH $imageCtes,
          |ch AS (SELECT doc_id, h,

@@ -80,9 +80,21 @@ object ScaleProbe {
       "dedup_components" -> { d =>
         GraphDedup.connectedComponentsStar(
           TextDedup.nearDupPairs(d, 3000L), "d1", "d2").count()
+      },
+      "substring_removal" -> { d =>
+        // q91's destructive rewrite. The checksum aggregate forces the
+        // clean_text rebuild (a bare count() would let Catalyst prune
+        // the rewrite HOF out of the plan entirely).
+        TextDedup.removeDuplicateSpans(d, 5)
+          .agg(sum(length(col("clean_text")) + col("n_kept")))
+          .head().getLong(0)
       })
 
-    for ((name, op) <- ops; f <- factors) {
+    // Dev loop: optional 3rd arg restricts to a csv of op names.
+    val onlyOps = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = onlyOps.forall(_.contains(name))
+
+    for ((name, op) <- ops if wanted(name); f <- factors) {
       val d = scaled(base, f)
       op(d) // warm (codegen + scan)
       val (sec, rows) = time(op(d))
@@ -96,7 +108,7 @@ object ScaleProbe {
     // Linear growth proves per-incoming-row work: the static profile is
     // built once per run and candidates come from band-bucket equality
     // against it — never incoming × corpus.
-    locally {
+    if (wanted("neardup_ingest")) {
       val corpus = base.filter(col("doc_id") % 20 =!= 0)
       val inBase = base.filter(col("doc_id") % 20 === 0)
       for (f <- factors) {
@@ -126,7 +138,7 @@ object ScaleProbe {
           array(rot: _*).as("embedding"))
       }.reduce(_ union _)
 
-    for (f <- factors) {
+    for (f <- factors if wanted("neardup_bucketed")) {
       val d = scaledEmb(f)
       // occupancy-preserving bits: +log2(factor) keeps per-bucket counts
       // flat as the corpus grows — the operating rule at real scale
@@ -138,7 +150,7 @@ object ScaleProbe {
       println(s"""{"op":"neardup_bucketed","factor":$f,"bits":$nBits,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
 
-    for (f <- factors) {
+    for (f <- factors if wanted("kmeans_train2")) {
       val d = scaledEmb(f)
       val cent = embBase.filter(col("vec_id") % 200 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -154,7 +166,7 @@ object ScaleProbe {
     // cluster occupancy stays flat — the SemDeDup operating rule at
     // real scale (fixed centroids would grow clusters linearly and the
     // within-cluster pair stage quadratically).
-    for (f <- factors) {
+    for (f <- factors if wanted("semantic_dedup")) {
       val d = scaledEmb(f)
       val cent = d.filter(col("vec_id") % 200 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -171,7 +183,7 @@ object ScaleProbe {
     // key = copy id, so group count grows with the corpus like real
     // languages and per-group cell counts stay flat. Linear growth here
     // proves the rewrite left no hidden second corpus pass.
-    for (f <- factors) {
+    for (f <- factors if wanted("quantile_band")) {
       val d = scaled(base, f)
       def run(): Long = {
         import org.apache.spark.sql.expressions.Window
@@ -203,7 +215,7 @@ object ScaleProbe {
     // interesting signal is the guard's overhead staying O(1): the
     // factor curve must match the pure |n|² pair work (4× pairs from
     // 2×, ~arithmetic growth), with no extra per-factor constant.
-    for (f <- factors.filter(_ <= 4)) {
+    for (f <- factors.filter(_ <= 4) if wanted("neardup_exact_guarded")) {
       val d = scaledEmb(f).filter(col("vec_id") % 1000000L < 1500)
       def run(): Long = graft.operators.Similarity.nearDupPairs(
         d, "vec_id", "embedding", lit(0.3), maxRows = 100000L).count()
@@ -215,7 +227,7 @@ object ScaleProbe {
     // Multimodal decode: synthesize + REAL-container decode + features
     // for audio (WAV chunk walk) and video (Y4M frame walk) — narrow
     // per-partition passes whose linearity confirms no hidden shuffle.
-    for (f <- factors) {
+    for (f <- factors if wanted("media_decode")) {
       val d = scaled(base, f)
       def run(): Long = {
         val au = graft.multimodal.AudioVideo.audioFeatures(spark,
@@ -233,7 +245,7 @@ object ScaleProbe {
     // cost gate) over factor-scaled lineitem copies.
     val liBase = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    for (f <- factors) {
+    for (f <- factors if wanted("profile_onepass")) {
       val d = (0 until f).map(k =>
         liBase.select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(k * 10000000L)).as("l_partkey"),

@@ -36,6 +36,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("boxHalve: exact truncating 2x2 means, odd edges use in-bounds pixels") {
+    // 4x3 fixture: channel value = 10*(y*4+x) + c, hand-checkable
+    val rgb = Array.tabulate(3 * 4 * 3) { i =>
+      val pix = i / 3; val c = i % 3
+      (10 * pix + c).toByte
+    }
+    val img = Image(4, 3, rgb)
+    val rz = ImageCodecs.boxHalve(img)
+    assert(rz.width == 2 && rz.height == 2)
+    def px(im: Image, x: Int, y: Int, c: Int): Int =
+      im.rgb(3 * (im.width * y + x) + c) & 0xff
+    // out (0,0) = mean of src (0,0),(1,0),(0,1),(1,1) = (0+10+40+50)/4 = 25
+    assert(px(rz, 0, 0, 0) == 25 && px(rz, 0, 0, 1) == 26)
+    // out (1,0) = (20+30+60+70)/4 = 45
+    assert(px(rz, 1, 0, 0) == 45)
+    // odd bottom row: out (0,1) = (80+90)/2 = 85; out (1,1) = (100+110)/2 = 105
+    assert(px(rz, 0, 1, 0) == 85 && px(rz, 1, 1, 0) == 105)
+    // truncation: 1x2 of values 3 and 4 -> (3+4)/2 = 3 (floor)
+    val tiny = Image(1, 2, Array[Byte](3, 3, 3, 4, 4, 4))
+    assert(ImageCodecs.boxHalve(tiny).rgb.toSeq == Seq[Byte](3, 3, 3))
+    // re-encode round-trip preserves the resized pixels bit-exactly
+    val rt = ImageCodecs.decode(ImageCodecs.encodePpm(rz))
+    assert(rt.rgb.toSeq == rz.rgb.toSeq && rt.width == 2 && rt.height == 2)
+  }
+
   test("both containers decode to the same pixels for the same image") {
     val img = testImage(8, 4)
     val p = ImageCodecs.decode(ImageCodecs.encodePpm(img))
