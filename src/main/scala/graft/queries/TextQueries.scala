@@ -311,6 +311,22 @@ object TextQueries extends QueryGroup {
     // (unigram dim is vocab-sized; the bigram dim joins by hash — never
     // broadcast, never global), scoring is a hash join of the doc bigram
     // stream against them; 16-byte rows only.
+    // BPE ENCODE with the learned merges (round 8; the production
+    // tokenizer APPLY step q89's training loop feeds): train 8 merges
+    // on the corpus, then encode every document — the 8-entry merge
+    // list rides along as plain data and the encode is ONE narrow map
+    // (no shuffle at all after training). The DuckDB twin re-derives
+    // the same merges via q89's unrolled round chain and joins each
+    // doc's words to the final per-word symbol lengths, so the learned
+    // vocabulary AND its application are hash-checked per doc.
+    "q95_bpe_encode" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val merges = graft.operators.BpeTrain.train(docs, "text", BpeRounds)
+      graft.operators.BpeTrain.encodeTokens(s, docs, "text", "doc_id", merges)
+        .select(col("doc_id"), col("n_bpe_symbols"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style importance weights (round 8; Xie et al. 2023's data
     // selection shape): per-doc log-likelihood ratio between a TARGET
     // unigram model (here: the lang='en' slice) and the BACKGROUND
@@ -436,6 +452,26 @@ object TextQueries extends QueryGroup {
       |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // q95: the corpus-level merge chain is q89's (bpeRoundSql); the
+    // encode twin is a join of per-doc words to the final per-word
+    // symbol lengths of syms_8.
+    "q95_bpe_encode" ->
+      ("""WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                       x -> x <> '') AS toks
+         |            FROM documents),
+         |t AS (SELECT unnest(toks) AS w FROM d0),
+         |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY w),
+         |syms_0 AS MATERIALIZED (SELECT w, cnt, string_split_regex(w, '') AS s FROM wc),
+         |""".stripMargin +
+        (1 to BpeRounds).map(bpeRoundSql).mkString(",\n") +
+        s"""
+           |, wl AS (SELECT w, len(s) AS wlen FROM syms_$BpeRounds),
+           |dt AS (SELECT doc_id, unnest(toks) AS w FROM d0),
+           |j AS (SELECT doc_id, CAST(SUM(wlen) AS BIGINT) AS nb
+           |      FROM dt JOIN wl USING (w) GROUP BY 1)
+           |SELECT d0.doc_id, CAST(COALESCE(j.nb, 0) AS BIGINT) AS n_bpe_symbols
+           |FROM d0 LEFT JOIN j USING (doc_id) ORDER BY d0.doc_id""".stripMargin),
+
     "q93_dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |             list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -231,6 +231,45 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("removeDuplicateSpans matches a brute-force reference on tiny-alphabet corpora") {
+    import spark.implicits._
+    // token alphabet of 3 -> dense span collisions, the op's stress case
+    val docGen = Gen.listOfN(8,
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+    val w = 3
+    def ref(docs: Seq[(Long, Seq[String])]): Map[Long, Seq[String]] = {
+      val occ = for { (id, ts) <- docs; i <- 0 to ts.length - w }
+        yield (ts.slice(i, i + w), id, i)
+      val first = occ.groupBy(_._1).map { case (k, os) =>
+        k -> os.map(o => (o._2, o._3)).min }
+      val drops = occ.filter(o => first(o._1) != ((o._2, o._3)))
+        .flatMap(o => (o._3 until o._3 + w).map(idx => (o._2, idx)))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      docs.map { case (id, ts) =>
+        id -> ts.zipWithIndex
+          .filterNot { case (_, i) => drops.getOrElse(id, Set.empty[Int])(i) }
+          .map(_._1)
+      }.toMap
+    }
+    cases(docGen, 12) { tokLists =>
+      val docs = tokLists.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.toSeq) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextDedup.removeDuplicateSpans(df, w)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val want = ref(docs)
+      docs.foreach { case (id, ts) =>
+        val (nToks, nKept, clean) = got(id)
+        assert(nToks == ts.length.toLong, s"doc $id n_toks")
+        assert(clean == want(id).mkString(" "), s"doc $id text")
+        assert(nKept == want(id).length.toLong, s"doc $id n_kept")
+      }
+    }
+  }
+
   test("explode then collect_list rebuilds the original multiset per key") {
     import spark.implicits._
     val data = Seq((1L, Seq("a", "b", "b")), (2L, Seq("x")), (3L, Seq.empty[String]))
