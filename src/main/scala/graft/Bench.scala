@@ -108,6 +108,7 @@ object Bench {
       f""""load_avg_after":$loadAfter%.2f,"contended":$contended,""" +
       s""""elapsed_landing_sec":${opt(graft.queries.StreamTwins.landingElapsedSec)},""" +
       s""""elapsed_compact_sec":${opt(graft.queries.StreamTwins.compactElapsedSec)},""" +
+      s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
       f""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,6 +31,7 @@ def main(engine_path, duckdb_path, out_path):
         "engine_contended": e.get("contended"),
         "elapsed_landing_sec": e.get("elapsed_landing_sec"),
         "elapsed_compact_sec": e.get("elapsed_compact_sec"),
+        "elapsed_bpe_train_sec": e.get("elapsed_bpe_train_sec"),
         "ratio": ratio,
         "engine": eq,
         "duckdb": dq,
