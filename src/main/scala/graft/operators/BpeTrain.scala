@@ -109,14 +109,25 @@ object BpeTrain {
     val learned = Seq.newBuilder[(Merge, Long)]
     var cur = stats(syms)
     var round = 1
+    // Checkpoint CADENCE, not every round: the per-round maps are
+    // narrow transforms of a |V|-row table, so letting a few of them
+    // chain costs trivial recompute inside the next stats job, while
+    // each eager localCheckpoint costs a whole extra Spark job — at 8
+    // merges that was half the loop's wall-clock. Every CkptEvery
+    // rounds the lineage is cut (and the dead checkpoint dropped), so
+    // a 32k-merge run still never stacks more than CkptEvery maps.
+    val CkptEvery = 4
+    var lastCkpt = syms
     while (round <= numMerges && cur.nonEmpty) {
       val (l, r, f, _) = cur.get
-      val prev = syms
       syms = syms.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
-        .localCheckpoint(eager = true)
-      // a 32k-merge run must not pin every round's |V|-row checkpoint
-      // until the ContextCleaner notices — drop the dead one now
-      prev.unpersist()
+      if (round % CkptEvery == 0) {
+        syms = syms.localCheckpoint(eager = true)
+        // a 32k-merge run must not pin every cut's |V|-row checkpoint
+        // until the ContextCleaner notices — drop the dead one now
+        lastCkpt.unpersist()
+        lastCkpt = syms
+      }
       // next round's stats double as THIS round's post-merge totals; a
       // fully-merged corpus (no pairs left) is one symbol per word
       // occurrence, Σ freq = 0
