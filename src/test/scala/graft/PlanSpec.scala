@@ -97,6 +97,28 @@ class PlanSpec extends SparkTestBase {
     assert(nGenerate == 2, s"expected 2 Generate nodes, got $nGenerate:\n$p")
   }
 
+  test("q95 BPE encode is one narrow map: no exchange except the render sort") {
+    // the production APPLY step's scale contract: after training, the
+    // encode touches the corpus once with zero wide operations — the
+    // only Exchange in the plan is the final presentation orderBy
+    // Tables.spread's round-robin repartition (single-file parallelism
+    // at fixture scale) is deliberate and allowed; what may NOT appear
+    // is any hash exchange — the encode itself never shuffles by key
+    val p = plan("q95_bpe_encode")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val nRange = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(nRange == 1, s"expected exactly the orderBy range exchange:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q92 z-order aggregation runs partial+final over codegen bit ops") {
+    val p = plan("q92_zorder_layout")
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    // the interleave is plain bit algebra, no UDF invocation
+    assert(!p.contains("UDF"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q73 batch-probe ANN is a bucket-equality join, never a per-probe sweep") {
     val p = plan("q73_ann_batch_probe")
     // candidates must come from equality on the bucket id: no
