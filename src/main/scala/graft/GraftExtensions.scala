@@ -31,6 +31,7 @@ import graft.cdc.RenderTemplate
   *  - `ngrams(tokens, n)`          — n-gram generator UDTF (B31)
   *  - `str_poly_hash(str)`         — dedup identity hash (codegen)
   *  - `token_span_hashes(toks, w)` — dedup shingle/span kernel (codegen)
+  *  - `zvalue(x, y, bits)`         — Morton/z-order layout kernel (codegen)
   *  - `render_template(ev, tmpl)`  — route payload templating (A11);
   *    tmpl must be a string literal (compiled once per plan, same as the
   *    reference compiling templates at startup, blsenderwork.go:102)
@@ -100,6 +101,19 @@ object GraftExtensions {
             s"token_span_hashes(tokens, w): w must be an int literal, got $other")
         }
         graft.functions.TokenSpanHashes(tokens, wv)
+      }),
+
+    (FunctionIdentifier("zvalue"),
+      info("zvalue",
+        "zvalue(x, y, bits) - Morton/z-order interleave of the low `bits` bits of two longs (layout clustering kernel)"),
+      args => {
+        require(args.size == 3, s"zvalue expects 3 arguments, got ${args.size}")
+        val bits = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => sys.error(
+            s"zvalue(x, y, bits): bits must be an int literal, got $other")
+        }
+        graft.functions.ZValue(args(0), args(1), bits)
       }),
 
     (FunctionIdentifier("render_template"),

@@ -22,15 +22,11 @@ object ZOrder {
 
   /** Morton interleave of the low `bits` bits of two non-negative long
     * columns: bit i of `x` lands at result bit 2i, bit i of `y` at
-    * 2i+1. Static unroll of `bits` mask-shift-add terms — every term is
-    * a codegen'd primitive op, no UDF, no loop at runtime. */
-  def zValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
-  }
+    * 2i+1. The native codegen kernel [[graft.functions.ZValue]] (one
+    * tight loop in generated code; also registered in SQL as
+    * `zvalue(x, y, bits)` via GraftExtensions). */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    graft.functions.ZValue.zvalue(x, y, bits)
 
   /** The same interleave as ANSI SQL over column expressions `x`/`y` —
     * the oracle-twin generator, bit-identical to [[zValue]]. */
@@ -41,16 +37,15 @@ object ZOrder {
     }.mkString(" + ")
   }
 
-  /** Scalar reference (specs): interleave low `bits` bits of x and y. */
+  /** Scalar reference for the specs — deliberately an INDEPENDENT
+    * formulation (decompose to bit seqs, weave, re-fold) so tests never
+    * compare the codegen kernel against itself. */
   def zValueRef(x: Long, y: Long, bits: Int): Long = {
-    var z = 0L
-    var i = 0
-    while (i < bits) {
-      z |= ((x >> i) & 1L) << (2 * i)
-      z |= ((y >> i) & 1L) << (2 * i + 1)
-      i += 1
+    val xb = (0 until bits).map(i => (x >> i) & 1L)
+    val yb = (0 until bits).map(i => (y >> i) & 1L)
+    xb.zip(yb).zipWithIndex.foldLeft(0L) { case (z, ((bx, by), i)) =>
+      z + (bx << (2 * i)) + (by << (2 * i + 1))
     }
-    z
   }
 
   /** Re-cluster `df` on the z-curve of two long-typed columns and write

@@ -62,6 +62,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     intercept[Exception](sql("SELECT token_span_hashes('notanarray', 2)").collect())
   }
 
+  test("zvalue from SQL matches the scalar Morton reference") {
+    val z = sql("SELECT zvalue(5L, 9L, 8)").head().getLong(0)
+    assert(z === graft.operators.ZOrder.zValueRef(5L, 9L, 8))
+    // analyzer-inserted casts: int inputs work too
+    assert(sql("SELECT zvalue(255, 255, 8)").head().getLong(0) === 65535L)
+    // bits must be a literal
+    intercept[Exception](sql("SELECT zvalue(1L, 2L, id) FROM range(1)").collect())
+  }
+
   test("render_template from SQL renders a route payload") {
     val out = sql(
       """SELECT render_template(named_struct('ItemID', 7L), '{"id":{{ .ItemID }}}')""")
