@@ -148,6 +148,44 @@ object SketchFilter {
       expectedItems: Long, fpp: Double = 0.01): DataFrame =
     bloomSemiBroadcastWithHandle(left, leftKey, right, rightKey, expectedItems, fpp)._1
 
+  /** Streaming DECONTAMINATION on ingest — the append-mode-safe form of
+    * the q70/q76 batch scan: flag incoming documents that share any
+    * w-token span with a STATIC eval set, entirely in-row (no state, no
+    * stream-side aggregation, no join), so it composes with any
+    * downstream sink in append mode.
+    *
+    * The eval set's distinct span hashes build ONE Bloom sketch at
+    * assembly time (a batch job over the static side — size with
+    * expectedSpans/fpp like a broadcast dim), broadcast once; every
+    * incoming doc then probes its own spans in-row via `exists(...)`
+    * (the span kernel is codegen; the exists lambda itself evaluates
+    * interpreted — fine at micro-batch sizes, q90's stream-side
+    * trade). Output = input columns + `contaminated`.
+    *
+    * Semantics: no false NEGATIVES (a truly contaminated doc always
+    * flags — the sketch admits none), false positives over-flag clean
+    * docs at ≤ fpp per distinct span — the SAFE direction for
+    * decontamination, and exactly what a 100 TB ingest filter does
+    * (the exact semi-join re-check is the batch q70; run it over the
+    * flagged slice offline if over-drop matters). Returns the flagged
+    * stream and the broadcast handle (`destroy()` after the query
+    * stops; the q76 lifetime contract). */
+  def decontaminateStream(stream: DataFrame, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String, w: Int,
+      expectedSpans: Long, fpp: Double = 0.001): (DataFrame, Broadcast[BloomFilter]) = {
+    val evalSpans = evalDocs.select(explode(
+        graft.functions.TokenSpanHashes.tokenSpanHashes(
+          TextDedup.toks(col(evalTextCol)), w)).as("h"))
+    val sketch = evalSpans.stat.bloomFilter("h", expectedSpans, fpp)
+    val bc = stream.sparkSession.sparkContext.broadcast(sketch)
+    val flagged = stream.withColumn("contaminated",
+      exists(
+        graft.functions.TokenSpanHashes.tokenSpanHashes(
+          TextDedup.toks(col(textCol)), w),
+        h => Bridge.column(BloomMightContainBroadcast(bc, Bridge.expression(h)))))
+    (flagged, bc)
+  }
+
   /** [[bloomSemiBroadcast]] + the broadcast handle, so callers can
     * `handle.destroy()` a multi-GB sketch deterministically instead of
     * waiting for the plan to be GC'd (executing the DataFrame after

@@ -156,4 +156,36 @@ class SketchFilterSpec extends SparkTestBase {
     assert(plan.contains("might_contain"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython"), plan)
   }
+
+  test("decontaminateStream flags contaminated docs over a true stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    val evalSet = Seq(
+      (1L, "the held out benchmark question about spark joins"),
+      (2L, "another sacred eval sentence nobody may train on"))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val (flagged, handle) = SketchFilter.decontaminateStream(
+      in.toDF().toDF("doc_id", "text"), "text", evalSet, "text", 5, 1000L)
+    val q = flagged.writeStream.format("memory").queryName("decon_ingest")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // contains a full 5-token eval span -> must flag
+        (10L, "prefix words then the held out benchmark question about spark"),
+        // clean doc -> must pass
+        (11L, "totally unrelated training text with fresh original content"),
+        // contaminated by the second eval doc
+        (12L, "copy of another sacred eval sentence nobody may train on today"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, contaminated FROM decon_ingest")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got === Map(10L -> true, 11L -> false, 12L -> true))
+    } finally {
+      q.stop()
+      handle.destroy()
+    }
+  }
 }
