@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Canon, Tables}
 import Canon._
 
@@ -155,6 +156,45 @@ object DedupQueries extends QueryGroup {
       graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("component"))
+    }),
+
+    // Quality-aware duplicate-cluster resolution (round 8): q69 keeps
+    // the MIN-ID doc per near-dup cluster; real pipelines keep the
+    // BEST doc — here the q38 quality score (fixed-point 1e4, so the
+    // argmax is integer-deterministic across engines), ties broken by
+    // doc_id. Same LSH pairs + connected components; one extra join
+    // against the narrow per-doc quality pass and a per-component
+    // top-1 window (component-partitioned — never global).
+    "q96_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+      val pairs = TextDedup.nearDupPairs(docs, 3000L)
+      val comp = graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
+      // q38's score algebra (hash-verified there), reduced to the score
+      val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val quality = docs
+        .withColumn("t", TextDedup.toks(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("tok_chars",
+          aggregate(transform(col("t"), x => length(x).cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(col("t"), x => x.isin(enStops: _*))).cast("long"))
+        .withColumn("avg_tok_len",
+          coalesce(col("tok_chars") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("stop_ratio",
+          coalesce(col("n_stop").cast("double") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .select(col("doc_id"),
+          ratio1e4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * col("stop_ratio") +
+            lit(0.3) * least(col("avg_tok_len") / 10.0, lit(1.0))).as("score_1e4"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("score_1e4").desc, col("doc_id"))
+      comp.select(col("id").as("doc_id"), col("component"))
+        .join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("component"), col("score_1e4"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
     }),
 
     // Exact repeated-span detection (the "duplicated 50-token substring"
@@ -429,6 +469,46 @@ object DedupQueries extends QueryGroup {
     "q76_decontamination_bloom" -> decontaminationSql,
 
     "q70_decontamination" -> decontaminationSql,
+
+    // q96 = q69's component closure + q38's fixed-point quality score;
+    // keeper = per-component argmax on (score_1e4 desc, doc_id).
+    "q96_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${lshCtes()},
+         |pairs AS ($lshPairsSelect),
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |       UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM e2
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+         |          WHERE e.b <> r.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |base AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id < 2000),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(t) > 0
+         |         THEN list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+         |         ELSE 0.0 END AS tok_chars,
+         |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |              + 0.3 * COALESCE(CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0)
+         |              + 0.3 * least(COALESCE(tok_chars / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) / 10.0, 1.0))
+         |              * 10000 + 0.5) AS BIGINT) AS score_1e4
+         |  FROM m),
+         |sc AS (SELECT comp.id AS doc_id, comp.component, q.score_1e4
+         |       FROM comp JOIN q ON comp.id = q.doc_id),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+         |                    ORDER BY score_1e4 DESC, doc_id) AS rn
+         |       FROM sc)
+         |SELECT doc_id, component, score_1e4, rn = 1 AS keep
+         |FROM rr ORDER BY doc_id""".stripMargin,
 
     "q69_dedup_resolution" ->
       s"""WITH RECURSIVE ${lshCtes()},
