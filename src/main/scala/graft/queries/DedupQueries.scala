@@ -158,6 +158,26 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("component"))
     }),
 
+    // Cross-SOURCE span-overlap matrix (round 8; dataset governance:
+    // which ingest sources share content — licensing leaks, mirror
+    // detection, double-counting before mixture weighting). Distinct
+    // (source, h) span sets — 24-byte rows, one distinct shuffle —
+    // then an equality self-join on the span hash and a pair count.
+    // Output is |sources|² bounded, never corpus-sized.
+    "q97_source_overlap" -> ((s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val sp = docs.select(col("source"), explode(
+          graft.functions.TokenSpanHashes.tokenSpanHashes(
+            TextDedup.toks(col("text")), 5)).as("h"))
+        .distinct()
+      val a = sp.select(col("source").as("source_a"), col("h"))
+      val b = sp.select(col("source").as("source_b"), col("h").as("h2"))
+      a.join(b, col("h") === col("h2") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Quality-aware duplicate-cluster resolution (round 8): q69 keeps
     // the MIN-ID doc per near-dup cluster; real pipelines keep the
     // BEST doc — here the q38 quality score (fixed-point 1e4, so the
@@ -469,6 +489,20 @@ object DedupQueries extends QueryGroup {
     "q76_decontamination_bloom" -> decontaminationSql,
 
     "q70_decontamination" -> decontaminationSql,
+
+    "q97_source_overlap" ->
+      s"""WITH t AS (SELECT source, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                      x -> x <> '') AS toks
+         |           FROM documents),
+         |hh AS (SELECT source, list_transform(toks, w -> $strHashSql) AS th
+         |       FROM t),
+         |sp AS (SELECT DISTINCT source,
+         |         list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |       FROM hh, unnest(range(1, greatest(len(th) - 3, 1))) u(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q96 = q69's component closure + q38's fixed-point quality score;
     // keeper = per-component argmax on (score_1e4 desc, doc_id).
