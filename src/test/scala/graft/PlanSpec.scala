@@ -81,20 +81,23 @@ class PlanSpec extends SparkTestBase {
 
   test("q91 substring removal shuffles occurrences, never exploded tokens") {
     // The rewrite's scale contract: span occurrences (16-byte rows) are
-    // the only exploded stream — the final text rebuild is an in-row
-    // HOF over the original row's token array, so exactly TWO Generate
-    // nodes may exist (posexplode of the span hashes, explode of the
-    // dropped-index sequences) and no third token-level explode.
-    // Canonical-occurrence selection is a min aggregation, not a
-    // window, and no candidate generation may go quadratic.
-    // plan-string based: AQE's root node hides its subtree from
-    // collect/exists, but toString prints the whole initial plan
+    // the only exploded stream, materialized ONCE by the eager
+    // h-partitioned localCheckpoint (Scan ExistingRDD serves both the
+    // canonical-min aggregation and the join back — one corpus pass of
+    // the span kernel), and the final text rebuild is an in-row HOF
+    // over the original row's token array — so exactly ONE Generate
+    // (explode of the dropped-index sequences) may remain and no
+    // token-level explode. Canonical-occurrence selection is a min
+    // aggregation, not a window; no candidate generation goes
+    // quadratic. (plan-string based: AQE's root hides its subtree from
+    // collect/exists, but toString prints the whole initial plan)
     val p = plan("q91_substring_removal")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     val nGenerate = "(?m)^\\s*(?:[+:]-\\s*)?Generate ".r.findAllIn(p).size
-    assert(nGenerate == 2, s"expected 2 Generate nodes, got $nGenerate:\n$p")
+    assert(nGenerate == 1, s"expected 1 Generate node, got $nGenerate:\n$p")
   }
 
   test("q95 BPE encode is one narrow map: no exchange except the render sort") {
