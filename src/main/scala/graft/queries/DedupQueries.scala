@@ -166,10 +166,15 @@ object DedupQueries extends QueryGroup {
     // Output is |sources|² bounded, never corpus-sized.
     "q97_source_overlap" -> ((s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
+      // one corpus pass: the distinct span set is h-partitioned and
+      // checkpointed once (q32/q91 pattern), so both self-join sides
+      // read co-partitioned blocks with zero further exchange
       val sp = docs.select(col("source"), explode(
           graft.functions.TokenSpanHashes.tokenSpanHashes(
             TextDedup.toks(col("text")), 5)).as("h"))
         .distinct()
+        .repartition(s.sparkContext.defaultParallelism, col("h"))
+        .localCheckpoint(eager = true)
       val a = sp.select(col("source").as("source_a"), col("h"))
       val b = sp.select(col("source").as("source_b"), col("h").as("h2"))
       a.join(b, col("h") === col("h2") && col("source_a") < col("source_b"))
