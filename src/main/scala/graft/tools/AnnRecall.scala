@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Recall probe for the approximate-nearest-neighbor paths — the
+  * quality evidence the DuckDB oracle can't give them (q36/q59/q73
+  * hash-check VALUES for fixed parameters; this measures how much of
+  * the true top-k the approximations keep as their knobs move).
+  *
+  * Ground truth = exact brute-force cosine top-k per probe (the q30
+  * path). Probes = a deterministic sample of the corpus itself
+  * (vec_id % step == 0), self-match excluded.
+  *
+  * Prints one JSON line per (method, param): mean recall@k over the
+  * probes plus candidate-set statistics (scanned fraction — the cost
+  * the approximation buys its recall with).
+  *
+  * Usage: runMain graft.tools.AnnRecall [sfDir] [k] [probeStep]
+  */
+object AnnRecall {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val probeStep = args.lift(2).map(_.toInt).getOrElse(50)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ann-recall")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = base.count()
+    val probes = base.filter(col("vec_id") % probeStep === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+
+    // ground truth via the batch-probe shape with an all-in-one bucket
+    // (bucket-join with 0 bits would collide everything; use the exact
+    // crossJoin form): per probe, top-k by cosine, self excluded
+    val truth = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("pv")).as("score"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("pid"), col("vec_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val nProbes = truth.size
+
+    def report(method: String, param: String, got: DataFrame,
+        scannedFrac: Double): Unit = {
+      val byProbe = got.select(col("pid"), col("vec_id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+      val recall = truth.map { case (p, t) =>
+        byProbe.get(p).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / nProbes
+      println(f"""{"method":"$method","param":"$param","k":$k,""" +
+        f""""n_probes":$nProbes,"recall":$recall%.4f,"scanned_frac":$scannedFrac%.4f}""")
+    }
+
+    // LSH hyperplane buckets: recall vs bits (bucket count 2^bits;
+    // expected scanned fraction ~= 1 / 2^bits of the corpus per probe)
+    for (bits <- Seq(2, 4, 6)) {
+      val got = Similarity.lshTopKBatch(base, "vec_id", "embedding",
+          probes, "pid", "pv", k, bits, 64)
+        .filter(col("vec_id") =!= col("pid"))
+      report("lsh_hyperplane", s"bits=$bits", got, 1.0 / (1L << bits))
+    }
+
+    // IVF: recall vs nprobe over vec_id%101-seeded centroids (~1% of
+    // corpus as centroids; scanned fraction ~= nprobe / nCentroids)
+    val cent = base.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val nCent = cent.count().toDouble
+    for (nprobe <- Seq(1, 4, 8)) {
+      // ivfTopK takes ONE query vector; run it per probe via the batch
+      // bucket path instead: assign base once, then per-probe top-k
+      // among the nprobe nearest centroids' members
+      val asg = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"),
+          col("cid"), Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("acid"))
+      val probeCents = probes.crossJoin(broadcast(cent))
+        .select(col("pid"), col("pv"), col("cid"),
+          Similarity.cosine(col("pv"), col("cv")).as("pcos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+            .orderBy(col("pcos").desc, col("cid"))))
+        .filter(col("rn") <= nprobe)
+        .select(col("pid"), col("pv"), col("cid").as("pcid"))
+      val got = asg.join(probeCents, col("acid") === col("pcid"))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("pv")).as("score"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+      report("ivf", s"nprobe=$nprobe", got, nprobe / nCent)
+    }
+
+    println(s"""{"method":"brute_force","param":"exact","k":$k,""" +
+      s""""n_probes":$nProbes,"recall":1.0,"scanned_frac":1.0,"n_base":$nBase}""")
+    spark.stop()
+  }
+}
