@@ -125,6 +125,35 @@ object PipelineQueries extends QueryGroup {
     // SequencePacking.pack). Declared query packs the whole corpus in
     // one window for oracle determinism; q66 exercises the production
     // per-shard form.
+    // Context-window CHUNKING with stride (round 8; the step before
+    // packing in a pretraining/RAG pipeline): window 64 tokens, stride
+    // 48 (16-token overlap) — chunk k covers tokens [48k, 48k+64) while
+    // 48k < n. Emits one row per chunk with an exact content
+    // fingerprint (polynomial fold of the chunk's token hashes), so
+    // the oracle verifies chunk BOUNDARIES AND CONTENT, not just
+    // counts. All narrow in-row HOF work — zero shuffles before the
+    // presentation sort; doc_id bound keeps the fixture output small.
+    "q98_chunk_stride" -> ((s, d) => {
+      val th = graft.operators.TextDedup.tokenHashes(col("text"))
+      Tables.spread(Tables.documents(s, d))
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), th.as("th"))
+        .withColumn("n_tok", size(col("th")).cast("long"))
+        .filter(col("n_tok") > 0) // sequence(0, -1) would run DOWNWARD
+        .select(col("doc_id"), col("n_tok"), explode(
+          transform(sequence(lit(0), expr("(n_tok + 47) div 48").cast("int") - 1),
+            k => {
+              val start = k.cast("long") * 48L
+              val clen = least(lit(64L), col("n_tok") - start)
+              struct(k.cast("long").as("chunk_idx"), clen.as("chunk_len"),
+                aggregate(slice(col("th"), (start + 1L).cast("int"), clen.cast("int")),
+                  lit(0L), (a, x) => (a * 8191L + x) % P).as("chunk_fp"))
+            })).as("c"))
+        .select(col("doc_id"), col("n_tok"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk_len").as("chunk_len"), col("c.chunk_fp").as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q47_sequence_packing" -> ((s, d) =>
       graft.operators.SequencePacking.pack(
           Tables.spread(Tables.documents(s, d))
@@ -195,7 +224,29 @@ object PipelineQueries extends QueryGroup {
     })
   )
 
+  /** Portable polynomial string hash (TextDedup.strHash twin). */
+  private val strHashSqlW: String =
+    """list_reduce(list_transform(range(1, length(w) + 1),
+      |                           i -> CAST(ascii(w[i]) AS BIGINT)),
+      |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q98_chunk_stride" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                        x -> x <> ''), w -> $strHashSqlW) AS th
+         |           FROM documents WHERE doc_id < 300),
+         |n AS (SELECT doc_id, th, CAST(len(th) AS BIGINT) AS n_tok FROM t
+         |      WHERE len(th) > 0),
+         |c AS (SELECT doc_id, n_tok, th, u.k AS k
+         |      FROM n, unnest(range(0, (n_tok + 47) // 48)) u(k))
+         |SELECT doc_id, n_tok, CAST(k AS BIGINT) AS chunk_idx,
+         |       CAST(least(64, n_tok - k * 48) AS BIGINT) AS chunk_len,
+         |       CAST(list_reduce(
+         |         list_concat([CAST(0 AS BIGINT)],
+         |                     th[k * 48 + 1 : k * 48 + least(64, n_tok - k * 48)]),
+         |         (a, b) -> (a * 8191 + b) % 1000000007) AS BIGINT) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // q92: the interleave is the SAME generated bit-algebra expression
     // on both sides (ZOrder.zValueSql == ZOrder.zValue term by term).
     "q92_zorder_layout" ->
