@@ -186,6 +186,44 @@ object VectorQueries extends QueryGroup {
     // shuffle; every arithmetic step is the identical IEEE op sequence
     // in both engines (floor(x*scale+0.5) is the portable round-half-up,
     // fold order is left-to-right from 0.0).
+    // Per-DIMENSION percentile clipping (round 8; the outlier-clamp
+    // preprocessing step run before quantization/normalization at
+    // scale): nearest-rank p05/p95 per dim from an exact value
+    // histogram (the q49/q86 pattern — histogram cells, not a sort of
+    // the raw stream), clamp every value, report exact clipped sums.
+    // All arithmetic in 1e-6 fixed point from the first touch (floats
+    // quantize BEFORE any aggregation), so sums are order-independent
+    // and the oracle hash-matches exactly. The threshold dim is 64
+    // rows — broadcast onto the value stream, never a second scan.
+    "q99_embed_clip" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val x = e.select(posexplode(col("embedding")).as(Seq("dim", "xv")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("xv").cast("double") * 1e6 + 0.5).cast("long").as("v6"))
+      val h = x.groupBy(col("dim"), col("v6")).agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy(col("dim")).orderBy(col("v6"))
+      val nw = Window.partitionBy(col("dim"))
+      val th = h.withColumn("hi", sum(col("c")).over(cw))
+        .withColumn("n", sum(col("c")).over(nw))
+        .groupBy(col("dim")).agg(
+          min(when(col("hi") >= ceil(lit(0.05) * col("n")), col("v6"))).as("p05"),
+          min(when(col("hi") >= ceil(lit(0.95) * col("n")), col("v6"))).as("p95"))
+      x.join(broadcast(th), "dim")
+        .select(col("dim"),
+          when(col("v6") < col("p05"), col("p05"))
+            .when(col("v6") > col("p95"), col("p95"))
+            .otherwise(col("v6")).as("cv"),
+          when(col("v6") < col("p05"), 1L).otherwise(0L).as("lo"),
+          when(col("v6") > col("p95"), 1L).otherwise(0L).as("hic"),
+          col("p05"), col("p95"))
+        .groupBy(col("dim"))
+        .agg(min(col("p05")).as("p05_1e6"), min(col("p95")).as("p95_1e6"),
+          sum(col("lo")).cast("long").as("n_lo"),
+          sum(col("hic")).cast("long").as("n_hi"),
+          sum(col("cv")).cast("long").as("sum_clip_1e6"))
+        .orderBy(col("dim"))
+    }),
+
     "q64_embed_quantize" -> ((s, d) => {
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
       e.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
@@ -219,6 +257,31 @@ object VectorQueries extends QueryGroup {
     }.mkString("(", " + ", ")")
 
   override def oracle: Map[String, String] = Map(
+    "q99_embed_clip" ->
+      """WITH x AS (SELECT unnest(range(0, len(embedding))) AS dim,
+        |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v6
+        |           FROM embeddings),
+        |h AS (SELECT dim, v6, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        |cum AS (SELECT dim, v6, c,
+        |          SUM(c) OVER (PARTITION BY dim ORDER BY v6) AS hi,
+        |          SUM(c) OVER (PARTITION BY dim) AS n
+        |        FROM h),
+        |th AS (SELECT dim,
+        |         MIN(CASE WHEN hi >= ceil(0.05 * n) THEN v6 END) AS p05,
+        |         MIN(CASE WHEN hi >= ceil(0.95 * n) THEN v6 END) AS p95
+        |       FROM cum GROUP BY dim),
+        |cl AS (SELECT x.dim,
+        |         CASE WHEN v6 < p05 THEN p05 WHEN v6 > p95 THEN p95 ELSE v6 END AS cv,
+        |         CASE WHEN v6 < p05 THEN 1 ELSE 0 END AS lo,
+        |         CASE WHEN v6 > p95 THEN 1 ELSE 0 END AS hic,
+        |         p05, p95
+        |       FROM x JOIN th USING (dim))
+        |SELECT dim, MIN(p05) AS p05_1e6, MIN(p95) AS p95_1e6,
+        |       CAST(SUM(lo) AS BIGINT) AS n_lo,
+        |       CAST(SUM(hic) AS BIGINT) AS n_hi,
+        |       CAST(SUM(cv) AS BIGINT) AS sum_clip_1e6
+        |FROM cl GROUP BY dim ORDER BY dim""".stripMargin,
+
     "q64_embed_quantize" ->
       """WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
         |           FROM embeddings WHERE vec_id < 500),
