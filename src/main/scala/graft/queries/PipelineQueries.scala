@@ -125,6 +125,59 @@ object PipelineQueries extends QueryGroup {
     // SequencePacking.pack). Declared query packs the whole corpus in
     // one window for oracle determinism; q66 exercises the production
     // per-shard form.
+    // The FULL batch training-data pipeline in ONE declarative plan
+    // (round 8 flagship; the batch twin of q87's capture composition):
+    // exact dedup (min-id per content) → q38 quality gate
+    // (score_1e4 ≥ 5000) → decontamination against the held-out eval
+    // slice (doc_id % 10 = 7; any shared 5-token span drops the doc)
+    // → deterministic 80/10/10 split → per-(split, lang) corpus stats.
+    // Every stage is the already-oracled library op; composing them
+    // under one optimizer is the point — Catalyst fuses the narrow
+    // quality/split stages, the dedup window and the span semi-join
+    // stay the only wide ops, and the oracle hash-checks the WHOLE
+    // pipeline's survivors, not stage outputs.
+    "q100_pipeline_e2e" -> ((s, d) => {
+      val all = Tables.spread(Tables.documents(s, d))
+      val corpus = all.filter(col("doc_id") % 10 =!= 7)
+      val deduped = graft.operators.TextDedup.exact(corpus, "doc_id", "text")
+      val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val scored = deduped
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("tok_chars",
+          aggregate(transform(col("t"), x => length(x).cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(col("t"), x => x.isin(enStops: _*))).cast("long"))
+        .withColumn("avg_tok_len",
+          coalesce(col("tok_chars") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("stop_ratio",
+          coalesce(col("n_stop").cast("double") / nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)))
+        .withColumn("score_1e4",
+          ratio1e4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * col("stop_ratio") +
+            lit(0.3) * least(col("avg_tok_len") / 10.0, lit(1.0))))
+        .filter(col("score_1e4") >= 5000)
+      val evalSpans = graft.operators.TextDedup
+        .spanHashes(all.filter(col("doc_id") % 10 === 7), 5)
+        .select(col("h").as("eh")).distinct()
+      val docSpans = graft.operators.TextDedup
+        .spanHashes(scored.select(col("doc_id"), col("text")), 5)
+      val contaminated = docSpans
+        .join(evalSpans, col("h") === col("eh"), "leftsemi")
+        .select(col("doc_id")).distinct()
+      scored.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("b", splitBucket(col("doc_id")))
+        .withColumn("split",
+          when(col("b") < 800, "train").when(col("b") < 900, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tok"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // Context-window CHUNKING with stride (round 8; the step before
     // packing in a pretraining/RAG pipeline): window 64 tokens, stride
     // 48 (16-token overlap) — chunk k covers tokens [48k, 48k+64) while
@@ -231,6 +284,51 @@ object PipelineQueries extends QueryGroup {
       |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q100_pipeline_e2e" ->
+      s"""WITH dd AS (SELECT MIN(doc_id) AS doc_id
+         |            FROM documents WHERE doc_id % 10 <> 7 GROUP BY text),
+         |d2 AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+         |       JOIN dd ON d.doc_id = dd.doc_id),
+         |base AS (SELECT doc_id, lang,
+         |           list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t,
+         |           text
+         |         FROM d2),
+         |m AS (SELECT doc_id, lang, text,
+         |        CAST(len(t) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(t) > 0
+         |             THEN list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+         |             ELSE 0.0 END AS tok_chars,
+         |        CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         |      FROM base),
+         |sc AS (SELECT doc_id, lang, text, n_tokens,
+         |         CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |                   + 0.3 * COALESCE(CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0)
+         |                   + 0.3 * least(COALESCE(tok_chars / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) / 10.0, 1.0))
+         |                   * 10000 + 0.5) AS BIGINT) AS score_1e4
+         |       FROM m),
+         |surv AS (SELECT * FROM sc WHERE score_1e4 >= 5000),
+         |evt AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                                  x -> x <> ''), w -> $strHashSqlW) AS th
+         |        FROM documents WHERE doc_id % 10 = 7),
+         |ev AS (SELECT DISTINCT list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS eh
+         |       FROM evt, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |st AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                                 x -> x <> ''), w -> $strHashSqlW) AS th
+         |       FROM surv),
+         |ssp AS (SELECT DISTINCT doc_id,
+         |          list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |        FROM st, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |contam AS (SELECT DISTINCT doc_id FROM ssp WHERE h IN (SELECT eh FROM ev)),
+         |clean AS (SELECT s2.* FROM surv s2 ANTI JOIN contam c ON s2.doc_id = c.doc_id),
+         |sp AS (SELECT lang, n_tokens, doc_id,
+         |         ((doc_id % 1000000007) * 40503 + 17) % 1000000007 % 1000 AS b
+         |       FROM clean)
+         |SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+         |       lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tok,
+         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q98_chunk_stride" ->
       s"""WITH t AS (SELECT doc_id,
          |             list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
