@@ -225,4 +225,60 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.count(_ == 1L) == 1, "replayed event_id=1 must be deduped")
     assert(ids.toSet.intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L))
   }
+
+  test("streaming ingest pipeline: decontaminate -> near-dup check -> split sink") {
+    // The round-8 streaming composition: an incoming doc stream passes
+    // the Bloom decontamination gate, is near-dup-checked against the
+    // reference corpus, and clean novel docs land in a split-
+    // partitioned parquet sink — all append-mode, no state.
+    val s = spark
+    import s.implicits._
+    val P = 1000000007L
+    val evalSet = Seq((900L, "the forbidden eval sentence that no training doc may contain"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (800L, "a well known reference document that lives in the training set already"))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val (flagged, handle) = graft.operators.SketchFilter.decontaminateStream(
+      stream, "text", evalSet, "text", 5, 1000L)
+    val outDir = java.nio.file.Files.createTempDirectory("ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    // the near-dup drop runs per micro-batch inside foreachBatch (the
+    // production shape — an anti join between two branches of the same
+    // stream isn't expressible in append mode)
+    val q = flagged.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dups = graft.operators.TextDedup.nearDupAgainst(
+            batch.filter(!col("contaminated")), corpus, 3000L)
+          .select(col("doc_id")).dropDuplicates("doc_id")
+        batch.filter(!col("contaminated"))
+          .join(dups, Seq("doc_id"), "left_anti")
+          .withColumn("split",
+            when((((col("doc_id") % P) * 40503L + 17L) % P) % 1000L < 800L, "train")
+              .otherwise("holdout"))
+          .write.mode("append").partitionBy("split").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData(
+        (1L, "a fresh clean training document with entirely new original words"),
+        (2L, "contains the forbidden eval sentence that no training doc may contain plus extra"),
+        (3L, "a well known reference document that lives in the training set already today"))
+      q.processAllAvailable()
+      val landed = s.read.parquet(outDir).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 2 is contaminated (eval span), doc 3 near-dups the corpus;
+      // only doc 1 lands, with a deterministic split
+      assert(landed.keySet === Set(1L), s"landed: $landed")
+      assert(Set("train", "holdout").contains(landed(1L)))
+    } finally {
+      q.stop()
+      handle.destroy()
+    }
+  }
 }
