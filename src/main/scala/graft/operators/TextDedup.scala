@@ -120,7 +120,9 @@ object TextDedup {
     * Position encoding: pos is 0-based; canonical order compares
     * doc_id·10^7 + pos, so per-doc token counts must stay below 10^7
     * (loudly guarded — at 100 TB that bound holds for any sane document;
-    * shard first if it doesn't).
+    * shard first if it doesn't) and doc_id must be non-negative (every
+    * catalog table's id contract — a negative id would corrupt the
+    * encoded ordering silently).
     *
     * Output: (doc_id, n_toks, n_kept, clean_text), one row per input doc
     * (docs shorter than w tokens pass through unchanged).
