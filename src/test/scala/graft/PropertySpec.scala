@@ -270,6 +270,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateStream admits NO false negatives on generated corpora") {
+    import spark.implicits._
+    // the gate's safety contract: a doc sharing any 5-token span with
+    // the eval set MUST flag (false positives are allowed and bounded
+    // by fpp; false negatives never). Generate eval docs and derive
+    // contaminated docs by embedding a random eval window verbatim.
+    val word = Gen.listOfN(3, Gen.oneOf("ka", "re", "mo", "ta", "li", "zu"))
+      .map(_.mkString)
+    val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    cases(Gen.listOfN(3, docGen), 8) { evalTexts =>
+      val evalSet = evalTexts.zipWithIndex
+        .map { case (t, i) => (900L + i, t) }.toDF("doc_id", "text")
+      // contaminated: 5 consecutive eval tokens embedded mid-doc
+      val contaminated = evalTexts.zipWithIndex.map { case (t, i) =>
+        val span = t.split(" ").slice(3, 8).mkString(" ")
+        (100L + i, s"zzzz prefix $span suffix qqqq")
+      }
+      val clean = Seq((1L, "totally fresh unrelated words nothing shared whatsoever here"))
+      val batch = (contaminated ++ clean).toDF("doc_id", "text")
+      val (flagged, handle) = graft.operators.SketchFilter.decontaminateStream(
+        batch, "text", evalSet, "text", 5, 1000L)
+      try {
+        val got = flagged.select("doc_id", "contaminated")
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        contaminated.foreach { case (id, _) =>
+          assert(got(id), s"doc $id embeds an eval span and MUST flag")
+        }
+      } finally handle.destroy()
+    }
+  }
+
   test("explode then collect_list rebuilds the original multiset per key") {
     import spark.implicits._
     val data = Seq((1L, Seq("a", "b", "b")), (2L, Seq("x")), (3L, Seq.empty[String]))
