@@ -301,6 +301,69 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("boxHalve: output dims are ceil(w/2) x ceil(h/2), means stay in box bounds") {
+    import graft.multimodal.Multimodal.ImageCodecs
+    import ImageCodecs.Image
+    val gen = Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9), Gen.long)
+    cases(gen, 20) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val img = Image(w, h, Array.fill(3 * w * h)(rnd.nextInt(256).toByte))
+      val rz = ImageCodecs.boxHalve(img)
+      assert(rz.width == (w + 1) / 2 && rz.height == (h + 1) / 2)
+      def px(im: Image, x: Int, y: Int, c: Int): Int =
+        im.rgb(3 * (im.width * y + x) + c) & 0xff
+      for (oy <- 0 until rz.height; ox <- 0 until rz.width; c <- 0 until 3) {
+        val srcs = for {
+          dy <- 0 to 1; dx <- 0 to 1
+          if 2 * oy + dy < h && 2 * ox + dx < w
+        } yield px(img, 2 * ox + dx, 2 * oy + dy, c)
+        val v = px(rz, ox, oy, c)
+        assert(v >= srcs.min && v <= srcs.max,
+          s"($ox,$oy,$c): $v outside [${srcs.min},${srcs.max}]")
+        assert(v == srcs.sum / srcs.size, s"($ox,$oy,$c): not the truncating mean")
+      }
+    }
+  }
+
+  test("zvalue SQL registration matches the independent scalar reference on random longs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, (1L << 31) - 1), Gen.choose(0L, (1L << 31) - 1)))
+    GraftExtensions.register(spark)
+    cases(gen, 3) { pairs =>
+      val df = pairs.toDF("x", "y")
+      df.createOrReplaceTempView("zprop")
+      val got = spark.sql("SELECT x, y, zvalue(x, y, 31) AS z FROM zprop")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      pairs.foreach { case (x, y) =>
+        assert(got((x, y)) == graft.operators.ZOrder.zValueRef(x, y, 31))
+      }
+    }
+  }
+
+  test("encodeTokens with no merges counts characters; merges never increase symbols") {
+    import spark.implicits._
+    val word = Gen.listOfN(4, Gen.oneOf("ab", "ba", "abc"))
+    val docGen = Gen.listOfN(6, word.map(_.mkString)).map(_.mkString(" "))
+    cases(Gen.listOfN(4, docGen), 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val zero = graft.operators.BpeTrain.encodeTokens(
+          spark, docs, "text", "doc_id", Seq.empty)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val nChars = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).map(_.length).sum
+        assert(zero(i.toLong) == nChars, s"doc $i: zero-merge = char count")
+      }
+      val merges = graft.operators.BpeTrain.train(docs, "text", 3)
+      val enc = graft.operators.BpeTrain.encodeTokens(
+          spark, docs, "text", "doc_id", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      enc.foreach { case (id, n) =>
+        assert(n <= zero(id), s"doc $id: merges must never increase symbol count")
+      }
+    }
+  }
+
   test("explode then collect_list rebuilds the original multiset per key") {
     import spark.implicits._
     val data = Seq((1L, Seq("a", "b", "b")), (2L, Seq("x")), (3L, Seq.empty[String]))
