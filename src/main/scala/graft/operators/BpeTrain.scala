@@ -62,6 +62,19 @@ object BpeTrain {
 
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
+  /** Vocabulary-row gate below which the merge loop finishes on the
+    * driver (conf `spark.graft.bpe.localVocabMax`). The collapsed
+    * (word, freq) table is vocabulary-sized — at the default cap it is
+    * ≤262k short ASCII strings, a few MB — while every DISTRIBUTED
+    * round costs two scheduled jobs on that same tiny table. This is
+    * the repo's established cost-gate pattern (SketchFilter
+    * .bloomSemiAuto, Profiling.profile): answer-identical branches,
+    * the cheap one chosen from a measured size, the distributed one
+    * kept for vocabularies that genuinely exceed driver comfort. A
+    * 100 TB corpus takes the same branch — its collapse output is
+    * still vocabulary-sized, ≪ corpus. */
+  val DefaultLocalVocabMax: Long = 1L << 18
+
   /** Learn `numMerges` merges from the corpus; returns them in learned
     * order as (rank, left, right, freq). Stops early if no pair repeats. */
   def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
@@ -80,7 +93,17 @@ object BpeTrain {
     * deterministic (freq DESC, l, r) tie-break) and the total pair
     * mass, from which the symbol total falls out for free: every word
     * has |s| ≥ 1, so Σ cnt·|s| = Σ freq + Σ cnt, and Σ cnt (word
-    * occurrences) never changes across rounds. */
+    * occurrences) never changes across rounds.
+    *
+    * COST GATE (r8 verdict item 1): when the collapsed vocabulary is
+    * ≤ `spark.graft.bpe.localVocabMax` rows (default
+    * [[DefaultLocalVocabMax]]) the loop finishes on the driver via
+    * [[trainTraceLocal]] — answer-identical by construction and
+    * spec-pinned (BpeTrainSpec runs both branches on the same corpus
+    * and asserts equality). That converts 2·numMerges scheduled jobs
+    * over a tiny table into one collect; the distributed branch still
+    * engages for genuinely large vocabularies (set the conf to 0 to
+    * force it). */
   def trainTrace(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(Merge, Long)] = {
     val spark = docs.sparkSession
@@ -90,10 +113,21 @@ object BpeTrain {
       .as[(Seq[String], Long)]
       .localCheckpoint(eager = true)
     // sum over zero rows is SQL NULL — an empty/token-free corpus must
-    // return Seq.empty like it always did, not NPE on getLong
-    val totalCntRow = syms.toDF("s", "cnt").agg(sum(col("cnt"))).head()
+    // return Seq.empty like it always did, not NPE on getLong. The row
+    // count rides the same 1-row aggregate for free: it feeds the
+    // local-vs-distributed gate below.
+    val totalCntRow = syms.toDF("s", "cnt")
+      .agg(sum(col("cnt")), count(lit(1))).head()
     if (totalCntRow.isNullAt(0)) return Seq.empty
     val totalCnt = totalCntRow.getLong(0)
+    val vocabRows = totalCntRow.getLong(1)
+    val localMax = spark.conf.getOption("spark.graft.bpe.localVocabMax")
+      .map(_.toLong).getOrElse(DefaultLocalVocabMax)
+    if (vocabRows <= localMax) {
+      val out = trainTraceLocal(syms.collect().toSeq, totalCnt, numMerges)
+      syms.unpersist()
+      return out
+    }
     // (winning l, winning r, its freq, Σ freq) — None when no pair repeats
     def stats(ds: Dataset[(Seq[String], Long)]): Option[(String, String, Long, Long)] = {
       val row = pairCounts(ds.toDF("s", "cnt")).agg(
@@ -133,6 +167,47 @@ object BpeTrain {
       // occurrence, Σ freq = 0
       cur = stats(syms)
       learned += ((Merge(round, l, r, f), cur.map(_._4).getOrElse(0L) + totalCnt))
+      round += 1
+    }
+    learned.result()
+  }
+
+  /** The gate-below branch of [[trainTrace]]: the identical algorithm
+    * on the collected (syms, cnt) table — same pair count, same
+    * (freq DESC, l, r) argmax, same [[mergeOnce]] greedy apply, same
+    * post-round total (Σ freq + Σ cnt), same stop condition (no
+    * adjacent pairs left at all, matching the distributed branch's
+    * null-aggregate test). Symbols are [a-z]+ concatenations (the
+    * canonical tokenizer strips everything else), so JVM String
+    * ordering and Spark's UTF8 binary ordering agree on the
+    * tie-break — both are ASCII byte order here. */
+  private[graft] def trainTraceLocal(words0: Seq[(Seq[String], Long)],
+      totalCnt: Long, numMerges: Int): Seq[(Merge, Long)] = {
+    import scala.collection.mutable
+    var ws: Array[(Seq[String], Long)] = words0.toArray
+    def pairTable(): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < ws.length) {
+        val (s, cnt) = ws(i)
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = (s(j), s(j + 1))
+          m.update(k, m.getOrElse(k, 0L) + cnt)
+          j += 1
+        }
+        i += 1
+      }
+      m
+    }
+    val learned = Seq.newBuilder[(Merge, Long)]
+    var pairs = pairTable()
+    var round = 1
+    while (round <= numMerges && pairs.nonEmpty) {
+      val ((l, r), f) = pairs.minBy { case ((pl, pr), pf) => (-pf, pl, pr) }
+      ws = ws.map { case (s, cnt) => (mergeOnce(s, l, r), cnt) }
+      pairs = pairTable()
+      learned += ((Merge(round, l, r, f), pairs.valuesIterator.sum + totalCnt))
       round += 1
     }
     learned.result()

@@ -45,6 +45,30 @@ class BpeTrainSpec extends SparkTestBase {
       "text", 3) == Seq.empty)
   }
 
+  test("gate-below (driver-local) and gate-above (distributed) branches agree") {
+    // The cost gate (spark.graft.bpe.localVocabMax) must never change
+    // answers: run the same corpus through the default gate (vocabulary
+    // far under the cap → trainTraceLocal) and with the cap forced to 0
+    // (→ the distributed loop), and require trace equality — winning
+    // pairs, frequencies, tie-breaks, and post-round symbol totals.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")),
+      (2L, "the quick brown fox jumps over the lazy dog the thee then"))
+      .toDF("doc_id", "text")
+    val key = "spark.graft.bpe.localVocabMax"
+    val localTrace = BpeTrain.trainTrace(docs, "text", 6)
+    assert(localTrace.nonEmpty)
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0") // vocabulary > 0 rows → distributed branch
+      val distTrace = BpeTrain.trainTrace(docs, "text", 6)
+      assert(distTrace == localTrace)
+    } finally { prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v)) }
+  }
+
   test("train stops early when no pair repeats; encode counts distribute") {
     val s = spark
     import s.implicits._
