@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** BENCH entry (BASELINE.md): runs the declared queries on
-  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints the full JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...},
+  * followed by a tail-safe ~200-byte compact summary line, and writes
+  * the full line to SPARK_GRAFT_BENCH_OUT (default
+  * /tmp/graft_bench_last.json) so truncated stdout captures stay
+  * adjudicable.
   *
   * Timing protocol: one cold pass warms the JVM/codegen/file listing,
   * then the reported number is the best of SPARK_GRAFT_BENCH_RUNS warm
@@ -103,13 +107,38 @@ object Bench {
     // per-query numbers by design; record their wall-clock here so the
     // round artifact carries the legs' cost too (r7 verdict item).
     def opt(v: Option[Double]): String = v.map(x => f"$x%.3f").getOrElse("null")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""warm_stddev":$sds,"load_avg_before":$loadBefore%.2f,""" +
       f""""load_avg_after":$loadAfter%.2f,"contended":$contended,""" +
       s""""elapsed_landing_sec":${opt(graft.queries.StreamTwins.landingElapsedSec)},""" +
       s""""elapsed_compact_sec":${opt(graft.queries.StreamTwins.compactElapsedSec)},""" +
       s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
-      f""""sf":"$sfDir"}""")
+      f""""sf":"$sfDir"}"""
+    // Tail-safe artifact protocol (r8 verdict item 2): the full JSON line
+    // is ~4 KB at 100 queries and the round harness's stdout capture has
+    // twice truncated it mid-map, leaving an unparseable artifact. Three
+    // emissions make any capture adjudicable: (1) the full line to a
+    // STABLE FILE (SPARK_GRAFT_BENCH_OUT, default
+    // /tmp/graft_bench_last.json — tools/bench.sh points it at its own
+    // output path); (2) the full line to stdout, the unchanged driver
+    // contract; (3) LAST, a ~200-byte compact summary line carrying the
+    // same metric/value/unit keys plus n_queries/contended/load and the
+    // stable path — small enough to survive any tail window, so even a
+    // 2 KB capture yields total+contended and says where the rest lives.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_last.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write $outPath: $e")
+    }
+    println(fullJson)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""n_queries":${results.size},"contended":$contended,""" +
+      f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,""" +
+      s""""artifact":"$outPath","compact":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

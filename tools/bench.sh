@@ -19,12 +19,17 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-java $ADD_OPENS \
+# Bench writes the full artifact straight to $OUT (tail-safe protocol:
+# stdout carries full line + final compact summary; the file is the
+# canonical copy even if the stdout capture truncates).
+SPARK_GRAFT_BENCH_OUT="$OUT" java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench > "$OUT".raw 2> "$OUT".log
-tail -1 "$OUT".raw > "$OUT"
+# fallback for older classes that don't write SPARK_GRAFT_BENCH_OUT: the
+# full line is the last stdout line that carries a "queries" map
+[ -s "$OUT" ] || grep '"queries"' "$OUT".raw | tail -1 > "$OUT"
 python3 -c "
 import json,sys
 d=json.load(open('$OUT'))
