@@ -1,0 +1,127 @@
+package graft
+
+/** The PlanSpec pins re-run under the configuration a production
+  * cluster would actually use: AQE ON and cluster-width shuffle
+  * partitions (r8 verdict item 3). The bench session runs AQE off with
+  * 4-wide exchanges because at sf0.1 every stage is statically
+  * known-small and AQE's materialize-and-replan round-trips are pure
+  * latency (BASELINE.md r2 config sweep) — but that inverts at real
+  * scale, so the scale-critical plan shapes (pushdown, broadcast,
+  * band-equality candidates, delta pruning, no cartesian) must be
+  * proven to survive the AQE planner too. AdaptiveSparkPlanExec prints
+  * its whole initial plan via toString, so the same string pins apply;
+  * shape properties AQE may legitimately rewrite at runtime (e.g.
+  * shuffle→broadcast promotion) are pinned from the initial plan only.
+  */
+class AqePlanSpec extends SparkTestBase {
+
+  /** Run `body` with AQE enabled and 200 shuffle partitions (the
+    * classic cluster default), restoring the suite session's confs
+    * after — the session is shared across suites via getOrCreate. */
+  private def withAqe[A](body: => A): A = {
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", "200")
+    try body
+    finally {
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(v =>
+        conf.set("spark.sql.adaptive.enabled", v))
+      prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(v =>
+        conf.set("spark.sql.shuffle.partitions", v))
+    }
+  }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("AQE: planner is actually adaptive under the override") {
+    withAqe {
+      assert(plan("q03_join_inner").contains("AdaptiveSparkPlan"))
+    }
+  }
+
+  test("AQE: q02 filter+projection still push into the parquet scan") {
+    withAqe {
+      val p = plan("q02_filter_project")
+      assert(p.contains("PushedFilters: ["), p)
+      assert(p.contains("GreaterThan(l_quantity"), p)
+      assert(p.contains(
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+    }
+  }
+
+  test("AQE: q04 small-dim join still broadcasts") {
+    withAqe {
+      val p = plan("q04_join_broadcast")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("AQE: q32 Jaccard candidates stay equality-join, window-free") {
+    withAqe {
+      val p = plan("q32_dedup_ngram_jaccard")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("Window"), p)
+      // the h-partitioned shingle profile is still materialized once
+      assert(p.contains("Scan ExistingRDD"), p)
+    }
+  }
+
+  test("AQE: q76 cost gate still picks the plain semi join below threshold") {
+    withAqe {
+      val p = plan("q76_decontamination_bloom")
+      assert(!p.contains("might_contain"), p)
+      assert(p.contains("LeftSemi"), p)
+    }
+  }
+
+  test("AQE: q88 compacted-state read still prunes the lake scan to the delta") {
+    withAqe {
+      val p = plan("q88_cdc_compacted_state")
+      assert(p.contains("= corpus") && p.contains("= docs"), p)
+      assert("binlog_position#\\d+L? > \\d+".r.findFirstIn(p).nonEmpty, p)
+      assert(p.contains("PushedFilters: [Or(GreaterThan(binlog_file"), p)
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("AQE: q91 substring removal keeps its single-Generate, no-window shape") {
+    withAqe {
+      val p = plan("q91_substring_removal")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("Scan ExistingRDD"), p)
+      val nGenerate = "(?m)^\\s*(?:[+:]-\\s*)?Generate ".r.findAllIn(p).size
+      assert(nGenerate == 1, s"expected 1 Generate node, got $nGenerate:\n$p")
+    }
+  }
+
+  test("AQE: q33 LSH candidates still avoid any cross product") {
+    withAqe {
+      val p = plan("q33_dedup_minhash_lsh")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("Scan ExistingRDD"), p)
+    }
+  }
+
+  test("AQE: answers are identical to the bench-config plans (q32/q76/q91)") {
+    // shape pins above; this pins VALUES — the adaptive planner must not
+    // change any result. Compared via the canonical render sort.
+    import org.apache.spark.sql.graftbridge.Bridge
+    for (q <- Seq("q32_dedup_ngram_jaccard", "q76_decontamination_bloom",
+        "q91_substring_removal")) {
+      val base = Bridge.renderSort(SparkEntry.queries(q)(spark, sf001))
+        .collect().map(_.toString).toSeq
+      val aqe = withAqe {
+        Bridge.renderSort(SparkEntry.queries(q)(spark, sf001))
+          .collect().map(_.toString).toSeq
+      }
+      assert(aqe == base, s"$q: AQE run diverged from bench-config run")
+    }
+  }
+}
