@@ -119,13 +119,17 @@ object TextDedup {
     *
     * Position encoding: pos is 0-based; canonical order compares
     * doc_id·10^7 + pos, so per-doc token counts must stay below 10^7
-    * (loudly guarded — at 100 TB that bound holds for any sane document;
-    * shard first if it doesn't) and doc_id must be non-negative (every
-    * catalog table's id contract — a negative id would corrupt the
-    * encoded ordering silently).
+    * and doc_id must sit in [0, Long.MaxValue/10^7) — both loudly
+    * guarded (at 100 TB the token bound holds for any sane document;
+    * shard first if it doesn't, and re-key ids if they are negative or
+    * beyond ~9.2·10^11 — either would corrupt the encoded ordering
+    * silently if admitted).
     *
     * Output: (doc_id, n_toks, n_kept, clean_text), one row per input doc
-    * (docs shorter than w tokens pass through unchanged).
+    * (docs shorter than w tokens pass through with no spans removed —
+    * note clean_text is still the normalized re-joined token stream,
+    * lowercase [a-z]+ tokens single-space-joined, for EVERY doc, so
+    * duplicate-free documents are not byte-identical to their input).
     */
   def removeDuplicateSpans(docs: DataFrame, w: Int): DataFrame = {
     val Enc = 10000000L
@@ -147,7 +151,12 @@ object TextDedup {
         graft.functions.TokenSpanHashesAll.tokenSpanHashesAll(
           toks(col("text")), w)).as(Seq("pos", "h")))
       .select(col("h"),
-        (col("doc_id") * Enc + when(col("pos") < Enc, col("pos"))
+        (when(col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / Enc,
+            col("doc_id"))
+          .otherwise(raise_error(lit(
+            s"removeDuplicateSpans: doc_id outside [0, ${Long.MaxValue / Enc})" +
+              " — re-key ids first"))) * Enc
+          + when(col("pos") < Enc, col("pos"))
           .otherwise(raise_error(lit(
             s"removeDuplicateSpans: a doc has >= $Enc tokens — shard it first")))
         ).as("k"))

@@ -346,9 +346,15 @@ object PipelineQueries extends QueryGroup {
          |         (a, b) -> (a * 8191 + b) % 1000000007) AS BIGINT) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // q92: the interleave is the SAME generated bit-algebra expression
-    // on both sides (ZOrder.zValueSql == ZOrder.zValue term by term).
+    // on both sides (ZOrder.zValueSql == ZOrder.zValue term by term),
+    // and the bucketing twin is pmod on BOTH sides — DuckDB's % follows
+    // the sign, so the oracle spells pmod as ((e % m) + m) % m; the
+    // twins are algebraically identical for any id sign, not merely on
+    // the fixture's non-negative domain (r8 advisory), and ZValue's
+    // non-negative input precondition holds by construction.
     "q92_zorder_layout" ->
-      s"""WITH b AS (SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+      s"""WITH b AS (SELECT ((user_id % 256) + 256) % 256 AS x,
+         |                  ((event_id % 256) + 256) % 256 AS y FROM events),
          |z AS (SELECT x, y, ${graft.operators.ZOrder.zValueSql("x", "y", 8)} AS z
          |      FROM b)
          |SELECT z // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,

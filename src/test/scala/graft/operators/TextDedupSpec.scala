@@ -96,4 +96,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(again.toSeq === Seq(
       (1L, "a b c d e"), (2L, "x y"), (3L, "z"), (4L, "p q")))
   }
+
+  test("removeDuplicateSpans refuses out-of-range doc_id loudly") {
+    // The encoded canonical ordering (doc_id·10^7 + pos) silently
+    // corrupts first-occurrence selection for negative or overflowing
+    // ids — both must fail loudly like the pos bound does (r8 advisory).
+    val s = spark
+    import s.implicits._
+    for (bad <- Seq(-1L, Long.MaxValue / 10000000L)) {
+      val df = Seq((bad, "a b c d"), (5L, "a b c e")).toDF("doc_id", "text")
+      val e = intercept[Exception] {
+        TextDedup.removeDuplicateSpans(df, 3).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("doc_id outside")), e.toString)
+    }
+  }
 }
