@@ -31,7 +31,7 @@ object TextDedup {
     * [[HashParams]] — the ONE definition shared by the batch profile path
     * and the streaming side of [[nearDupAgainst]], so a params change
     * can't silently desynchronize their signatures. */
-  private def bandStructs: Column = array(
+  private[operators] def bandStructs: Column = array(
     (0 until Bands).map(bd => struct(lit(bd).as("band"),
       concat_ws("-",
         (0 until BandRows).map(r => col(s"mh${BandRows * bd + r}")): _*).as("sig"))): _*)
@@ -244,42 +244,10 @@ object TextDedup {
     * (e.g. dropDuplicatesWithinWatermark) if exactly-one is needed.
     * Output: (doc_id, ref_doc_id, jacc_1e4). */
   def nearDupAgainst(stream: DataFrame, corpus: DataFrame,
-      threshold1e4: Long): DataFrame = {
-    val mhAggs = HashParams.map { case (k, a, b) =>
-      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
-    }
-    val aggs = mhAggs :+ collect_list(col("h")).as("hs") :+ count(lit(1)).as("n")
-    val refProf = shingleHashes(corpus).groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(eager = true)
-    val refBands = bandSignatures(
-      refProf.select(col("doc_id") +: HashParams.map { case (k, _, _) => col(s"mh$k") }: _*))
-      .select(col("doc_id").as("ref_doc_id"),
-        col("band").as("rband"), col("sig").as("rsig"))
-    val refVerify = refProf.select(col("doc_id").as("rv_doc"),
-      col("hs").as("rhs"), col("n").as("rn"))
-
-    val prof = stream
-      .withColumn("hs", graft.functions.TokenSpanHashes.tokenSpanHashes(
-        toks(col("text")), 2))
-      .filter(size(col("hs")) > 0)
-      .select(Seq(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n")) ++
-        HashParams.map { case (k, a, b) =>
-          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)).as(s"mh$k")
-        }: _*)
-    // band explode carries the profile along (joining the stream back to
-    // itself would be a stream-stream join needing watermarks)
-    prof.select(col("doc_id"), col("hs"), col("n"), explode(bandStructs).as("bs"))
-      .select(col("doc_id"), col("hs"), col("n"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .join(refBands, col("band") === col("rband") && col("sig") === col("rsig"))
-      .join(refVerify, col("ref_doc_id") === col("rv_doc"))
-      .withColumn("inter", size(array_intersect(col("hs"), col("rhs"))).cast("long"))
-      .select(col("doc_id"), col("ref_doc_id"),
-        ratio1e4(col("inter").cast("double") /
-          (col("n") + col("rn") - col("inter")).cast("double")).as("jacc_1e4"))
-      .filter(col("jacc_1e4") >= threshold1e4)
-  }
+      threshold1e4: Long): DataFrame =
+    ProfileStore.nearDupAgainstProfile(stream,
+      ProfileStore.profileOf(corpus).localCheckpoint(eager = true),
+      threshold1e4)
 
   /** Asymmetric CONTAINMENT near-dup: C(A→B) = |A∩B| / |A| — the
     * sub-document duplication detector (a short doc fully embedded in a

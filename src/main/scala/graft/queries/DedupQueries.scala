@@ -26,6 +26,35 @@ object DedupQueries extends QueryGroup {
   import graft.operators.TextDedup
   import TextDedup.{HashParams, tokenHashes}
 
+  /** q101's persisted profile store, built ONCE per (session, dataset)
+    * with TWO appends (base corpus, then a later-ingested batch) so the
+    * query genuinely reads base+delta from disk — the StreamTwins
+    * .landedLakes caching physics (bounded LRU; the key strongly
+    * references its SparkSession). A bench rerun re-READS the store; it
+    * does not re-profile the corpus — exactly the operational contract
+    * the store exists to provide. */
+  private val profileStores =
+    new java.util.LinkedHashMap[(SparkSession, String), String](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
+        size() > 8
+    }
+
+  private def storedRefProfile(s: SparkSession, d: String): String =
+    profileStores.synchronized { Option(profileStores.get((s, d))).getOrElse {
+      val path = java.nio.file.Files.createTempDirectory("graft-q101").toString
+      val ref = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") < 2000 && col("doc_id") % 5 =!= 0))
+      // base corpus first, then a "later crawl" batch MERGEd in — the
+      // split is arbitrary (any partition of ref works; the store is
+      // append-only over doc_id-disjoint batches)
+      graft.operators.ProfileStore.append(ref.filter(col("doc_id") % 7 =!= 3), path)
+      graft.operators.ProfileStore.append(ref.filter(col("doc_id") % 7 === 3), path)
+      profileStores.put((s, d), path)
+      path
+    }}
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content hash (sha2 — at 100 TB you never
     // shuffle full text, only the 32-byte digest), keep min doc_id.
@@ -127,6 +156,22 @@ object DedupQueries extends QueryGroup {
       TextDedup.nearDupAgainst(
           docs.filter(col("doc_id") % 5 === 0),
           docs.filter(col("doc_id") % 5 =!= 0), 3000L)
+        .distinct()
+        .orderBy(col("doc_id"), col("ref_doc_id"))
+    }),
+
+    // Dedup-on-ingest against the PERSISTED profile store (r8 verdict
+    // item 5 — the operational 100 TB form of q90): the reference
+    // corpus's band/minhash profile is parquet on disk, built by two
+    // ProfileStore.append calls (base + a later-ingested delta, cost
+    // tracking each batch, never the accumulated corpus), and the
+    // incoming stream probes the READ-BACK profile. Hash-must-equal
+    // q90's from-scratch algebra — same oracle twin.
+    "q101_neardup_profile_store" -> ((s, d) => {
+      val stream = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") < 2000 && col("doc_id") % 5 === 0))
+      val prof = graft.operators.ProfileStore.read(s, storedRefProfile(s, d))
+      graft.operators.ProfileStore.nearDupAgainstProfile(stream, prof, 3000L)
         .distinct()
         .orderBy(col("doc_id"), col("ref_doc_id"))
     }),
@@ -441,6 +486,16 @@ object DedupQueries extends QueryGroup {
     // q90 = the SAME LSH algebra with the candidate join split
     // stream-vs-corpus instead of the self-join upper triangle.
     "q90_neardup_ingest" ->
+      s"""WITH ${lshCtes("a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0")}
+         |SELECT d1 AS doc_id, d2 AS ref_doc_id,
+         |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4
+         |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
+         |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
+         |ORDER BY doc_id, ref_doc_id""".stripMargin,
+
+    // q101 = q90's exact algebra: the profile-store round-trip must not
+    // change a single pair, so the oracle is the same SQL.
+    "q101_neardup_profile_store" ->
       s"""WITH ${lshCtes("a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0")}
          |SELECT d1 AS doc_id, d2 AS ref_doc_id,
          |       CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) AS jacc_1e4

@@ -122,6 +122,35 @@ object ScaleProbe {
       }
     }
 
+    // ProfileStore MERGE maintenance (q101's operator): the accumulated
+    // store grows f×, the ingested delta batch stays FIXED — append
+    // wall-clock must stay FLAT across f, because append profiles only
+    // the delta and blind-appends (it never reads the store). The probe
+    // row (fixed stream vs the f× store) is printed for context: it
+    // scans the accumulated profile, so it may grow with f — that is
+    // the read side, not the maintenance side.
+    if (wanted("profile_store_append")) {
+      val delta = base.filter(col("doc_id") % 20 === 0)
+      val stream = base.filter(col("doc_id") % 20 === 1)
+        .limit(2000).localCheckpoint(true)
+      for (f <- factors) {
+        val corpus = scaled(base.filter(col("doc_id") % 20 =!= 0), f)
+        val path = java.nio.file.Files
+          .createTempDirectory(s"pstore-scale-$f").toString
+        graft.operators.ProfileStore.append(corpus, path) // setup: f× store
+        graft.operators.ProfileStore.append(delta, path)  // warm
+        val (sec, _) = time {
+          graft.operators.ProfileStore.append(delta, path); 0L
+        }
+        def probe(): Long = graft.operators.ProfileStore.nearDupAgainstProfile(
+          stream, graft.operators.ProfileStore.read(spark, path), 3000L).count()
+        probe() // warm
+        val (psec, rows) = time(probe())
+        println(s"""{"op":"profile_store_append","factor":$f,"sec":${f"$sec%.2f"},""" +
+          s""""probe_sec":${f"$psec%.2f"},"rows":$rows}""")
+      }
+    }
+
     // ---- vector operators over scaled embeddings ----
     // Copies are dimension-ROTATED (a cyclic shift of the 64 dims per
     // copy): rotation is an isometry, so every within-copy dot/norm/
