@@ -79,13 +79,22 @@ object Multimodal {
       out.array()
     }
 
-    /** Container sniff + decode: "P6" → PPM, "BM" → BMP; anything else
-      * (or a malformed body) throws — never a silent wrong decode. */
+    /** Container sniff + decode: "P6" → PPM, "BM" → BMP, \x89"PN" → PNG
+      * (RGB only here — the RGBA form carries an alpha channel this RGB
+      * Image can't represent losslessly, so it must go through
+      * [[PngCodec.decode]] / [[Multimodal.pngFeatures]] instead of
+      * being silently flattened); anything else (or a malformed body)
+      * throws — never a silent wrong decode. */
     def decode(bytes: Array[Byte]): Image = {
       require(bytes.length >= 2, "media too short to sniff")
       if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
       else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-      else throw new IllegalArgumentException(
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
+        val png = PngCodec.decode(bytes)
+        require(png.colorType == 2,
+          "RGBA PNG has no lossless RGB view - use PngCodec.decode")
+        Image(png.width, png.height, png.pix)
+      } else throw new IllegalArgumentException(
         f"unsupported media container (magic 0x${bytes(0)}%02x${bytes(1)}%02x)")
     }
 
@@ -230,6 +239,67 @@ object Multimodal {
     var j = 0
     while (j < rgb.length) { rgb(j) = bytes(j % bytes.length); j += 1 }
     Image(w, h, rgb)
+  }
+
+  /** Decoded-PNG features: dims, color type, exact channel sums
+    * (sum_a = 0 for RGB), dark-pixel count over the RGB channels. */
+  case class PngFeatures(doc_id: Long, color_type: Long, width: Long,
+      height: Long, sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long,
+      n_dark: Long)
+
+  /** PNG twin of [[attachImage]]: even doc_ids encode as truecolor RGB
+    * (color type 2), odd as RGBA (color type 6) — byte j of the pixel
+    * stream is text byte j mod len, exactly the [[synthesize]] rule at
+    * the container's own channel width, so the oracle recomputes the
+    * pixel algebra straight from the text. Each row y is encoded with
+    * filter y mod 5 (PngCodec's rotation), putting all five unfilter
+    * paths under the q102 hash. */
+  def attachPng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val colorType = if (id % 2 == 0) 2 else 6
+        val bpp = if (colorType == 6) 4 else 3
+        val w = 8
+        val nPixels = (bytes.length + bpp - 1) / bpp
+        val h = math.max((nPixels + w - 1) / w, 1)
+        val pix = new Array[Byte](bpp * w * h)
+        var j = 0
+        while (j < pix.length) { pix(j) = bytes(j % bytes.length); j += 1 }
+        MediaRecord(id, PngCodec.encode(PngCodec.Png(w, h, colorType, pix)), "png")
+      }
+      .toDF()
+  }
+
+  /** PNG decode stage: the real chunk walk / CRC verify / zlib inflate /
+    * unfilter per record inside one narrow mapPartitions — same shape as
+    * [[imageFeatures]], plus the alpha channel sum for RGBA. */
+  def pngFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val png = PngCodec.decode(r.content)
+          val bpp = png.bpp
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L; var dark = 0L
+          var i = 0
+          val n = png.width * png.height
+          while (i < n) {
+            val r8 = png.pix(bpp * i) & 0xff
+            val g8 = png.pix(bpp * i + 1) & 0xff
+            val b8 = png.pix(bpp * i + 2) & 0xff
+            sr += r8; sg += g8; sb += b8
+            if (bpp == 4) sa += png.pix(bpp * i + 3) & 0xff
+            if ((299L * r8 + 587L * g8 + 114L * b8) / 1000L < 128L) dark += 1
+            i += 1
+          }
+          PngFeatures(r.doc_id, png.colorType.toLong, png.width.toLong,
+            png.height.toLong, sr, sg, sb, sa, dark)
+        }
+      }
+      .toDF()
   }
 
   /** The decode stage: narrow (partition-preserving), no shuffle;

@@ -56,6 +56,22 @@ object MultimodalQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // PNG decode (round 9, r8 verdict item 6): the first real-world
+    // COMPRESSED container in the family — chunk walk, per-chunk CRC32
+    // verify, zlib inflate (JDK Inflater), and all five scanline
+    // unfilters (the encoder rotates filter y mod 5, so None/Sub/Up/
+    // Average/Paeth are ALL under this hash). Even docs are RGB (color
+    // type 2), odd RGBA (6, with the exact alpha-channel sum). The
+    // oracle recomputes the pixel algebra straight from the text bytes
+    // at the container's channel width.
+    "q102_png_decode" -> ((s, d) => {
+      val media = Multimodal.attachPng(s, Tables.documents(s, d))
+      Multimodal.pngFeatures(s, media)
+        .select(col("doc_id"), col("color_type"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"), col("n_dark"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Audio features from REAL decoded RIFF/WAVE PCM: header fields,
     // integer duration, peak, exact sum-of-squares energy, sign-flip
     // zero crossings. The fixture WAVs carry an odd-sized JUNK chunk, so
@@ -139,6 +155,41 @@ object MultimodalQueries extends QueryGroup {
   }
 
   override def oracle: Map[String, String] = Map(
+    // q102: same byte-cycling synthesis at the container's own channel
+    // width (3 for RGB, 4 for RGBA); the decoder's CRC/inflate/unfilter
+    // chain must reproduce this algebra exactly.
+    "q102_png_decode" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len
+        |           FROM documents WHERE strlen(text) > 0),
+        |dims AS (SELECT doc_id, text, len, bpp,
+        |           ((len + bpp - 1) // bpp + 7) // 8 AS h
+        |         FROM (SELECT doc_id, text, len,
+        |                 CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS bpp
+        |               FROM d)),
+        |bs AS (SELECT doc_id, bpp, h, list_transform(range(0, bpp * 8 * h),
+        |         j -> CAST(ascii(text[(j % len) + 1]) AS BIGINT)) AS b
+        |       FROM dims),
+        |ch AS (SELECT doc_id, bpp, h,
+        |         list_transform(range(0, 8 * h), i -> b[bpp * i + 1]) AS rs,
+        |         list_transform(range(0, 8 * h), i -> b[bpp * i + 2]) AS gs,
+        |         list_transform(range(0, 8 * h), i -> b[bpp * i + 3]) AS bls,
+        |         CASE WHEN bpp = 4
+        |           THEN list_reduce(list_transform(range(0, 8 * h),
+        |                  i -> b[4 * i + 4]), (a, x) -> a + x)
+        |           ELSE 0 END AS suma
+        |       FROM bs)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS BIGINT) AS color_type,
+        |  CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_reduce(rs, (a, b) -> a + b) AS BIGINT) AS sum_r,
+        |  CAST(list_reduce(gs, (a, b) -> a + b) AS BIGINT) AS sum_g,
+        |  CAST(list_reduce(bls, (a, b) -> a + b) AS BIGINT) AS sum_b,
+        |  CAST(suma AS BIGINT) AS sum_a,
+        |  CAST(len(list_filter(range(0, 8 * h),
+        |    i -> (299 * rs[i + 1] + 587 * gs[i + 1] + 114 * bls[i + 1]) // 1000 < 128))
+        |    AS BIGINT) AS n_dark
+        |FROM ch ORDER BY doc_id""".stripMargin,
+
     "q94_image_resize" ->
       s"""WITH $imageCtes,
          |rz AS (SELECT doc_id, h, (h + 1) // 2 AS oh, b FROM bs)
