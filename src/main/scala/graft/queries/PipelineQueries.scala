@@ -178,6 +178,69 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Pipeline DROP ACCOUNTING (round 9, r8 verdict item 7 — the
+    // governance complement of q100): per-stage (stage, docs, tokens)
+    // for every document the pipeline removes, emitted from ONE labeled
+    // plan — each doc gets the FIRST stage that drops it (eval holdout →
+    // exact dedup → quality → decontamination → kept) via a when-chain,
+    // then a single conditional aggregation; no second corpus pass, no
+    // per-stage re-run. The 'kept' row reconciles exactly with q100's
+    // survivor totals by construction (identical stage algebra — same
+    // dedup window, same score, same contamination set computed from the
+    // quality survivors), and the oracle recomputes the whole labeling.
+    "q103_pipeline_audit" -> ((s, d) => {
+      val all = Tables.spread(Tables.documents(s, d))
+      val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val base = all
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("tok_chars",
+          aggregate(transform(col("t"), x => length(x).cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(col("t"), x => x.isin(enStops: _*))).cast("long"))
+        .withColumn("score_1e4",
+          ratio1e4(lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * coalesce(col("n_stop").cast("double") /
+              nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)) +
+            lit(0.3) * least(coalesce(col("tok_chars") /
+              nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)) / 10.0, lit(1.0))))
+      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      val corpus = base.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("__h", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(w))
+      val scored = corpus.filter(col("rn") === 1 && col("score_1e4") >= 5000)
+      val evalSpans = graft.operators.TextDedup
+        .spanHashes(all.filter(col("doc_id") % 10 === 7), 5)
+        .select(col("h").as("eh")).distinct()
+      val contaminated = graft.operators.TextDedup
+        .spanHashes(scored.select(col("doc_id"), col("text")), 5)
+        .join(evalSpans, col("h") === col("eh"), "leftsemi")
+        .select(col("doc_id")).distinct()
+        .withColumn("is_cont", lit(1))
+      val labeled = corpus.join(contaminated, Seq("doc_id"), "left")
+        .select(
+          when(col("rn") =!= 1, "exact_dedup")
+            .when(coalesce(col("score_1e4"), lit(-1L)) < 5000, "quality")
+            .when(col("is_cont").isNotNull, "decontamination")
+            .otherwise("kept").as("stage"),
+          coalesce(col("n_tokens"), lit(0L)).as("nt"))
+      val holdout = base.filter(col("doc_id") % 10 === 7)
+        .select(lit("eval_holdout").as("stage"),
+          coalesce(col("n_tokens"), lit(0L)).as("nt"))
+      labeled.union(holdout)
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("sum_tok"))
+        .withColumn("stage_idx",
+          when(col("stage") === "eval_holdout", 1L)
+            .when(col("stage") === "exact_dedup", 2L)
+            .when(col("stage") === "quality", 3L)
+            .when(col("stage") === "decontamination", 4L)
+            .otherwise(5L))
+        .select(col("stage_idx"), col("stage"), col("n_docs"), col("sum_tok"))
+        .orderBy(col("stage_idx"))
+    }),
+
     // Context-window CHUNKING with stride (round 8; the step before
     // packing in a pretraining/RAG pipeline): window 64 tokens, stride
     // 48 (16-token overlap) — chunk k covers tokens [48k, 48k+64) while
@@ -328,6 +391,57 @@ object PipelineQueries extends QueryGroup {
          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tok,
          |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q103: the same stage algebra as q100's oracle, but labeling every
+    // corpus doc with its first dropping stage instead of keeping only
+    // survivors — the 'kept' row must equal q100's totals.
+    "q103_pipeline_audit" ->
+      s"""WITH tok AS (SELECT doc_id, text,
+         |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+         |        FROM documents),
+         |m AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(t) > 0
+         |             THEN list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+         |             ELSE 0.0 END AS tok_chars,
+         |        CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         |      FROM tok),
+         |sc AS (SELECT doc_id, text, n_tokens,
+         |         CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |                   + 0.3 * COALESCE(CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0)
+         |                   + 0.3 * least(COALESCE(tok_chars / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) / 10.0, 1.0))
+         |                   * 10000 + 0.5) AS BIGINT) AS score_1e4
+         |       FROM m),
+         |corpus AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |           FROM sc WHERE doc_id % 10 <> 7),
+         |surv AS (SELECT * FROM corpus WHERE rn = 1 AND score_1e4 >= 5000),
+         |evt AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                                  x -> x <> ''), w -> $strHashSqlW) AS th
+         |        FROM documents WHERE doc_id % 10 = 7),
+         |ev AS (SELECT DISTINCT list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS eh
+         |       FROM evt, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |st AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                                 x -> x <> ''), w -> $strHashSqlW) AS th
+         |       FROM surv),
+         |ssp AS (SELECT DISTINCT doc_id,
+         |          list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |        FROM st, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |contam AS (SELECT DISTINCT doc_id FROM ssp WHERE h IN (SELECT eh FROM ev)),
+         |lab AS (
+         |  SELECT CASE WHEN rn <> 1 THEN 'exact_dedup'
+         |              WHEN COALESCE(score_1e4, -1) < 5000 THEN 'quality'
+         |              WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'decontamination'
+         |              ELSE 'kept' END AS stage,
+         |         COALESCE(n_tokens, 0) AS nt
+         |  FROM corpus
+         |  UNION ALL
+         |  SELECT 'eval_holdout' AS stage, COALESCE(n_tokens, 0) AS nt
+         |  FROM sc WHERE doc_id % 10 = 7)
+         |SELECT CAST(CASE stage WHEN 'eval_holdout' THEN 1 WHEN 'exact_dedup' THEN 2
+         |                       WHEN 'quality' THEN 3 WHEN 'decontamination' THEN 4
+         |                       ELSE 5 END AS BIGINT) AS stage_idx,
+         |       stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nt) AS BIGINT) AS sum_tok
+         |FROM lab GROUP BY stage ORDER BY 1""".stripMargin,
 
     "q98_chunk_stride" ->
       s"""WITH t AS (SELECT doc_id,
