@@ -78,41 +78,52 @@ object AnnRecall {
       report("lsh_hyperplane", s"bits=$bits", got, 1.0 / (1L << bits))
     }
 
-    // IVF: recall vs nprobe over vec_id%101-seeded centroids (~1% of
-    // corpus as centroids; scanned fraction ~= nprobe / nCentroids)
+    // IVF: recall vs nprobe (scanned fraction ~= nprobe / nCentroids).
+    // ivfTopK takes ONE query vector; run it per probe via the batch
+    // bucket path instead: assign base once, then per-probe top-k
+    // among the nprobe nearest centroids' members.
+    def ivfSweep(method: String, cent: DataFrame): Unit = {
+      val nCent = cent.count().toDouble
+      for (nprobe <- Seq(1, 4, 8)) {
+        val asg = base.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"),
+            col("cid"), Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+              .orderBy(col("ccos").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid").as("acid"))
+        val probeCents = probes.crossJoin(broadcast(cent))
+          .select(col("pid"), col("pv"), col("cid"),
+            Similarity.cosine(col("pv"), col("cv")).as("pcos"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+              .orderBy(col("pcos").desc, col("cid"))))
+          .filter(col("rn") <= nprobe)
+          .select(col("pid"), col("pv"), col("cid").as("pcid"))
+        val got = asg.join(probeCents, col("acid") === col("pcid"))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("pv")).as("score"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+              .orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") <= k)
+        report(method, s"nprobe=$nprobe", got, nprobe / nCent)
+      }
+    }
+
+    // fixed seed centroids: vec_id%101 sample (~1% of corpus)
     val cent = base.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val nCent = cent.count().toDouble
-    for (nprobe <- Seq(1, 4, 8)) {
-      // ivfTopK takes ONE query vector; run it per probe via the batch
-      // bucket path instead: assign base once, then per-probe top-k
-      // among the nprobe nearest centroids' members
-      val asg = base.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"),
-          col("cid"), Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("ccos").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("acid"))
-      val probeCents = probes.crossJoin(broadcast(cent))
-        .select(col("pid"), col("pv"), col("cid"),
-          Similarity.cosine(col("pv"), col("cv")).as("pcos"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
-            .orderBy(col("pcos").desc, col("cid"))))
-        .filter(col("rn") <= nprobe)
-        .select(col("pid"), col("pv"), col("cid").as("pcid"))
-      val got = asg.join(probeCents, col("acid") === col("pcid"))
-        .filter(col("vec_id") =!= col("pid"))
-        .select(col("pid"), col("vec_id"),
-          Similarity.cosine(col("embedding"), col("pv")).as("score"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
-            .orderBy(col("score").desc, col("vec_id"))))
-        .filter(col("rn") <= k)
-      report("ivf", s"nprobe=$nprobe", got, nprobe / nCent)
-    }
+    ivfSweep("ivf", cent)
+    // TRAINED centroids (r8 verdict item 8): the same seeds refined by
+    // the library's Lloyd loop (kmeansTrain, q78's operator) — the
+    // "trained offline" assumption the IVF index documents, now actually
+    // wired in. Same nprobe sweep ⇒ same scanned fraction, so any
+    // recall gain is pure index quality.
+    ivfSweep("ivf_trained",
+      Similarity.kmeansTrain(base, "vec_id", "embedding", cent, iters = 3))
 
     println(s"""{"method":"brute_force","param":"exact","k":$k,""" +
       s""""n_probes":$nProbes,"recall":1.0,"scanned_frac":1.0,"n_base":$nBase}""")
