@@ -163,6 +163,70 @@ class CompactSpec extends SparkTestBase {
     }
   }
 
+  test("kill→compact→restart: snapshot+delta equals full history (r8 verdict item 9)") {
+    // Composes r7's restart recovery with r8's compaction through the
+    // REAL landing pipeline: the capture stream dies after committing
+    // part of the feed (leaving an uncommitted parquet file in the lake
+    // dir — the debris a mid-batch kill produces), the partial lake is
+    // compacted, the stream restarts from the SAME checkpoint and lands
+    // the rest, and readCurrentState over snapshot+delta must equal the
+    // full-history fold — with the orphan file ignored via the sink's
+    // _spark_metadata commit log.
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("cr-src")
+    Files.writeString(src.resolve("changes-00000.jsonl"),
+      """{"eventType":"WriteRowsEventV2","binlogFile":"mysql-bin.000001","binlogPosition":120,"database":"db","table":"t","colNames":["pk","v"],"rows":[["k1","1"]]}
+        |{"eventType":"WriteRowsEventV2","binlogFile":"mysql-bin.000001","binlogPosition":200,"database":"db","table":"t","colNames":["pk","v"],"rows":[["k2","2"]]}
+        |{"eventType":"UpdateRowsEventV2","binlogFile":"mysql-bin.000001","binlogPosition":260,"database":"db","table":"t","colNames":["pk","v"],"rows":[["k1","1"],["k1","3"]]}""".stripMargin)
+    val cfg = Config.parse(
+      """{"serverId":"cr1","itemByRow":true,"dbTables":{"db":["t"]}}""")
+    val lake = Files.createTempDirectory("cr-lake").toString
+    val ckpt = Files.createTempDirectory("cr-ckpt").toString
+    assert(CdcPipeline.land(spark, cfg, src.toString, ckpt, lake)
+      .awaitTermination(60000))
+    // the kill's debris: a well-formed parquet file in the partition dir
+    // that no sink commit ever logged — if the lake read trusted the
+    // directory listing instead of _spark_metadata, this poison row
+    // (k1 at a far-future position) would win every merge below
+    val orphanSrc = Files.createTempDirectory("cr-orphan").toString
+    Seq(("INSERT", 999999L, 0, row("k1", 999)))
+      .toDF("operation", "binlog_position", "row_idx", "rows_json")
+      .withColumn("binlog_file", lit("mysql-bin.000009"))
+      .coalesce(1).write.mode("overwrite").parquet(orphanSrc)
+    val orphan = Files.list(java.nio.file.Paths.get(orphanSrc))
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(orphan, java.nio.file.Paths.get(
+      lake, "database=db", "table=t", "part-99999-orphan.parquet"))
+    // compact the partial lake (covers the whole first segment)
+    val snap = Files.createTempDirectory("cr-snap").toString
+    val hw = CdcPipeline.compact(spark, lake, snap, "db", "t", "pk")
+    assert(hw == ("mysql-bin.000001", 260L))
+    assert(state(lake, snap) == Seq("k1" -> 3L, "k2" -> 2L))
+    // the feed continues; restart from the SAME checkpoint lands ONLY
+    // the new segment (exactly-once via source offsets + sink log)
+    Files.writeString(src.resolve("changes-00001.jsonl"),
+      """{"eventType":"DeleteRowsEventV2","binlogFile":"mysql-bin.000002","binlogPosition":30,"database":"db","table":"t","colNames":["pk","v"],"rows":[["k2","2"]]}
+        |{"eventType":"WriteRowsEventV2","binlogFile":"mysql-bin.000002","binlogPosition":50,"database":"db","table":"t","colNames":["pk","v"],"rows":[["k3","9"]]}
+        |{"eventType":"UpdateRowsEventV2","binlogFile":"mysql-bin.000002","binlogPosition":80,"database":"db","table":"t","colNames":["pk","v"],"rows":[["k1","3"],["k1","7"]]}""".stripMargin)
+    assert(CdcPipeline.land(spark, cfg, src.toString, ckpt, lake)
+      .awaitTermination(60000))
+    // snapshot (first segment) + delta (second) = the full-history fold;
+    // the orphan's poison row must be invisible
+    val merged = state(lake, snap)
+    assert(merged == Seq("k1" -> 7L, "k3" -> 9L))
+    // and identical to a from-scratch compaction of the whole lake
+    val snap2 = Files.createTempDirectory("cr-snap2").toString
+    assert(CdcPipeline.compact(spark, lake, snap2, "db", "t", "pk")
+      == ("mysql-bin.000002", 80L))
+    assert(state(lake, snap2) == merged)
+    // re-compacting the ORIGINAL snapshot across the restart boundary
+    // also converges to the same state
+    assert(CdcPipeline.compact(spark, lake, snap, "db", "t", "pk")
+      == ("mysql-bin.000002", 80L))
+    assert(state(lake, snap) == merged)
+  }
+
   test("the delta read prunes: (file, position) range filter reaches the lake scan") {
     val lake = writeLake(Seq(
       ("INSERT", 1L, 0, row("k1", 10)), ("UPDATE", 5L, 0, row("k1", 11))))
