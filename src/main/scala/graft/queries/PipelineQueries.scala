@@ -178,6 +178,41 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Deterministic balanced downsampling (round 9; the APPLY side of
+    // q84's mixture weights): every language downsampled to the
+    // smallest language's size by a ppm-rate hash filter — no RNG, no
+    // order dependence, stable membership as the corpus grows. The
+    // per-group rate dim is |langs|-sized and broadcast; everything
+    // else is per-row integer algebra.
+    "q104_mixture_sample" -> ((s, d) => {
+      val base = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"))
+      val rates = graft.operators.Sampling.balancedRates(base, "lang")
+      val kept = graft.operators.Sampling.balancedByGroup(base, "lang", "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("__k"), sum(col("doc_id")).cast("long").as("__s"))
+      // left join from the rates dim: a group whose sample came up empty
+      // still reports (n_kept = 0), matching the oracle's LEFT JOIN
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n").as("n_before"), col("rate_1e6"),
+          coalesce(col("__k"), lit(0L)).as("n_kept"),
+          coalesce(col("__s"), lit(0L)).as("sum_kept_ids"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic per-group "reservoir" (round 9): the k=25 docs with
+    // the smallest priority hash per language — a uniform k-sample
+    // under a fixed hash order, independent of scan order and
+    // partitioning (a true reservoir is neither). Runs as a per-group
+    // top-k window ⇒ WindowGroupLimit: partial top-k inside every map
+    // task BEFORE the exchange, ~k rows per (task, group) shuffle.
+    "q105_reservoir_per_group" -> ((s, d) =>
+      graft.operators.Sampling.topKByPriority(
+          Tables.spread(Tables.documents(s, d)).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", 25)
+        .select(col("lang"), col("doc_id"), col("priority"))
+        .orderBy(col("lang"), col("priority"), col("doc_id"))),
+
     // Pipeline DROP ACCOUNTING (round 9, r8 verdict item 7 — the
     // governance complement of q100): per-stage (stage, docs, tokens)
     // for every document the pipeline removes, emitted from ONE labeled
@@ -391,6 +426,28 @@ object PipelineQueries extends QueryGroup {
          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tok,
          |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q104_mixture_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n,
+        |        CAST((SELECT MIN(n) FROM c) * 1000000 // n AS BIGINT) AS rate_1e6
+        |      FROM c),
+        |k AS (SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
+        |      WHERE ((d.doc_id % 1000000007) * 40503 + 17) % 1000000007 % 1000000 < r.rate_1e6)
+        |SELECT r.lang, r.n AS n_before, r.rate_1e6,
+        |       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+        |       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+        |FROM r LEFT JOIN k ON r.lang = k.lang
+        |GROUP BY r.lang, r.n, r.rate_1e6 ORDER BY r.lang""".stripMargin,
+
+    "q105_reservoir_per_group" ->
+      """WITH p AS (SELECT lang, doc_id,
+        |             CAST(((doc_id % 1000000007) * 40503 + 17) % 1000000007 AS BIGINT) AS priority
+        |           FROM documents),
+        |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |                   ORDER BY priority, doc_id) AS rn FROM p)
+        |SELECT lang, doc_id, priority FROM rr WHERE rn <= 25
+        |ORDER BY lang, priority, doc_id""".stripMargin,
 
     // q103: the same stage algebra as q100's oracle, but labeling every
     // corpus doc with its first dropping stage instead of keeping only
