@@ -162,6 +162,25 @@ object VectorQueries extends QueryGroup {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // IVF search over TRAINED centroids (round 9; closes the loop the
+    // r8 AnnRecall wiring measured): q78's one-round Lloyd refinement
+    // feeds q36's IVF probe — train on the corpus, assign the corpus to
+    // the TRAINED centroids, probe the query's top-2 trained clusters,
+    // exact-cosine top-5. The oracle unrolls the training round and the
+    // probe in one CTE chain, so the full trained-index search path is
+    // hash-checked, not just recall-measured.
+    "q106_ivf_trained_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent0 = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val base = e.filter(col("vec_id") < 500)
+      val trained = graft.operators.Similarity.kmeansTrain(
+        base, "vec_id", "v", cent0, iters = 1)
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      graft.operators.Similarity.ivfTopK(
+        base.filter(col("vec_id") =!= 1), "vec_id", "v", trained, q, 5, 2, decD)
+    }),
+
     // SemDeDup-style semantic dedup (Similarity.semanticDedup): nearest-
     // centroid clustering, then within-cluster cosine pruning — pair
     // candidates come from EQUALITY on the assigned cluster id, the
@@ -370,6 +389,40 @@ object VectorQueries extends QueryGroup {
          |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
+
+    // q106 = q78's unrolled training round feeding q36's probe shape.
+    "q106_ivf_trained_search" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+         |asg1 AS (SELECT vec_id, cid, v FROM (
+         |  SELECT base.vec_id, cent.cid, base.v,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM base, cent) t WHERE rn = 1),
+         |px1 AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |               CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |        FROM asg1, unnest(range(1, len(v) + 1)) u(i)),
+         |upd1 AS (SELECT cid, list(CAST(sx AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS ncv
+         |         FROM (SELECT cid, pos, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx
+         |               FROM px1 GROUP BY 1, 2)
+         |         GROUP BY cid),
+         |cent2 AS (SELECT cent.cid, COALESCE(upd1.ncv, cent.cv) AS cv
+         |          FROM cent LEFT JOIN upd1 USING (cid)),
+         |asg AS (SELECT vec_id AS bid, cid AS acid FROM (
+         |  SELECT base.vec_id, cent2.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent2.cv")} DESC, cent2.cid) AS rn
+         |  FROM base, cent2) t WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+         |probe AS (SELECT cid AS pcid FROM cent2, q
+         |          ORDER BY ${duckCos("cent2.cv", "q.qv")} DESC, cid LIMIT 2)
+         |SELECT base.vec_id, CAST(CAST(${duckCos("base.v", "q.qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |FROM base JOIN asg ON base.vec_id = asg.bid
+         |          JOIN probe ON asg.acid = probe.pcid, q
+         |WHERE base.vec_id <> 1
+         |ORDER BY score DESC, base.vec_id LIMIT 5""".stripMargin,
 
     "q78_kmeans_train" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
