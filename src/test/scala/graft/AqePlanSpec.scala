@@ -109,6 +109,20 @@ class AqePlanSpec extends SparkTestBase {
     }
   }
 
+  test("AQE: q101 profile-store probe candidates stay band-equality joins") {
+    withAqe {
+      val p = plan("q101_neardup_profile_store")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("AQE: q105 per-group reservoir keeps its WindowGroupLimit") {
+    withAqe {
+      val p = plan("q105_reservoir_per_group")
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
   test("AQE: answers are identical to the bench-config plans (q32/q76/q91)") {
     // shape pins above; this pins VALUES — the adaptive planner must not
     // change any result. Compared via the canonical render sort.

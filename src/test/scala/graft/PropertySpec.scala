@@ -213,6 +213,51 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("PNG codec round-trips arbitrary pixel data bit-exactly (RGB and RGBA)") {
+    import graft.multimodal.PngCodec
+    cases(Gen.zip(Gen.choose(1, 24), Gen.choose(1, 24),
+        Gen.oneOf(2, 6), Gen.long), 60) { case (w, h, ct, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val bpp = if (ct == 6) 4 else 3
+      val src = PngCodec.Png(w, h, ct,
+        Array.fill(bpp * w * h)(rnd.nextInt(256).toByte))
+      val dec = PngCodec.decode(PngCodec.encode(src))
+      assert(dec.width === w && dec.height === h && dec.colorType === ct)
+      assert(dec.pix.toSeq === src.pix.toSeq)
+    }
+  }
+
+  test("BPE trainTraceLocal equals the distributed loop on arbitrary corpora") {
+    import graft.operators.BpeTrain
+    import spark.implicits._
+    val wordGen = Gen.listOfN(6, Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    cases(Gen.zip(wordGen, Gen.choose(1, 6)), 12) { case (words, merges) =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val key = "spark.graft.bpe.localVocabMax"
+      val local = BpeTrain.trainTrace(docs, "text", merges)
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "0")
+        assert(BpeTrain.trainTrace(docs, "text", merges) === local)
+      } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
+  test("hashSample keeps exactly the ids a driver-side model predicts") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    cases(Gen.zip(Gen.listOfN(40, Gen.choose(0L, 1000000L)),
+        Gen.choose(0L, 1000000L)), 25) { case (ids, rate) =>
+      val kept = Sampling.hashSample(
+          ids.distinct.toDF("doc_id"), "doc_id", lit(rate))
+        .collect().map(_.getLong(0)).toSet
+      val model = ids.distinct.filter(i =>
+        ((i % 1000000007L) * 40503L + 17L) % 1000000007L % 1000000L < rate).toSet
+      assert(kept === model)
+    }
+  }
+
   test("BPE mergeOnce never increases length and preserves concatenation") {
     import graft.operators.BpeTrain
     val symGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "bc")).map(_.toSeq)
