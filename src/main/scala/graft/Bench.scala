@@ -114,6 +114,7 @@ object Bench {
       s""""elapsed_landing_sec":${opt(graft.queries.StreamTwins.landingElapsedSec)},""" +
       s""""elapsed_compact_sec":${opt(graft.queries.StreamTwins.compactElapsedSec)},""" +
       s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
+      s""""elapsed_profile_store_sec":${opt(graft.queries.DedupQueries.profileStoreElapsedSec)},""" +
       f""""sf":"$sfDir"}"""
     // Tail-safe artifact protocol (r8 verdict item 2): the full JSON line
     // is ~4 KB at 100 queries and the round harness's stdout capture has
