@@ -72,6 +72,40 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadBefore = loadAvg
+    // Host-mode calibration (r9): this environment's JVM throughput is
+    // bimodal (~25-30% swings on identical code — BASELINE.md r9 A/B).
+    // A fixed, deterministic single-thread integer workload timed at
+    // bench start stamps each artifact with the mode it ran under, so
+    // cross-round ratios can be normalized instead of guessed at.
+    def calibrate(): Double = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // JIT warm
+    val hostCalibSec = calibrate()
+    // second axis: memory bandwidth (a page-cache/THP mode shift shows
+    // here even when the ALU number is flat) — 256 MB scanned 4×
+    def calibrateMem(): Double = {
+      val a = new Array[Long](32 * 1024 * 1024)
+      var j = 0
+      while (j < a.length) { a(j) = j.toLong * 0x9E3779B97F4A7C15L; j += 1 }
+      val t0 = System.nanoTime()
+      var pass = 0; var s = 0L
+      while (pass < 4) {
+        var i = 0
+        while (i < a.length) { s += a(i); i += 1 }
+        pass += 1
+      }
+      if (s == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateMem() // warm
+    val hostCalibMemSec = calibrateMem()
     if (loadBefore > 2.0)
       System.err.println(
         f"[bench] WARNING: load average $loadBefore%.2f before run — " +
@@ -115,6 +149,7 @@ object Bench {
       s""""elapsed_compact_sec":${opt(graft.queries.StreamTwins.compactElapsedSec)},""" +
       s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
       s""""elapsed_profile_store_sec":${opt(graft.queries.DedupQueries.profileStoreElapsedSec)},""" +
+      f""""host_calib_sec":$hostCalibSec%.3f,"host_calib_mem_sec":$hostCalibMemSec%.3f,""" +
       f""""sf":"$sfDir"}"""
     // Tail-safe artifact protocol (r8 verdict item 2): the full JSON line
     // is ~4 KB at 100 queries and the round harness's stdout capture has
