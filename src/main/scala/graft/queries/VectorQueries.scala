@@ -162,6 +162,19 @@ object VectorQueries extends QueryGroup {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // Deterministic text embeddings by hashed random projection (round
+    // 9; the text→vector BRIDGE — feature extraction with NO external
+    // model, NO vocabulary, NO stored matrix): embed[d] = Σ tf·c_d(h),
+    // coefficients generated from the portable token hash per dim
+    // (TextEmbed). One token explode + ONE groupBy carrying all dims as
+    // aggregate columns; the fixed-point sums are exact integers, so
+    // the embedding is bit-identical across engines. The oracle SQL is
+    // GENERATED from the same coefA/coefB, so the twin can't desync.
+    "q107_text_embedding" -> ((s, d) =>
+      graft.operators.TextEmbed.embedFixedPoint(
+          Tables.spread(Tables.documents(s, d)), "text", 8)
+        .orderBy(col("doc_id"))),
+
     // IVF search over TRAINED centroids (round 9; closes the loop the
     // r8 AnnRecall wiring measured): q78's one-round Lloyd refinement
     // feeds q36's IVF probe — train on the corpus, assign the corpus to
@@ -389,6 +402,26 @@ object VectorQueries extends QueryGroup {
          |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
+
+    // q107: coefficients generated from TextEmbed.coefA/coefB — one
+    // definition drives both engines.
+    "q107_text_embedding" -> {
+      val strHashW =
+        """list_reduce(list_transform(range(1, length(w) + 1),
+          |                           i -> CAST(ascii(w[i]) AS BIGINT)),
+          |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+      val dimSums = (0 until 8).map(d =>
+        s"CAST(SUM(((th * ${graft.operators.TextEmbed.coefA(d)} + " +
+          s"${graft.operators.TextEmbed.coefB(d)}) % 1000000007) % 2001 - 1000) " +
+          s"AS BIGINT) AS e$d").mkString(",\n       ")
+      s"""WITH t AS (SELECT doc_id,
+         |             unnest(list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                               x -> x <> ''), w -> $strHashW)) AS th
+         |           FROM documents)
+         |SELECT doc_id,
+         |       $dimSums
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // q106 = q78's unrolled training round feeding q36's probe shape.
     "q106_ivf_trained_search" ->
