@@ -53,11 +53,18 @@ object Sampling {
     * columns; kept counts land within integer-rounding of the minimum
     * group. */
   def balancedByGroup(df: DataFrame, groupCol: String,
-      idCol: String): DataFrame = {
-    val rates = balancedRates(df, groupCol).select(col(groupCol), col("rate_1e6"))
-    hashSample(df.join(broadcast(rates), groupCol), idCol, col("rate_1e6"))
+      idCol: String): DataFrame =
+    balancedByGroup(df, groupCol, idCol, balancedRates(df, groupCol))
+
+  /** [[balancedByGroup]] against a PRECOMPUTED rates dim (from
+    * [[balancedRates]]) — callers that also report the rates reuse one
+    * group-statistics pass instead of paying it twice. */
+  def balancedByGroup(df: DataFrame, groupCol: String, idCol: String,
+      rates: DataFrame): DataFrame =
+    hashSample(
+        df.join(broadcast(rates.select(col(groupCol), col("rate_1e6"))), groupCol),
+        idCol, col("rate_1e6"))
       .drop("rate_1e6")
-  }
 
   /** Deterministic per-group "reservoir": the k rows with the smallest
     * priority hash in each group (ties by id). Equivalent to a uniform

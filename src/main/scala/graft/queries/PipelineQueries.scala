@@ -188,7 +188,8 @@ object PipelineQueries extends QueryGroup {
       val base = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"))
       val rates = graft.operators.Sampling.balancedRates(base, "lang")
-      val kept = graft.operators.Sampling.balancedByGroup(base, "lang", "doc_id")
+      val kept = graft.operators.Sampling
+        .balancedByGroup(base, "lang", "doc_id", rates)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("__k"), sum(col("doc_id")).cast("long").as("__s"))
       // left join from the rates dim: a group whose sample came up empty
