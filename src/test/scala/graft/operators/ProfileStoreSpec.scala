@@ -35,6 +35,36 @@ class ProfileStoreSpec extends SparkTestBase {
     assert(viaStore.map(_._2).toSet == Set(10L, 12L))
   }
 
+  test("a STREAM probes the stored profile (stream-static, append-safe)") {
+    // the operational loop closed: profile persisted on disk, incoming
+    // docs arrive as a STREAM, the probe is a stream-static join against
+    // the read-back store — no stream-side aggregation, so append mode
+    // holds and the store can keep growing between restarts
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val path = java.nio.file.Files.createTempDirectory("pstore-stream").toString
+    ProfileStore.append(Seq((100L, base)).toDF("doc_id", "text"), path)
+    ProfileStore.append(Seq(
+      (200L, "completely different content about spark catalyst execution plans"))
+      .toDF("doc_id", "text"), path)
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = ProfileStore.nearDupAgainstProfile(
+      in.toDF().toDF("doc_id", "text"), ProfileStore.read(s, path), 3000L)
+    val q = out.writeStream.format("memory").queryName("pstore_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, base.replace("today", "tomorrow")),
+        (2L, "totally unrelated words about cooking pasta at home tonight"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT DISTINCT doc_id, ref_doc_id FROM pstore_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("append profiles only the delta's docs") {
     val s = spark
     import s.implicits._

@@ -27,6 +27,24 @@ class TextEmbedSpec extends SparkTestBase {
       assert(fp(1L)(d) == 2 * one.getLong(d + 1) + beta.getLong(d + 1))
   }
 
+  test("bridge: hashed embeddings feed the vector near-dup operator") {
+    // the reason the op exists — text flows into the Similarity family
+    // with no external model: near-identical docs land near-identical
+    // embeddings (shared tf mass), unrelated docs do not collide
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, "completely different content about spark catalyst execution plans"))
+      .toDF("doc_id", "text")
+    val emb = TextEmbed.embed(docs, "text", 16)
+    val pairs = Similarity.nearDupPairs(emb, "doc_id", "emb", lit(0.9),
+        maxRows = 1000L)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs)
+  }
+
   test("embedding is one narrow pass: no join, no window, one aggregate") {
     val s = spark
     import s.implicits._
