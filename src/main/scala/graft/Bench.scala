@@ -106,6 +106,66 @@ object Bench {
     }
     calibrateMem() // warm
     val hostCalibMemSec = calibrateMem()
+    // third axis: PARALLEL CPU throughput — the r9 FloorProbe showed the
+    // slow mode leaves the scheduler floor and scans untouched and taxes
+    // only many-core CPU work (the dedup/text family), so a 1-thread
+    // loop can miss it: all logical cores spin the same fixed workload,
+    // wall-clock = the worst-mode signal the heavy queries actually see.
+    def calibratePar(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { _ =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L; var i = 0L
+          while (i < 100000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42L) System.err.println("")
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibratePar() // warm
+    val hostCalibParSec = calibratePar()
+    // fourth axis: thread WAKEUP latency. The r9 session showed the ALU,
+    // memory, and parallel-spin probes all healthy while Spark's
+    // many-short-task stages ran ~30% slow — the signature of expensive
+    // idle→running transitions (deep C-state exit / scheduler wakeup),
+    // which spin loops never pay and task-granular engines pay
+    // constantly. Two threads ping-pong a park/unpark token 20k times;
+    // wall-clock ≈ 2·20k · wakeup cost (measured 32 µs/wakeup in the r9
+    // slow mode — hypervisor vCPU wakeup, spinner-insensitive — vs the
+    // 1-5 µs a healthy host shows).
+    def calibrateWake(): Double = {
+      import java.util.concurrent.locks.LockSupport
+      val rounds = 20000
+      @volatile var t2ref: Thread = null
+      val t1turn = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val t0 = System.nanoTime()
+      val t1 = new Thread(() => {
+        var i = 0
+        while (i < rounds) {
+          while (!t1turn.get()) LockSupport.park()
+          t1turn.set(false)
+          LockSupport.unpark(t2ref)
+          i += 1
+        }
+      })
+      val t2 = new Thread(() => {
+        var i = 0
+        while (i < rounds) {
+          while (t1turn.get()) LockSupport.park()
+          t1turn.set(true)
+          LockSupport.unpark(t1)
+          i += 1
+        }
+      })
+      t2ref = t2
+      t1.start(); t2.start(); t1.join(); t2.join()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateWake() // warm
+    val hostCalibWakeSec = calibrateWake()
     if (loadBefore > 2.0)
       System.err.println(
         f"[bench] WARNING: load average $loadBefore%.2f before run — " +
@@ -149,7 +209,7 @@ object Bench {
       s""""elapsed_compact_sec":${opt(graft.queries.StreamTwins.compactElapsedSec)},""" +
       s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
       s""""elapsed_profile_store_sec":${opt(graft.queries.DedupQueries.profileStoreElapsedSec)},""" +
-      f""""host_calib_sec":$hostCalibSec%.3f,"host_calib_mem_sec":$hostCalibMemSec%.3f,""" +
+      f""""host_calib_sec":$hostCalibSec%.3f,"host_calib_mem_sec":$hostCalibMemSec%.3f,"host_calib_par_sec":$hostCalibParSec%.3f,"host_calib_wake_sec":$hostCalibWakeSec%.3f,""" +
       f""""sf":"$sfDir"}"""
     // Tail-safe artifact protocol (r8 verdict item 2): the full JSON line
     // is ~4 KB at 100 queries and the round harness's stdout capture has
