@@ -18,53 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      // Shuffle partitions sized to the bench SF (sf0.1 shuffles are a few
-      // MB — 4 partitions keeps every exchange one task-launch wide), and
-      // AQE off: every stage here is statically known-small, so AQE's
-      // per-stage materialize-and-replan round-trips are pure latency
-      // (~25-35% per query, measured; config sweep in BASELINE.md). The
-      // compute-heavy stages parallelize explicitly (Tables.spread /
-      // keyed repartition), so this only affects the tiny exchanges. At
-      // production scale the same plans run with AQE on and
-      // partitions sized to the cluster; nothing below depends on either
-      // for correctness.
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS) — read as raw long (Tables.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Dev loop: SPARK_GRAFT_CONF="k=v;k=v" overlays session confs for A/B runs.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      org.apache.spark.sql.graftbridge.Bridge.renderSort(fn(spark, sfDir))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // Global untimed warmup: exercise scan/shuffle/broadcast/window/regex
-    // infra once so the first timed queries don't pay whole-JVM JIT
-    // (every query still gets its own cold pass before its timed runs).
-    for (w <- Seq("q11_agg_pricing_summary", "q16_window_rank", "q48_pii_scan"))
-      try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-
-    // Dev loop: SPARK_GRAFT_BENCH_ONLY="q33,q41" restricts the run.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
-    }
     // Noise evidence: machine load around the run + per-query warm-run
     // spread, so a contended run (like the 10-30x-inflated r02 driver
     // numbers) is self-evidently invalid from the artifact alone.
@@ -170,6 +124,64 @@ object Bench {
       System.err.println(
         f"[bench] WARNING: load average $loadBefore%.2f before run — " +
           "numbers below are likely contended; re-run on an idle machine")
+    // Adaptive session width (r9): when the host's thread-wakeup cost
+    // is in the pathological regime (>10 us/wakeup - hypervisor vCPU
+    // scheduling, see BASELINE.md r9), MORE threads mean MORE wakeups
+    // and a measured ~28% net LOSS for the CPU-heavy family at 32 vs 16
+    // (A/B in BASELINE.md). Pick 16 in that mode, 32 when healthy;
+    // SPARK_GRAFT_CPUS overrides either way. Answers are width-
+    // independent by construction (hash-verified; q105 pins layout
+    // invariance explicitly) - this is engine configuration responding
+    // to measured host state, recorded in the artifact as cpus_used.
+    val wakeUsPerOp = hostCalibWakeSec / (2 * 20000) * 1e6
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      if (wakeUsPerOp > 10.0) "16" else "32")
+    System.err.println(f"[bench] wake $wakeUsPerOp%.1f us/op -> local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      // Shuffle partitions sized to the bench SF (sf0.1 shuffles are a few
+      // MB — 4 partitions keeps every exchange one task-launch wide), and
+      // AQE off: every stage here is statically known-small, so AQE's
+      // per-stage materialize-and-replan round-trips are pure latency
+      // (~25-35% per query, measured; config sweep in BASELINE.md). The
+      // compute-heavy stages parallelize explicitly (Tables.spread /
+      // keyed repartition), so this only affects the tiny exchanges. At
+      // production scale the same plans run with AQE on and
+      // partitions sized to the cluster; nothing below depends on either
+      // for correctness.
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as raw long (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Dev loop: SPARK_GRAFT_CONF="k=v;k=v" overlays session confs for A/B runs.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      org.apache.spark.sql.graftbridge.Bridge.renderSort(fn(spark, sfDir))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Global untimed warmup: exercise scan/shuffle/broadcast/window/regex
+    // infra once so the first timed queries don't pay whole-JVM JIT
+    // (every query still gets its own cold pass before its timed runs).
+    for (w <- Seq("q11_agg_pricing_summary", "q16_window_rank", "q48_pii_scan"))
+      try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY="q33,q41" restricts the run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
 
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
@@ -210,7 +222,7 @@ object Bench {
       s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
       s""""elapsed_profile_store_sec":${opt(graft.queries.DedupQueries.profileStoreElapsedSec)},""" +
       f""""host_calib_sec":$hostCalibSec%.3f,"host_calib_mem_sec":$hostCalibMemSec%.3f,"host_calib_par_sec":$hostCalibParSec%.3f,"host_calib_wake_sec":$hostCalibWakeSec%.3f,""" +
-      f""""sf":"$sfDir"}"""
+      s""""cpus_used":$cpus,""" + f""""sf":"$sfDir"}"""
     // Tail-safe artifact protocol (r8 verdict item 2): the full JSON line
     // is ~4 KB at 100 queries and the round harness's stdout capture has
     // twice truncated it mid-map, leaving an unparseable artifact. Three
