@@ -98,6 +98,16 @@ object TextDedup {
       explode(graft.functions.TokenSpanHashes.tokenSpanHashes(
         toks(col("text")), w)).as("h"))
 
+  /** [[spanHashes]] over an ALREADY-TOKENIZED array column — callers
+    * that tokenized for another stage (e.g. quality scoring) feed the
+    * token array straight into the codegen span kernel and skip the
+    * second regexp split of the text (identical output: toks ∘ text is
+    * exactly what the array holds). */
+  def spanHashesOfTokens(docs: DataFrame, toksCol: String, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.TokenSpanHashes.tokenSpanHashes(
+        col(toksCol), w)).as("h"))
+
   /** Exact-substring removal (the DESTRUCTIVE form of span dedup — q68
     * only reports duplicate-span statistics; this rewrites the text):
     * every w-token span occurring more than once across the corpus keeps

@@ -161,8 +161,10 @@ object PipelineQueries extends QueryGroup {
       val evalSpans = graft.operators.TextDedup
         .spanHashes(all.filter(col("doc_id") % 10 === 7), 5)
         .select(col("h").as("eh")).distinct()
+      // spans straight from the quality pass's token arrays (one fewer
+      // regexp split of the survivor texts; identical hashes)
       val docSpans = graft.operators.TextDedup
-        .spanHashes(scored.select(col("doc_id"), col("text")), 5)
+        .spanHashesOfTokens(scored.select(col("doc_id"), col("t")), "t", 5)
       val contaminated = docSpans
         .join(evalSpans, col("h") === col("eh"), "leftsemi")
         .select(col("doc_id")).distinct()
@@ -246,11 +248,15 @@ object PipelineQueries extends QueryGroup {
         .withColumn("__h", sha2(col("text"), 256))
         .withColumn("rn", row_number().over(w))
       val scored = corpus.filter(col("rn") === 1 && col("score_1e4") >= 5000)
+      // spans from the already-tokenized column: the quality pass paid
+      // the regexp split, the span kernel reuses its array (identical
+      // hashes, one fewer tokenize per branch)
       val evalSpans = graft.operators.TextDedup
-        .spanHashes(all.filter(col("doc_id") % 10 === 7), 5)
+        .spanHashesOfTokens(base.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), col("t")), "t", 5)
         .select(col("h").as("eh")).distinct()
       val contaminated = graft.operators.TextDedup
-        .spanHashes(scored.select(col("doc_id"), col("text")), 5)
+        .spanHashesOfTokens(scored.select(col("doc_id"), col("t")), "t", 5)
         .join(evalSpans, col("h") === col("eh"), "leftsemi")
         .select(col("doc_id")).distinct()
         .withColumn("is_cont", lit(1))
