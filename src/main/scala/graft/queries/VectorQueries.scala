@@ -162,6 +162,24 @@ object VectorQueries extends QueryGroup {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // Text CLUSTERING end-to-end from raw text (round 9; composes q107's
+    // hashed-projection embeddings with q67's exact k-means step): no
+    // external model, no given vectors — embed the corpus in-engine,
+    // seed centroids from it (doc_id % 100), one Lloyd assignment +
+    // exact fixed-point update sums. The whole SemDeDup-style
+    // cluster-then-process path is now oracled for text-only input.
+    // Zero-norm embeddings (no tokens / cancelling coefficients) have
+    // no cosine and are filtered identically on both sides.
+    "q108_text_cluster_assign" -> ((s, d) => {
+      val emb = graft.operators.TextEmbed.embed(
+          Tables.spread(Tables.documents(s, d)), "text", 8)
+        .filter(expr("aggregate(emb, 0D, (a, x) -> a + x * x) > 0"))
+      val cent = emb.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("cid"), col("emb").as("cv"))
+      graft.operators.Similarity.kmeansStep(emb, "doc_id", "emb", cent)
+        .orderBy(col("cid"), col("pos"))
+    }),
+
     // Deterministic text embeddings by hashed random projection (round
     // 9; the text→vector BRIDGE — feature extraction with NO external
     // model, NO vocabulary, NO stored matrix): embed[d] = Σ tf·c_d(h),
@@ -402,6 +420,42 @@ object VectorQueries extends QueryGroup {
          |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
+
+    // q108: q107's embedding CTE (integer sums / 1000.0) feeding q67's
+    // assignment + fixed-point update algebra. xi = floor(v·1e6 + 0.5)
+    // over v = S/1000 is S·1000 exactly (S integer), so the sums stay
+    // bit-exact.
+    "q108_text_cluster_assign" -> {
+      val strHashW =
+        """list_reduce(list_transform(range(1, length(w) + 1),
+          |                           i -> CAST(ascii(w[i]) AS BIGINT)),
+          |            (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+      val dimSums = (0 until 8).map(d =>
+        s"CAST(SUM(((th * ${graft.operators.TextEmbed.coefA(d)} + " +
+          s"${graft.operators.TextEmbed.coefB(d)}) % 1000000007) % 2001 - 1000) " +
+          s"AS BIGINT) AS e$d").mkString(",\n       ")
+      val vList = (0 until 8).map(d => s"CAST(e$d AS DOUBLE) / 1000.0").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |             unnest(list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                               x -> x <> ''), w -> $strHashW)) AS th
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |       $dimSums
+         |      FROM t GROUP BY doc_id),
+         |emb AS (SELECT doc_id, [$vList] AS v FROM s
+         |        WHERE e0*e0 + e1*e1 + e2*e2 + e3*e3 + e4*e4 + e5*e5 + e6*e6 + e7*e7 > 0),
+         |cent AS (SELECT doc_id AS cid, v AS cv FROM emb WHERE doc_id % 100 = 0),
+         |asg AS (SELECT doc_id, cid, v FROM (
+         |  SELECT emb.doc_id, cent.cid, emb.v,
+         |         ROW_NUMBER() OVER (PARTITION BY emb.doc_id
+         |           ORDER BY ${duckCos("emb.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM emb, cent) t2 WHERE rn = 1),
+         |px AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |              CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |       FROM asg, unnest(range(1, len(v) + 1)) u(i))
+         |SELECT cid, pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xi) AS BIGINT) AS sx_1e6
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // q107: coefficients generated from TextEmbed.coefA/coefB — one
     // definition drives both engines.
