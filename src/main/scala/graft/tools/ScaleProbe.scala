@@ -151,6 +151,19 @@ object ScaleProbe {
       }
     }
 
+    // Hashed-projection text embedding (q107/q108's bridge op): one
+    // token explode + one groupBy carrying all dims — linear or bust.
+    if (wanted("text_embed")) {
+      for (f <- factors) {
+        val d = scaled(base, f)
+        def run(): Long = graft.operators.TextEmbed
+          .embedFixedPoint(d, "text", 16).count()
+        run() // warm
+        val (sec, rows) = time(run())
+        println(s"""{"op":"text_embed","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+      }
+    }
+
     // ---- vector operators over scaled embeddings ----
     // Copies are dimension-ROTATED (a cyclic shift of the 64 dims per
     // copy): rotation is an isometry, so every within-copy dot/norm/
