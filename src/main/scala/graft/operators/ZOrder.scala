@@ -48,6 +48,43 @@ object ZOrder {
     }
   }
 
+  /** N-dimensional Morton interleave (round 9): bit i of dimension d
+    * lands at result bit n·i+d — the general lakehouse clustering form
+    * (Delta/Iceberg z-order over 3+ keys). Two dimensions route to the
+    * native codegen kernel; higher arities expand to plain bit algebra
+    * (n·bits shift/mask/add terms — whole-stage-codegen'd arithmetic,
+    * no UDF). Requires n·bits ≤ 63 so the curve fits one long. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"zValueN needs >= 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a long: $n*$bits > 63")
+    if (n == 2) zValue(cols(0), cols(1), bits)
+    else cols.zipWithIndex.map { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (n * i + d))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
+  /** [[zValueN]] as ANSI SQL — the oracle-twin generator. */
+  def zValueNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    require(n >= 2 && bits >= 1 && n * bits <= 63)
+    cols.zipWithIndex.flatMap { case (c, d) =>
+      (0 until bits).map(i =>
+        s"((($c >> $i) & 1) * ${1L << (n * i + d)})")
+    }.mkString(" + ")
+  }
+
+  /** Scalar reference for the specs (independent formulation). */
+  def zValueNRef(xs: Seq[Long], bits: Int): Long =
+    xs.zipWithIndex.foldLeft(0L) { case (z, (x, d)) =>
+      (0 until bits).foldLeft(z) { (acc, i) =>
+        acc + (((x >> i) & 1L) << (xs.size * i + d))
+      }
+    }
+
   /** Re-cluster `df` on the z-curve of two long-typed columns and write
     * it as parquet: range-partition on the z-value (sampled range
     * boundaries — each output file covers a contiguous z-interval, i.e.
@@ -57,7 +94,12 @@ object ZOrder {
     * total/target-file-size; the range exchange is the one wide op. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
       numFiles: Int, path: String): Unit =
-    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+    writeZOrderedN(df, Seq(xCol, yCol), bits, numFiles, path)
+
+  /** [[writeZOrdered]] over N clustering columns. */
+  def writeZOrderedN(df: DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int, path: String): Unit =
+    df.withColumn("__z", zValueN(cols.map(col), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -180,6 +180,31 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // 3-DIMENSIONAL z-order layout (round 9; generalizes q92's 2-D
+    // curve to the Delta/Iceberg multi-key clustering form): interleave
+    // three 6-bit keys (bit i of dim d → bit 3i+d), bucket by the top 6
+    // curve bits (= dropping 4 full bit-triples), and the oracle pins
+    // that every bucket bounds ALL THREE coordinates to a 16-wide tile
+    // — plus the exact interleave via the hash. ZOrder.zValueN expands
+    // to plain codegen bit algebra; the SQL twin is generated from the
+    // same term list.
+    "q109_zorder3" -> ((s, d) => {
+      val ks = Seq(
+        pmod(col("user_id"), lit(64L)).as("x"),
+        pmod(col("event_id"), lit(64L)).as("y"),
+        pmod(col("user_id") + col("event_id"), lit(64L)).as("w"))
+      Tables.events(s, d)
+        .select(ks: _*)
+        .withColumn("z", graft.operators.ZOrder.zValueN(
+          Seq(col("x"), col("y"), col("w")), 6))
+        .groupBy(expr("z div 4096").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy(col("bucket"))
+    }),
+
     // Deterministic balanced downsampling (round 9; the APPLY side of
     // q84's mixture weights): every language downsampled to the
     // smallest language's size by a ppm-rate hash filter — no RNG, no
@@ -433,6 +458,22 @@ object PipelineQueries extends QueryGroup {
          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tok,
          |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q109: pmod on both sides (the q92 convention) and the interleave
+    // generated from the same zValueNSql term list.
+    "q109_zorder3" ->
+      s"""WITH b AS (SELECT ((user_id % 64) + 64) % 64 AS x,
+         |                  ((event_id % 64) + 64) % 64 AS y,
+         |                  (((user_id + event_id) % 64) + 64) % 64 AS w
+         |           FROM events),
+         |z AS (SELECT x, y, w,
+         |        ${graft.operators.ZOrder.zValueNSql(Seq("x", "y", "w"), 6)} AS z
+         |      FROM b)
+         |SELECT z // 4096 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y,
+         |       MIN(w) AS min_w, MAX(w) AS max_w
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_mixture_sample" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),

@@ -26,6 +26,64 @@ class ZOrderSpec extends SparkTestBase {
     assert(got.values.min == 0L && got.values.max == 4095L)
   }
 
+  test("zValueN: 2-D routes to the kernel; 3-D matches the scalar reference") {
+    val s = spark
+    import s.implicits._
+    // 2-D arity must be EXACTLY the native kernel's curve
+    val pairs = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
+    val same = pairs.toDF("x", "y")
+      .select((ZOrder.zValueN(Seq(col("x"), col("y")), 5) ===
+        ZOrder.zValue(col("x"), col("y"), 5)).as("ok"))
+      .collect().forall(_.getBoolean(0))
+    assert(same)
+    // 3-D: random sample vs the independent scalar fold; bijection on
+    // the full 3x3-bit cube
+    val rnd = new scala.util.Random(5)
+    val triples = Seq.fill(500)((rnd.nextInt(64).toLong,
+      rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+    val got = triples.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 6).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ==
+        ZOrder.zValueNRef(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 6))
+    }
+    val cube = for { x <- 0L until 8L; y <- 0L until 8L; w <- 0L until 8L } yield (x, y, w)
+    val zs = cube.toDF("x", "y", "w")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 3))
+      .collect().map(_.getLong(0)).toSet
+    assert(zs.size == 512 && zs.min == 0L && zs.max == 511L)
+    // guard: the curve must fit a long
+    intercept[IllegalArgumentException](
+      ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 22))
+  }
+
+  test("writeZOrderedN bounds ALL THREE dims per file") {
+    val s = spark
+    import s.implicits._
+    // exhaustive 5-bit cube: 32³ cells, 32 files ⇒ each file covers a
+    // contiguous ~2^10-cell z-interval ⇒ low ~3 full bit-triples free
+    // per axis (span ≤ 16), at most doubled by range-boundary slop
+    val cube = (for { x <- 0L until 32L; y <- 0L until 32L; w <- 0L until 32L }
+      yield (x, y, w)).toDF("x", "y", "w")
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    ZOrder.writeZOrderedN(cube, Seq("x", "y", "w"), bits = 5,
+      numFiles = 32, path = dir)
+    val spans = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"),
+        (max(col("w")) - min(col("w"))).as("sw"))
+      .collect()
+    assert(spans.length >= 16)
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 32 && r.getLong(2) <= 32 && r.getLong(3) <= 32,
+        s"file spans ${r.getLong(1)}/${r.getLong(2)}/${r.getLong(3)} — not a 3-D tile")
+    }
+  }
+
   test("writeZOrdered bounds BOTH dims per file; a linear sort does not") {
     val s = spark
     import s.implicits._
