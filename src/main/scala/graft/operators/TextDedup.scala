@@ -178,6 +178,15 @@ object TextDedup {
       .select(expr(s"k div $Enc").as("doc_id"),
         explode(sequence(col("k") % Enc, col("k") % Enc + (w - 1))).as("idx"))
       .distinct()
+    rewriteDropping(docs, dropIdx)
+  }
+
+  /** The rewrite tail shared by [[removeDuplicateSpans]] and
+    * [[removeStoredSpans]]: aggregate the (doc_id, idx) drop set to one
+    * sorted array per affected doc and rebuild each doc's text from its
+    * OWN token array with a narrow in-row HOF — untouched docs never
+    * join anything but the tiny drops dim. */
+  private def rewriteDropping(docs: DataFrame, dropIdx: DataFrame): DataFrame = {
     val drops = dropIdx.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("idx"))).as("drops"))
     docs.select(col("doc_id"), toks(col("text")).as("toks"))
@@ -190,6 +199,34 @@ object TextDedup {
       .select(col("doc_id"), col("n_toks"),
         size(col("kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** Incremental exact-substring SCRUB on ingest (round 9; the q91
+    * rewrite against a PERSISTED history instead of the current batch):
+    * every w-token span of an incoming doc whose hash exists in the
+    * span store — the history corpus's distinct span set, maintained by
+    * [[SpanStore.append]] — is removed, covered tokens drop, survivors
+    * re-join into cleaned text. The history is never rescanned or
+    * rewritten: it was deduplicated when IT was ingested, so
+    * first-occurrence-wins across the whole timeline falls out of the
+    * composition (q91's single-batch algebra, replayed batch by batch).
+    * Scale shape: incoming occurrences (16-byte rows) semi-join the
+    * h-partitioned store; the rewrite is the same in-row HOF. No
+    * in-batch dedup here by contract — run [[removeDuplicateSpans]] on
+    * the batch first if intra-batch duplication matters. */
+  def removeStoredSpans(docs: DataFrame, w: Int,
+      storeSpans: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), posexplode(
+      graft.functions.TokenSpanHashesAll.tokenSpanHashesAll(
+        toks(col("text")), w)).as(Seq("pos", "h")))
+    val dropIdx = occ
+      .join(storeSpans.select(col("h").as("__sh")),
+        col("h") === col("__sh"), "leftsemi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos").cast("long"),
+          col("pos").cast("long") + (w - 1))).as("idx"))
+      .distinct()
+    rewriteDropping(docs, dropIdx)
   }
 
   /** Exact Jaccard (scaled 1e4) for given candidate pairs over a shingle

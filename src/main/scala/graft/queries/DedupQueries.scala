@@ -47,6 +47,27 @@ object DedupQueries extends QueryGroup {
     * round artifact, never hidden). */
   @volatile var profileStoreElapsedSec: Option[Double] = None
 
+  /** q110's persisted span store — same caching physics and two-append
+    * build (base + later batch) as [[storedRefProfile]]. */
+  private val spanStores =
+    new java.util.LinkedHashMap[(SparkSession, String), String](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
+        size() > 8
+    }
+
+  private def storedHistorySpans(s: SparkSession, d: String): String =
+    spanStores.synchronized { Option(spanStores.get((s, d))).getOrElse {
+      val path = java.nio.file.Files.createTempDirectory("graft-q110").toString
+      val hist = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0))
+      graft.operators.SpanStore.append(hist.filter(col("doc_id") % 7 =!= 3), 5, path)
+      graft.operators.SpanStore.append(hist.filter(col("doc_id") % 7 === 3), 5, path)
+      spanStores.put((s, d), path)
+      path
+    }}
+
   private def storedRefProfile(s: SparkSession, d: String): String =
     profileStores.synchronized { Option(profileStores.get((s, d))).getOrElse {
       val path = java.nio.file.Files.createTempDirectory("graft-q101").toString
@@ -182,6 +203,22 @@ object DedupQueries extends QueryGroup {
       graft.operators.ProfileStore.nearDupAgainstProfile(stream, prof, 3000L)
         .distinct()
         .orderBy(col("doc_id"), col("ref_doc_id"))
+    }),
+
+    // Incremental exact-substring SCRUB on ingest (round 9; composes
+    // q91's destructive rewrite with the q101/SpanStore persistence):
+    // the history corpus's distinct 5-token span hashes live in a
+    // persisted store (two blind appends — base + later batch; 8-byte
+    // rows, h-repartitioned, cost tracks each batch); every incoming
+    // doc's span that collides with the store drops its covered tokens
+    // and survivors re-join. The history is never rescanned — q91's
+    // first-occurrence-wins replays batch by batch.
+    "q110_substring_scrub_ingest" -> ((s, d) => {
+      val incoming = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0))
+      TextDedup.removeStoredSpans(incoming, 5,
+          graft.operators.SpanStore.read(s, storedHistorySpans(s, d)))
+        .orderBy(col("doc_id"))
     }),
 
     // Exact-substring REMOVAL (q68 reports duplicate-span stats; this
@@ -510,6 +547,42 @@ object DedupQueries extends QueryGroup {
          |FROM inter JOIN sz z1 ON d1 = z1.doc_id JOIN sz z2 ON d2 = z2.doc_id
          |WHERE CAST(floor(inter * 1.0 / (z1.n + z2.n - inter) * 10000 + 0.5) AS BIGINT) >= 3000
          |ORDER BY doc_id, ref_doc_id""".stripMargin,
+
+    // q110: history = distinct span set of doc_id % 5 <> 0; incoming
+    // docs drop every token covered by a store-colliding span and
+    // rebuild — q91's rewrite machinery with store membership replacing
+    // the non-first-occurrence test.
+    "q110_substring_scrub_ingest" ->
+      s"""WITH hh0 AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                                       x -> x <> ''), w -> $strHashSql)
+         |                       AS th
+         |             FROM documents),
+         |hist AS (SELECT DISTINCT list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |         FROM (SELECT * FROM hh0 WHERE doc_id % 5 <> 0) hh,
+         |              unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |inc AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                   x -> x <> '') AS toks
+         |        FROM documents WHERE doc_id % 5 = 0),
+         |ih AS (SELECT doc_id, toks, list_transform(toks, w -> $strHashSql) AS th FROM inc),
+         |occ AS (SELECT doc_id, u.i - 1 AS pos,
+         |          list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |        FROM ih, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |drop0 AS (SELECT DISTINCT doc_id, pos + j AS idx
+         |          FROM occ, unnest(range(0, 5)) v(j)
+         |          WHERE h IN (SELECT h FROM hist)),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |               unnest(range(0, len(toks))) AS idx
+         |        FROM ih),
+         |kept AS (SELECT t2.doc_id, t2.tok, t2.idx FROM tok t2
+         |         ANTI JOIN drop0 dd ON t2.doc_id = dd.doc_id AND t2.idx = dd.idx),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY idx) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT ih.doc_id, CAST(len(ih.toks) AS BIGINT) AS n_toks,
+         |       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(reb.clean_text, '') AS clean_text
+         |FROM ih LEFT JOIN reb ON ih.doc_id = reb.doc_id
+         |ORDER BY ih.doc_id""".stripMargin,
 
     // q91: positions are 0-based on both sides; canonical order compares
     // doc_id*1e7 + pos exactly like the Spark operator's encoded key.

@@ -97,6 +97,38 @@ class TextDedupSpec extends SparkTestBase {
       (1L, "a b c d e"), (2L, "x y"), (3L, "z"), (4L, "p q")))
   }
 
+  test("removeStoredSpans scrubs history spans, keeps in-batch dups by contract") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("spanstore").toString
+    SpanStore.append(hist, 3, path)
+    SpanStore.append(Seq((2L, "p q r s")).toDF("doc_id", "text"), 3, path)
+    val store = SpanStore.read(s, path)
+    val incoming = Seq(
+      (10L, "x a b c d y"),   // history span (a b c)+(b c d) → drop idx 1..4
+      (11L, "p q r p q r"),   // store hit (p q r) at BOTH positions: all 6 drop
+      (12L, "m n o m n o"),   // in-batch repetition only: kept (by contract)
+      (13L, "z z")).toDF("doc_id", "text") // shorter than w: untouched
+    val got = TextDedup.removeStoredSpans(incoming, 3, store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (10L, 2L, "x y"),
+      (11L, 0L, ""),
+      (12L, 6L, "m n o m n o"),
+      (13L, 2L, "z z")))
+    // batch-by-batch replay equals the one-shot q91 rewrite on the
+    // incoming rows when the incoming batch carries no cross-history
+    // canonical inversions (history ids precede incoming ids)
+    val oneShot = TextDedup.removeDuplicateSpans(
+        Seq((1L, "a b c d e"), (2L, "p q r s"), (10L, "x a b c d y"))
+          .toDF("doc_id", "text"), 3)
+      .filter(col("doc_id") === 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(oneShot.toSeq === Seq((10L, 2L, "x y")))
+  }
+
   test("removeDuplicateSpans refuses out-of-range doc_id loudly") {
     // The encoded canonical ordering (doc_id·10^7 + pos) silently
     // corrupts first-occurrence selection for negative or overflowing
