@@ -221,6 +221,9 @@ object Bench {
       s""""elapsed_compact_sec":${opt(graft.queries.StreamTwins.compactElapsedSec)},""" +
       s""""elapsed_bpe_train_sec":${opt(graft.queries.TextQueries.bpeTrainElapsedSec)},""" +
       s""""elapsed_profile_store_sec":${opt(graft.queries.DedupQueries.profileStoreElapsedSec)},""" +
+      s""""elapsed_span_store_sec":${opt(graft.queries.DedupQueries.spanStoreElapsedSec)},""" +
+      s""""span_store_shrink":${graft.queries.DedupQueries.spanStoreCompactShrink
+        .map { case (b, a) => s"[$b,$a]" }.getOrElse("null")},""" +
       f""""host_calib_sec":$hostCalibSec%.3f,"host_calib_mem_sec":$hostCalibMemSec%.3f,"host_calib_par_sec":$hostCalibParSec%.3f,"host_calib_wake_sec":$hostCalibWakeSec%.3f,""" +
       s""""cpus_used":$cpus,""" + f""""sf":"$sfDir"}"""
     // Tail-safe artifact protocol (r8 verdict item 2): the full JSON line

@@ -68,6 +68,30 @@ object DedupQueries extends QueryGroup {
       path
     }}
 
+  /** q111's COMPACTED span store — same two-append build as q110's,
+    * then one [[graft.operators.SpanStore.compact]] (distinct-rewrite +
+    * pointer swing + delta drop). Separate cache key so q110 keeps
+    * reading a raw base∪delta store and q111 a compacted one — the two
+    * must hash-match the same oracle regardless of which ran first.
+    * The shrink is recorded for the bench artifact (cross-batch
+    * duplicate hashes are exactly what compaction removes). */
+  @volatile var spanStoreCompactShrink: Option[(Long, Long)] = None
+  @volatile var spanStoreElapsedSec: Option[Double] = None
+
+  private def storedHistorySpansCompacted(s: SparkSession, d: String): String =
+    spanStores.synchronized { Option(spanStores.get((s, d + "#compacted"))).getOrElse {
+      val path = java.nio.file.Files.createTempDirectory("graft-q111").toString
+      val hist = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0))
+      val t0 = System.nanoTime()
+      graft.operators.SpanStore.append(hist.filter(col("doc_id") % 7 =!= 3), 5, path)
+      graft.operators.SpanStore.append(hist.filter(col("doc_id") % 7 === 3), 5, path)
+      spanStoreCompactShrink = Some(graft.operators.SpanStore.compact(s, path))
+      spanStoreElapsedSec = Some((System.nanoTime() - t0) / 1e9)
+      spanStores.put((s, d + "#compacted"), path)
+      path
+    }}
+
   private def storedRefProfile(s: SparkSession, d: String): String =
     profileStores.synchronized { Option(profileStores.get((s, d))).getOrElse {
       val path = java.nio.file.Files.createTempDirectory("graft-q101").toString
@@ -218,6 +242,22 @@ object DedupQueries extends QueryGroup {
         .filter(col("doc_id") % 5 === 0))
       TextDedup.removeStoredSpans(incoming, 5,
           graft.operators.SpanStore.read(s, storedHistorySpans(s, d)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q110 through a COMPACTED store (round 9; the store's operational
+    // cadence): same two-append build, then SpanStore.compact — the
+    // distinct-rewrite + atomic pointer swing + delta drop that keeps
+    // the probe's build side at DISTINCT spans while ingest accumulates
+    // cross-batch duplicates. Must hash-match q110's oracle verbatim:
+    // membership is duplicate-insensitive, so compaction is answer-
+    // preserving by construction, and this query keeps it under the
+    // gate every round.
+    "q111_scrub_compacted_store" -> ((s, d) => {
+      val incoming = Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0))
+      TextDedup.removeStoredSpans(incoming, 5,
+          graft.operators.SpanStore.read(s, storedHistorySpansCompacted(s, d)))
         .orderBy(col("doc_id"))
     }),
 
@@ -553,6 +593,41 @@ object DedupQueries extends QueryGroup {
     // rebuild — q91's rewrite machinery with store membership replacing
     // the non-first-occurrence test.
     "q110_substring_scrub_ingest" ->
+      s"""WITH hh0 AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                                       x -> x <> ''), w -> $strHashSql)
+         |                       AS th
+         |             FROM documents),
+         |hist AS (SELECT DISTINCT list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |         FROM (SELECT * FROM hh0 WHERE doc_id % 5 <> 0) hh,
+         |              unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |inc AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                   x -> x <> '') AS toks
+         |        FROM documents WHERE doc_id % 5 = 0),
+         |ih AS (SELECT doc_id, toks, list_transform(toks, w -> $strHashSql) AS th FROM inc),
+         |occ AS (SELECT doc_id, u.i - 1 AS pos,
+         |          list_reduce(th[i:i+4], (a, b) -> (a * 8191 + b) % 1000000007) AS h
+         |        FROM ih, unnest(range(1, greatest(len(th) - 3, 1))) u(i)),
+         |drop0 AS (SELECT DISTINCT doc_id, pos + j AS idx
+         |          FROM occ, unnest(range(0, 5)) v(j)
+         |          WHERE h IN (SELECT h FROM hist)),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |               unnest(range(0, len(toks))) AS idx
+         |        FROM ih),
+         |kept AS (SELECT t2.doc_id, t2.tok, t2.idx FROM tok t2
+         |         ANTI JOIN drop0 dd ON t2.doc_id = dd.doc_id AND t2.idx = dd.idx),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY idx) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT ih.doc_id, CAST(len(ih.toks) AS BIGINT) AS n_toks,
+         |       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(reb.clean_text, '') AS clean_text
+         |FROM ih LEFT JOIN reb ON ih.doc_id = reb.doc_id
+         |ORDER BY ih.doc_id""".stripMargin,
+
+    // q111 = q110's exact algebra: compaction (distinct-rewrite of the
+    // store) must not change a single scrubbed token, so the oracle is
+    // the same SQL.
+    "q111_scrub_compacted_store" ->
       s"""WITH hh0 AS (SELECT doc_id, list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
          |                                                       x -> x <> ''), w -> $strHashSql)
          |                       AS th
