@@ -102,7 +102,28 @@ object StatQueries extends QueryGroup {
     "q83_column_profile" -> ((s, d) =>
       graft.operators.Profiling.profile(Tables.lineitem(s, d),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
-        .orderBy(col("col_name")))
+        .orderBy(col("col_name"))),
+
+    // Count-Min heavy hitters: build the bounded (depth×width) frequency
+    // grid over lineitem's supplier column, then report the top-10
+    // suppliers by exact count alongside their sketch estimates. The
+    // sketch math is fixed integer algebra (universal hashing mod
+    // 2^31−1), so the DuckDB twin recomputes the ESTIMATES themselves
+    // and the hash compare covers the sketch's arithmetic end-to-end —
+    // stronger than a bound check. The exact top-10 here is the
+    // comparison yardstick, not the operator: at 100 TB the grid (2 k
+    // cells) is what survives, and candidate keys probe it via the
+    // broadcast left join in CountMin.estimate.
+    "q112_countmin_heavy" -> ((s, d) => {
+      import graft.operators.CountMin
+      val li = Tables.lineitem(s, d)
+      val sketch = CountMin.build(li, col("l_suppkey"), lit(1L))
+      val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+      CountMin.estimate(sketch, top, "l_suppkey")
+        .select(col("l_suppkey"), col("exact_cnt"), col("cm_est"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -162,6 +183,30 @@ object StatQueries extends QueryGroup {
            |  CAST(MAX($c) AS DOUBLE) AS max_d
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q112_countmin_heavy" -> {
+      val params = graft.operators.CountMin.RowParams.zipWithIndex
+        .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+      s"""WITH params(r, a, b) AS (VALUES $params),
+         |cells AS (
+         |  SELECT p.r AS r,
+         |         ((p.a * (l.l_suppkey % 2147483647) + p.b) % 2147483647) % 512 AS c,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem l CROSS JOIN params p
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM lineitem GROUP BY 1
+         |  ORDER BY exact_cnt DESC, l_suppkey LIMIT 10),
+         |est AS (
+         |  SELECT t.l_suppkey, t.exact_cnt, MIN(COALESCE(s.cnt, 0)) AS cm_est
+         |  FROM top t CROSS JOIN params p
+         |  LEFT JOIN cells s ON s.r = p.r
+         |    AND s.c = ((p.a * (t.l_suppkey % 2147483647) + p.b) % 2147483647) % 512
+         |  GROUP BY 1, 2)
+         |SELECT l_suppkey, exact_cnt, CAST(cm_est AS BIGINT) AS cm_est
+         |FROM est ORDER BY exact_cnt DESC, l_suppkey""".stripMargin
     }
   )
 }
