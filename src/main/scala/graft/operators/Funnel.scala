@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis — "of the users who did A, how many later
+  * did B, and later still C": the product-analytics staple over an
+  * event stream. Stage i is reached at the entity's EARLIEST event of
+  * stage i's type strictly after its stage i−1 time (strict temporal
+  * order, not mere co-occurrence — a purchase before the first view
+  * does not convert the view).
+  *
+  * Shape: one aggregation per stage over the entity key — min(CASE) with
+  * the prior stage's time as the per-row threshold — composed left to
+  * right. Every shuffle in the chain hashes the SAME entity key, so a
+  * real cluster runs stage k's aggregation on the partitioning stage
+  * k−1 already produced (Spark's ReusedExchange / co-partitioned join;
+  * no re-shuffle of the event stream per stage). Nothing is ever
+  * windowed over the whole stream and no per-entity event list is
+  * collected — state per entity is one timestamp per stage, so a
+  * 100 TB event log funnels with |entities|·|stages| intermediate
+  * cells.
+  *
+  * Null propagation does the funnel arithmetic: an unreached stage i−1
+  * has t_{i−1} = NULL, so `ts > NULL` is NULL, the CASE yields no
+  * value, and min() leaves stage i NULL too — unreached stages stay
+  * unreached without special-casing.
+  */
+object Funnel {
+
+  /** Per-entity stage-completion times: (entity, t0 … t_{n−1}), one row
+    * per entity that has any event; t_i is NULL where the funnel broke. */
+  def stageTimes(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val base = events.select(col(entityCol).as("__e"), col(tsCol).as("__ts"),
+      col(typeCol).as("__ty"))
+    stages.zipWithIndex.foldLeft(base.select(col("__e")).distinct()) {
+      case (acc, (st, i)) =>
+        val cond =
+          if (i == 0) col("__ty") === st
+          else col("__ty") === st && col("__ts") > col(s"t${i - 1}")
+        base.join(acc, Seq("__e"))
+          .groupBy(col("__e") +: (0 until i).map(k => col(s"t$k")): _*)
+          .agg(min(when(cond, col("__ts"))).as(s"t$i"))
+    }.withColumnRenamed("__e", entityCol)
+  }
+
+  /** The funnel report: one row — total entities plus how many reached
+    * each stage (a COUNT of non-null t_i; count columns are named after
+    * the stages). */
+  def report(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    stageTimes(events, entityCol, tsCol, typeCol, stages)
+      .agg(count(lit(1)).as("n_entities"),
+        stages.zipWithIndex.map { case (st, i) =>
+          count(col(s"t$i")).as(s"n_$st")
+        }: _*)
+}

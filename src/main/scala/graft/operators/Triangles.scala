@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{count => cnt}
+
+/** Exact triangle counting by degree-ordered edge orientation — the
+  * compact-forward algorithm (Latapy 2008; Suri & Vassilvitskii's MR
+  * formulation): the graph-quality metric behind clustering
+  * coefficients and community density, and the classic example of a
+  * join that dies on skew unless oriented.
+  *
+  * Every undirected edge is oriented from its endpoint with the
+  * smaller (degree, id) to the larger. Two facts make this the
+  * scalable formulation:
+  *  - each triangle appears exactly ONCE as an oriented wedge
+  *    u→v, v→w closed by oriented edge u→w (the orientation is a total
+  *    order, a triangle's three vertices have exactly one ascending
+  *    arrangement), so no post-hoc ÷6;
+  *  - every vertex's OUT-degree is O(√m) regardless of its true degree
+  *    (a vertex with out-degree d has d higher-(degree,id) neighbors,
+  *    each of degree ≥ d, which needs d² ≤ 2m edge endpoints) — the
+  *    wedge join's per-key fan-out is bounded even on a power-law hub
+  *    whose raw degree would square into oblivion.
+  *
+  * All joins are equality joins on vertex ids (hash-partitioned,
+  * AQE-skew-splittable); nothing is collected and no adjacency list is
+  * materialized per vertex.
+  */
+object Triangles {
+
+  /** Count triangles in the undirected graph given as an edge list
+    * (self-loops dropped, duplicate/reverse edges collapsed). Returns
+    * one row: (n_vertices, n_edges, n_triangles). */
+  def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("v"))
+      .unionAll(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(cnt(lit(1)).as("d"))
+    // orient by (degree, id): u -> w with (d_u, u) < (d_w, w)
+    val oriented = e0
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("w"))
+    val wedges = oriented.select(col("u"), col("w").as("v"))
+      .join(oriented.select(col("u").as("v"), col("w")), Seq("v"))
+    val tris = wedges.join(oriented, Seq("u", "w"), "leftsemi")
+    val nv = deg.agg(cnt(lit(1)).as("n_vertices"))
+    val ne = e0.agg(cnt(lit(1)).as("n_edges"))
+    val nt = tris.agg(cnt(lit(1)).as("n_triangles"))
+    nv.crossJoin(ne).crossJoin(nt)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{FuzzyJoin, Funnel, Triangles}
+
+/** Entity-resolution, behavioral-funnel, and graph-metric operators
+  * (round 9 catalog growth): the analytics families a training-data /
+  * product pipeline runs NEXT to the dedup and quality passes — fuzzy
+  * record linkage for structured columns, ordered funnels over event
+  * streams, and triangle counting for graph density. Each realizes a
+  * distinct scale technique: blocking + length-prune (q113), per-stage
+  * co-partitioned min-CASE chaining (q114), degree-ordered wedge joins
+  * (q115).
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Blocked fuzzy self-match over part names: last-token blocking,
+    // |Δlen| prune, Levenshtein ≤ 3 on the DISTINCT names (2k rows
+    // collapse to 64 distinct — the dedupe-before-pairing step is the
+    // whole ballgame at corpus scale). The oracle recomputes the same
+    // blocked DP in DuckDB (both engines implement textbook
+    // Wagner-Fischer; the hash compare covers every distance value).
+    "q113_fuzzy_match" -> ((s, d) =>
+      FuzzyJoin.selfEditPairs(Tables.part(s, d), "p_name",
+          t => regexp_extract(t, "([a-z]+)$", 1), maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // Strict-order view → click → purchase funnel over the event
+    // stream: stage times chain through per-entity min(CASE) aggregates
+    // on one co-partitioned key; the report is stage-reached counts.
+    "q114_funnel" -> ((s, d) =>
+      Funnel.report(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // Triangle count of the co-purchase graph (parts sharing an order):
+    // the per-order pair fan-out is bounded by order size (≤ 7 lines),
+    // and the count itself runs on degree-ORIENTED edges so wedge
+    // fan-out is O(√m) per vertex regardless of hub degree.
+    "q115_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+      val e = li.select(col("o"), col("l_partkey").as("src"))
+        .join(li.select(col("o"), col("l_partkey").as("dst")), Seq("o"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      Triangles.count(e, "src", "dst")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q113_fuzzy_match" ->
+      """WITH v AS (
+        |  SELECT p_name AS t, CAST(COUNT(*) AS BIGINT) AS n,
+        |         regexp_extract(p_name, '([a-z]+)$', 1) AS bk
+        |  FROM part GROUP BY 1, 3)
+        |SELECT l.t AS name_a, r.t AS name_b,
+        |       CAST(levenshtein(l.t, r.t) AS BIGINT) AS dist,
+        |       l.n AS n_a, r.n AS n_b
+        |FROM v l JOIN v r ON l.bk = r.bk AND l.t < r.t
+        |WHERE abs(length(l.t) - length(r.t)) <= 3
+        |  AND levenshtein(l.t, r.t) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q114_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t0
+        |  FROM events GROUP BY 1),
+        |t1 AS (
+        |  SELECT e.user_id, MIN(e.ts) FILTER (WHERE e.event_type = 'click'
+        |           AND e.ts > t0.t0) AS t1
+        |  FROM events e JOIN t0 ON e.user_id = t0.user_id GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
+        |           AND e.ts > t1.t1) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |       CAST(COUNT(t0.t0) AS BIGINT) AS n_view,
+        |       CAST(COUNT(t1.t1) AS BIGINT) AS n_click,
+        |       CAST(COUNT(t2.t2) AS BIGINT) AS n_purchase
+        |FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)""".stripMargin,
+
+    "q115_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS u,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS w
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |wg AS (
+        |  SELECT o1.u AS u, o2.w AS w
+        |  FROM o o1 JOIN o o2 ON o1.w = o2.u)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg
+        |        WHERE EXISTS (SELECT 1 FROM o
+        |                      WHERE o.u = wg.u AND o.w = wg.w)) AS n_triangles""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AnalyticsOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- FuzzyJoin ----
+
+  test("selfEditPairs finds within-block typo pairs and collapses counts") {
+    val df = Seq(
+      "acme corp", "acme corp", "acme corq",   // dist 1, same block (corp/corq share first token)
+      "acme ltd",                               // other block
+      "zenith corp").toDF("name")
+    val pairs = FuzzyJoin.selfEditPairs(df, "name",
+        t => split(t, " ").getItem(0), maxDist = 2)
+      .orderBy($"name_a", $"name_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // blocks: acme -> {acme corp(2), acme corq(1), acme ltd(1)}, zenith -> {zenith corp}
+    // "acme corp" vs "acme corq" dist 1; "acme corp" vs "acme ltd" dist 4 (out);
+    assert(pairs === Seq(("acme corp", "acme corq", 1L, 2L, 1L)))
+  }
+
+  test("selfEditPairs refuses a degenerate block loudly") {
+    val df = (1 to 50).map(i => s"name$i").toDF("name")
+    val e = intercept[Exception] {
+      FuzzyJoin.selfEditPairs(df, "name", _ => lit(""), maxDist = 1,
+        maxBlockRows = 10).count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"))
+  }
+
+  test("selfEditPairs keeps a pair at exactly maxDist (length prune is safe)") {
+    val df = Seq("ab x", "abcd x").toDF("name") // dist 2, len diff 2
+    val pairs = FuzzyJoin.selfEditPairs(df, "name",
+        t => split(t, " ").getItem(1), maxDist = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2, p._3)) === Seq(("ab x", "abcd x", 2L)))
+  }
+
+  // ---- Funnel ----
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts", "event_type")
+
+  test("funnel enforces strict temporal order per entity") {
+    val events = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      (2L, 10L, "click"), (2L, 20L, "view"),                        // click BEFORE view: stage2 unreached
+      (3L, 10L, "view"),                                            // view only
+      (4L, 10L, "view"), (4L, 20L, "purchase"),                     // skips click: purchase not counted
+      (5L, 50L, "error"))                                           // never enters
+    val r = Funnel.report(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r === ((5L, 4L, 1L, 1L)))
+  }
+
+  test("funnel stage time must be strictly after the prior stage") {
+    val events = ev((1L, 10L, "view"), (1L, 10L, "click"))
+    val r = Funnel.report(events, "user_id", "ts", "event_type",
+        Seq("view", "click")).as[(Long, Long, Long)].collect().head
+    assert(r === ((1L, 1L, 0L)))
+    // and a later click converts
+    val r2 = Funnel.report(ev((1L, 10L, "view"), (1L, 11L, "click")),
+        "user_id", "ts", "event_type", Seq("view", "click"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r2 === ((1L, 1L, 1L)))
+  }
+
+  test("funnel picks the earliest qualifying event, not any") {
+    // second view at 30 is irrelevant; click at 20 is after the FIRST view
+    val events = ev((1L, 10L, "view"), (1L, 30L, "view"), (1L, 20L, "click"))
+    val st = Funnel.stageTimes(events, "user_id", "ts", "event_type",
+        Seq("view", "click")).as[(Long, Long, Long)].collect().head
+    assert(st === ((1L, 10L, 20L)))
+  }
+
+  // ---- Triangles ----
+
+  private def edges(rows: (Long, Long)*) = rows.toDF("s", "t")
+
+  test("K4 has 4 triangles; duplicates, reversals, self-loops ignored") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 3L), (1L, 1L)) // reversal + dup + self-loop
+    val r = Triangles.count(k4, "s", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((4L, 6L, 4L)))
+  }
+
+  test("a star graph has no triangles despite the hub") {
+    val star = edges((1 to 20).map(i => (0L, i.toLong)): _*)
+    val r = Triangles.count(star, "s", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((21L, 20L, 0L)))
+  }
+
+  test("triangle count is invariant to edge order and partitioning") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L), (1L, 6L))
+    val a = Triangles.count(es.toDF("s", "t"), "s", "t")
+      .as[(Long, Long, Long)].collect().head
+    val b = Triangles.count(
+        scala.util.Random.shuffle(es).toDF("s", "t").repartition(7), "s", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(a === b && a._3 === 2L)
+  }
+}
