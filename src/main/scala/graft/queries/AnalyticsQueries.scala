@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.operators.{FuzzyJoin, Funnel, Triangles}
+import org.apache.spark.sql.expressions.Window
+import graft.{Canon, Tables}
+import graft.operators.{FuzzyJoin, Funnel, PageRank, Triangles}
 
 /** Entity-resolution, behavioral-funnel, and graph-metric operators
   * (round 9 catalog growth): the analytics families a training-data /
@@ -47,6 +48,68 @@ object AnalyticsQueries extends QueryGroup {
         .filter(col("src") < col("dst"))
         .select(col("src"), col("dst"))
       Triangles.count(e, "src", "dst")
+    }),
+
+    // Weekly retention cohorts: cohort = the Monday week of each user's
+    // FIRST signup; one distinct (user, activity-week) pass, then a
+    // cohort × week-offset user count. Weeks travel as integer
+    // epoch-days of the week start (never a rendered date), and the
+    // offset division is exact (week starts differ by multiples of 7).
+    "q116_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_t")).as("t0"))
+        .select(col("user_id"),
+          unix_date(date_trunc("week", col("t0")).cast("date"))
+            .cast("long").as("cw"))
+      val activity = ev.select(col("user_id"),
+          unix_date(date_trunc("week", col("ts_t")).cast("date"))
+            .cast("long").as("aw"))
+        .distinct()
+      cohort.join(activity, Seq("user_id"))
+        .filter(col("aw") >= col("cw"))
+        .groupBy(col("cw").as("cohort_week"),
+          ((col("aw") - col("cw")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // First-order Markov transition matrix of the event stream:
+    // per-user lead() over (ts, event_id) — a window partitioned by
+    // the entity key, so the sort is per-user-sized, never global —
+    // then pair counts and the 1e-4 fixed-point transition probability
+    // from exact integer (n, row-total) pairs.
+    "q117_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy(col("event_type"))
+      pairs.select(col("event_type"), col("next_type"), col("n"),
+          Canon.ratio1e4(col("n").cast("double") /
+            sum(col("n")).over(tot).cast("double")).as("p_1e4"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // Integer fixed-point PageRank (damping 17/20, scale 1e6, 4 static
+    // iterations) over the co-purchase graph — every step closed over
+    // BIGINT floor division, so the DuckDB twin unrolls the identical
+    // algebra and the hash compare covers all four iterations.
+    "q118_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+      val e = li.select(col("o"), col("l_partkey").as("src"))
+        .join(li.select(col("o"), col("l_partkey").as("dst")), Seq("o"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      PageRank.ranks(e, "src", "dst", iters = 4)
+        .orderBy(col("pr").desc, col("v"))
+        .limit(15)
+        .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
     })
   )
 
@@ -104,6 +167,65 @@ object AnalyticsQueries extends QueryGroup {
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg
         |        WHERE EXISTS (SELECT 1 FROM o
-        |                      WHERE o.u = wg.u AND o.w = wg.w)) AS n_triangles""".stripMargin
+        |                      WHERE o.u = wg.u AND o.w = wg.w)) AS n_triangles""".stripMargin,
+
+    "q116_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('week', t0) AS DATE)) AS BIGINT) AS cw
+        |  FROM f),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('week', ts) AS DATE)) AS BIGINT) AS aw
+        |  FROM events)
+        |SELECT cw AS cohort_week, (aw - cw) // 7 AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |WHERE aw >= cw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q117_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |       CAST(floor(CAST(n AS DOUBLE)
+        |         / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |         * 10000 + 0.5) AS BIGINT) AS p_1e4
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    "q118_pagerank" -> {
+      val iterCte = (1 to 4).map { i =>
+        s"""p$i AS (
+           |  SELECT dg.u AS v,
+           |         CAST(150000 + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS pr
+           |  FROM deg dg LEFT JOIN (
+           |    SELECT dir.v AS v, SUM(p${i - 1}.pr // deg.d) AS m
+           |    FROM dir JOIN p${i - 1} ON p${i - 1}.v = dir.u
+           |             JOIN deg ON deg.u = dir.u
+           |    GROUP BY 1) s ON s.v = dg.u)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |dir AS (SELECT a AS u, b AS v FROM e0
+         |        UNION ALL SELECT b AS u, a AS v FROM e0),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+         |p0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$iterCte
+         |SELECT v AS p_partkey, pr AS pr_1e6
+         |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin
+    }
   )
 }

@@ -96,6 +96,29 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(r === ((21L, 20L, 0L)))
   }
 
+  // ---- PageRank ----
+
+  test("a cycle is an exact fixed point of integer PageRank") {
+    // symmetric 6-cycle: contrib = 1e6 div 2 twice, pr' = 150000 +
+    // (17*1e6) div 20 = 1e6 — every iteration reproduces the start
+    // mass exactly, no truncation drift
+    val cyc = edges((0 to 5).map(i => (i.toLong, ((i + 1) % 6).toLong)): _*)
+    val prs = PageRank.ranks(cyc, "s", "t", iters = 4)
+      .select($"pr").as[Long].collect().toSet
+    assert(prs === Set(1000000L))
+  }
+
+  test("the hub of a star outranks its leaves, deterministically") {
+    val star = edges((1 to 10).map(i => (0L, i.toLong)): _*)
+    val r = PageRank.ranks(star, "s", "t", iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    val (hub, leaves) = (r.head._2, r.tail.map(_._2).toSet)
+    assert(leaves.size === 1 && hub > leaves.head)
+    val again = PageRank.ranks(star.repartition(5), "s", "t", iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(again === r)
+  }
+
   test("triangle count is invariant to edge order and partitioning") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
       (5L, 6L), (1L, 6L))
