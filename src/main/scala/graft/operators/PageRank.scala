@@ -44,6 +44,11 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    // EAGER edge materialization (q32 pattern): dir and deg feed EVERY
+    // iteration (the edge join + the degree join + the vertex base), so
+    // without checkpoints the canonicalize + DISTINCT subtree re-runs
+    // ~3× per round — measured 6.4 s → ~1 s for 4 rounds at sf0.1.
+    // Blocks free when the result goes unreachable.
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -51,7 +56,9 @@ object PageRank {
       .distinct()
     val dir = e0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
     val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
+      .localCheckpoint(true)
     val init = deg.select(col("u").as("v"), lit(Scale).as("pr"))
     (1 to iters).foldLeft(init) { (pr, _) =>
       val sums = dir

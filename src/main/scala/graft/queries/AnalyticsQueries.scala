@@ -39,9 +39,14 @@ object AnalyticsQueries extends QueryGroup {
     // Triangle count of the co-purchase graph (parts sharing an order):
     // the per-order pair fan-out is bounded by order size (≤ 7 lines),
     // and the count itself runs on degree-ORIENTED edges so wedge
-    // fan-out is O(√m) per vertex regardless of hub degree.
+    // fan-out is O(√m) per vertex regardless of hub degree. Fixture is
+    // a 1/8 order subset: the FULL sf0.1 co-purchase graph is 1.2 M
+    // edges / 1.9 M triangles dense (20 k parts × 600 k lines) — a
+    // 30-50 s DuckDB oracle; the subset keeps the same algebra under
+    // the per-round gate at ~150 k edges.
     "q115_triangles" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey"))
       val e = li.select(col("o"), col("l_partkey").as("src"))
         .join(li.select(col("o"), col("l_partkey").as("dst")), Seq("o"))
@@ -98,9 +103,12 @@ object AnalyticsQueries extends QueryGroup {
     // Integer fixed-point PageRank (damping 17/20, scale 1e6, 4 static
     // iterations) over the co-purchase graph — every step closed over
     // BIGINT floor division, so the DuckDB twin unrolls the identical
-    // algebra and the hash compare covers all four iterations.
+    // algebra and the hash compare covers all four iterations. Same
+    // 1/8 order subset as q115 (the full graph's density is a fixture
+    // artifact, not an algorithmic need).
     "q118_pagerank" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey"))
       val e = li.select(col("o"), col("l_partkey").as("src"))
         .join(li.select(col("o"), col("l_partkey").as("dst")), Seq("o"))
@@ -146,9 +154,11 @@ object AnalyticsQueries extends QueryGroup {
         |FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)""".stripMargin,
 
     "q115_triangles" ->
-      """WITH e0 AS (
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_orderkey % 8 = 0),
+        |e0 AS (
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-        |  FROM lineitem a JOIN lineitem b
+        |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |deg AS (
         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
@@ -215,9 +225,11 @@ object AnalyticsQueries extends QueryGroup {
            |             JOIN deg ON deg.u = dir.u
            |    GROUP BY 1) s ON s.v = dg.u)"""
       }.mkString(",\n")
-      s"""WITH e0 AS (
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |            WHERE l_orderkey % 8 = 0),
+         |e0 AS (
          |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-         |  FROM lineitem a JOIN lineitem b
+         |  FROM li a JOIN li b
          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
          |dir AS (SELECT a AS u, b AS v FROM e0
          |        UNION ALL SELECT b AS u, a AS v FROM e0),
