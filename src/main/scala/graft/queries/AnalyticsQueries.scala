@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Canon, Tables}
-import graft.operators.{FuzzyJoin, Funnel, PageRank, Triangles}
+import graft.operators.{FuzzyJoin, Funnel, PageRank, SessionPaths, Triangles}
 
 /** Entity-resolution, behavioral-funnel, and graph-metric operators
   * (round 9 catalog growth): the analytics families a training-data /
@@ -118,6 +118,70 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy(col("pr").desc, col("v"))
         .limit(15)
         .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
+    }),
+
+    // Top session paths (30-min gap, q26's sessionization rule): the
+    // exploratory complement of q114's fixed funnel — every session's
+    // ordered event-type journey, frequency-ranked. The path assembles
+    // IN-ROW (sort_array over collected (ts, tie, type) structs), so
+    // no second windowed pass over the stream.
+    "q119_session_paths" -> ((s, d) =>
+      SessionPaths.topPaths(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", gapNs = 30L * 60L * 1000000000L, k = 15)),
+
+    // Rolling anomaly detection over the hourly event-rate series: a
+    // bucket is anomalous when (x−μ)² > (2σ)² against its trailing
+    // 6-bucket window — spelled ENTIRELY in integers as
+    // (k·x−S)² > 4·(k·Q−S²), the q50 exact-moments trick, so no
+    // sqrt/float crosses engines. rangeBetween on the integer hour
+    // keeps missing buckets out of the frame honestly.
+    "q120_rate_anomaly" -> ((s, d) => {
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-5, 0)
+      hc.select(col("event_type"), col("hr"), col("n"),
+          count(lit(1)).over(win).as("k"),
+          sum(col("n")).over(win).as("s"),
+          sum(col("n") * col("n")).over(win).as("q"))
+        .withColumn("dev2",
+          (col("k") * col("n") - col("s")) * (col("k") * col("n") - col("s")))
+        .withColumn("thr", lit(4L) * (col("k") * col("q") - col("s") * col("s")))
+        .filter(col("dev2") > col("thr"))
+        .select(col("event_type"), col("hr"), col("n"), col("k"),
+          col("dev2"), col("thr"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // Market-basket lift: parts co-ordered more than chance —
+    // lift = N·c_ab / (c_a·c_b) at 1e-4 fixed point from exact integer
+    // counts (no log, which engines round differently). Pair fan-out
+    // is bounded by order size; the support floor (c_ab ≥ 3) prunes
+    // the pair table before any join.
+    "q121_basket_lift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = li.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val ca = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val pairs = li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(ca.select(col("p").as("pa"), col("c").as("c_a")), Seq("pa"))
+        .join(ca.select(col("p").as("pb"), col("c").as("c_b")), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("c_ab"),
+          Canon.ratio1e4(col("n_orders").cast("double") * col("c_ab").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double")))
+            .as("lift_1e4"))
+        .orderBy(col("lift_1e4").desc, col("pa"), col("pb"))
+        .limit(20)
     })
   )
 
@@ -238,6 +302,61 @@ object AnalyticsQueries extends QueryGroup {
          |$iterCte
          |SELECT v AS p_partkey, pr AS pr_1e6
          |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin
-    }
+    },
+
+    "q119_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin,
+
+    "q120_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(datediff('hour', TIMESTAMP '1970-01-01',
+        |              date_trunc('hour', ts)) AS BIGINT) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hr, n,
+        |         CAST(COUNT(*) OVER win AS BIGINT) AS k,
+        |         CAST(SUM(n) OVER win AS BIGINT) AS s,
+        |         CAST(SUM(n*n) OVER win AS BIGINT) AS q
+        |  FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hr
+        |                        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hr, n, k,
+        |       (k*n - s)*(k*n - s) AS dev2,
+        |       4*(k*q - s*s) AS thr
+        |FROM w WHERE (k*n - s)*(k*n - s) > 4*(k*q - s*s)
+        |ORDER BY event_type, hr""".stripMargin,
+
+    "q121_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        |ca AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pa, pb, c_ab,
+        |       CAST(floor(CAST(n.n_orders AS DOUBLE) * CAST(c_ab AS DOUBLE)
+        |         / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))
+        |         * 10000 + 0.5) AS BIGINT) AS lift_1e4
+        |FROM pairs JOIN ca x ON x.p = pairs.pa
+        |           JOIN ca y ON y.p = pairs.pb
+        |           CROSS JOIN n
+        |ORDER BY lift_1e4 DESC, pa, pb LIMIT 20""".stripMargin
   )
 }

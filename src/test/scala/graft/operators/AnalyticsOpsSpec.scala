@@ -96,6 +96,46 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(r === ((21L, 20L, 0L)))
   }
 
+  // ---- SessionPaths ----
+
+  private val M = 60L * 1000000000L // one minute in ns
+
+  test("session paths split on the gap and order by (ts, tie)") {
+    val events = Seq(
+      (1L, 1L * M, 10L, "view"), (1L, 2L * M, 11L, "click"),
+      (1L, 45L * M, 12L, "view"),                 // > 30 min gap: new session
+      (2L, 1L * M, 20L, "purchase")).toDF("user_id", "ts", "event_id", "event_type")
+    val p = SessionPaths.paths(events, "user_id", "ts", "event_id",
+        "event_type", gapNs = 30L * M)
+      .orderBy($"user_id", $"sid")
+      .select($"user_id", $"sid", $"path")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(p === Seq((1L, 0L, "view>click"), (1L, 1L, "view"), (2L, 0L, "purchase")))
+  }
+
+  test("same-ts events order by the tie column, invariant to partitioning") {
+    val events = Seq(
+      (1L, 5L * M, 3L, "c"), (1L, 5L * M, 1L, "a"), (1L, 5L * M, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    for (df <- Seq(events, events.repartition(5))) {
+      val p = SessionPaths.paths(df, "user_id", "ts", "event_id",
+          "event_type", gapNs = 30L * M)
+        .select($"path").as[String].collect().toSeq
+      assert(p === Seq("a>b>c"))
+    }
+  }
+
+  test("topPaths ranks by count with a path tie-break") {
+    val events = (for {
+      u <- 1L to 3L
+    } yield Seq((u, 1L * M, u * 10, "view"), (u, 2L * M, u * 10 + 1, "click")))
+      .flatten.toDF("user_id", "ts", "event_id", "event_type")
+    val top = SessionPaths.topPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapNs = 30L * M, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(top === Seq(("view>click", 3L)))
+  }
+
   // ---- PageRank ----
 
   test("a cycle is an exact fixed point of integer PageRank") {
