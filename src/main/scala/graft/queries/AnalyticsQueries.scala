@@ -182,6 +182,21 @@ object AnalyticsQueries extends QueryGroup {
             .as("lift_1e4"))
         .orderBy(col("lift_1e4").desc, col("pa"), col("pb"))
         .limit(20)
+    }),
+
+    // Peak concurrent sessions (the capacity question): session
+    // intervals [first_event, last_event + 1ns) from q26's gap rule,
+    // swept by the TWO-PHASE distributed prefix sum in IntervalSweep —
+    // range-sliced local running sums + a triangular offset join on
+    // the per-slice totals — instead of the single-task global window
+    // the textbook sweep would be. Result is partitioning-independent
+    // (running-value multiset over a total order).
+    "q122_max_concurrency" -> ((s, d) => {
+      val sess = graft.operators.SessionPaths.sessions(Tables.events(s, d),
+          "user_id", "ts", "event_id", gapNs = 30L * 60L * 1000000000L)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("t0"), (max(col("ts")) + 1).as("t1"))
+      graft.operators.IntervalSweep.maxConcurrent(sess, "t0", "t1")
     })
   )
 
@@ -357,6 +372,31 @@ object AnalyticsQueries extends QueryGroup {
         |FROM pairs JOIN ca x ON x.p = pairs.pa
         |           JOIN ca y ON y.p = pairs.pb
         |           CROSS JOIN n
-        |ORDER BY lift_1e4 DESC, pa, pb LIMIT 20""".stripMargin
+        |ORDER BY lift_1e4 DESC, pa, pb LIMIT 20""".stripMargin,
+
+    "q122_max_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |iv AS (
+        |  SELECT user_id, sid, MIN(epoch_ns(ts)) AS t0,
+        |         MAX(epoch_ns(ts)) + 1 AS t1
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT t0 AS t, 1 AS dd FROM iv
+        |      UNION ALL SELECT t1 AS t, -1 AS dd FROM iv),
+        |r AS (SELECT t, SUM(dd) OVER (ORDER BY t, dd
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |      FROM d),
+        |m AS (SELECT MAX(active) AS mx FROM r)
+        |SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+        |       CAST(MIN(r.t) AS BIGINT) AS at_t
+        |FROM r, m WHERE r.active = m.mx GROUP BY 1""".stripMargin
   )
 }

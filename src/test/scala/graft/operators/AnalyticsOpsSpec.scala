@@ -136,6 +136,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(top === Seq(("view>click", 3L)))
   }
 
+  // ---- IntervalSweep ----
+
+  test("sweep finds the peak and its earliest instant") {
+    val iv = Seq((0L, 10L), (5L, 15L), (9L, 12L)).toDF("t0", "t1")
+    val r = IntervalSweep.maxConcurrent(iv, "t0", "t1")
+      .as[(Long, Long)].collect().head
+    assert(r === ((3L, 9L)))
+  }
+
+  test("sweep is end-exclusive: touching intervals never overlap") {
+    val iv = Seq((0L, 5L), (5L, 10L)).toDF("t0", "t1")
+    val r = IntervalSweep.maxConcurrent(iv, "t0", "t1")
+      .as[(Long, Long)].collect().head
+    assert(r === ((1L, 0L)))
+  }
+
+  test("sweep result is invariant to input partitioning") {
+    val base = (1 to 200).map(i => (i.toLong % 37, i.toLong % 37 + 1 + i % 5))
+    val a = IntervalSweep.maxConcurrent(base.toDF("t0", "t1"), "t0", "t1")
+      .as[(Long, Long)].collect().head
+    val b = IntervalSweep.maxConcurrent(
+        scala.util.Random.shuffle(base).toDF("t0", "t1").repartition(11),
+        "t0", "t1")
+      .as[(Long, Long)].collect().head
+    assert(a === b)
+  }
+
   // ---- PageRank ----
 
   test("a cycle is an exact fixed point of integer PageRank") {
