@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Within-group co-occurrence pairs — the edge/market-basket builder
+  * behind the co-purchase graph (Triangles, PageRank) and basket lift.
+  *
+  * The naive build is a fact-table SELF-JOIN on the group key: two
+  * shuffles of the full table and a join whose output IS the pair
+  * blow-up. This operator instead collapses each group to its sorted
+  * DISTINCT item array (one aggregation, map-side combined) and
+  * generates the C(k,2) pairs IN-ROW with array HOFs — the pair
+  * fan-out is bounded by group size (order lines, basket size), and
+  * the only wide op is the one groupBy. Measured at sf0.1: the lift
+  * query dropped ~4× switching from the self-join form.
+  *
+  * The basket table is EAGERLY localCheckpointed (q32 contract) —
+  * callers invariably feed it to several consumers (pair explode +
+  * item frequencies + group count), and re-running the collect_set
+  * aggregation per consumer is exactly the waste this operator exists
+  * to remove.
+  */
+object CoOccur {
+
+  /** (group, ps): each group's sorted distinct item array.
+    * `materialize = true` (the default) eagerly localCheckpoints the
+    * table for the multi-consumer case described above; pass false
+    * when the baskets feed exactly ONE downstream consumer (e.g. a
+    * pair explode whose own result is checkpointed) — there the extra
+    * materialization job is pure overhead. */
+  def baskets(df: DataFrame, groupCol: String, itemCol: String,
+      materialize: Boolean = true): DataFrame = {
+    val b = df.groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_set(col(itemCol))).as("ps"))
+    if (materialize) b.localCheckpoint(true) else b
+  }
+
+  /** One row per (group, unordered pair) occurrence: (a, b) with a < b
+    * (guaranteed by the sorted array). Feed to distinct() for an edge
+    * list or to groupBy(a, b).count() for pair support. */
+  def pairsFromBaskets(b: DataFrame): DataFrame =
+    b.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+
+  /** Convenience: pairs straight from the fact table. The basket stage
+    * is NOT checkpointed here — this form has exactly one consumer by
+    * construction; checkpoint downstream if the pair stream fans out. */
+  def pairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    pairsFromBaskets(baskets(df, groupCol, itemCol, materialize = false))
+}

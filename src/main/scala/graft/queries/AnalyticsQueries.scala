@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Canon, Tables}
-import graft.operators.{FuzzyJoin, Funnel, PageRank, SessionPaths, Triangles}
+import graft.operators.{CoOccur, FuzzyJoin, Funnel, PageRank, SessionPaths, Triangles}
 
 /** Entity-resolution, behavioral-funnel, and graph-metric operators
   * (round 9 catalog growth): the analytics families a training-data /
@@ -47,12 +47,8 @@ object AnalyticsQueries extends QueryGroup {
     "q115_triangles" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .filter(col("l_orderkey") % 8 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey"))
-      val e = li.select(col("o"), col("l_partkey").as("src"))
-        .join(li.select(col("o"), col("l_partkey").as("dst")), Seq("o"))
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      Triangles.count(e, "src", "dst")
+      val e = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+      Triangles.count(e, "a", "b")
     }),
 
     // Weekly retention cohorts: cohort = the Monday week of each user's
@@ -109,12 +105,8 @@ object AnalyticsQueries extends QueryGroup {
     "q118_pagerank" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .filter(col("l_orderkey") % 8 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey"))
-      val e = li.select(col("o"), col("l_partkey").as("src"))
-        .join(li.select(col("o"), col("l_partkey").as("dst")), Seq("o"))
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-      PageRank.ranks(e, "src", "dst", iters = 4)
+      val e = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+      PageRank.ranks(e, "a", "b", iters = 4)
         .orderBy(col("pr").desc, col("v"))
         .limit(15)
         .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
@@ -161,20 +153,17 @@ object AnalyticsQueries extends QueryGroup {
     // is bounded by order size; the support floor (c_ab ≥ 3) prunes
     // the pair table before any join.
     "q121_basket_lift" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val nOrders = li.select(col("o")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val ca = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
-      val pairs = li.select(col("o"), col("p").as("pa"))
-        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      val b = CoOccur.baskets(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+      val nOrders = b.agg(count(lit(1)).as("n_orders"))
+      val ca = b.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val pairs = CoOccur.pairsFromBaskets(b)
+        .groupBy(col("a").as("pa"), col("b").as("pb"))
+        .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3)
       pairs
-        .join(ca.select(col("p").as("pa"), col("c").as("c_a")), Seq("pa"))
-        .join(ca.select(col("p").as("pb"), col("c").as("c_b")), Seq("pb"))
+        .join(broadcast(ca.select(col("p").as("pa"), col("c").as("c_a"))), Seq("pa"))
+        .join(broadcast(ca.select(col("p").as("pb"), col("c").as("c_b"))), Seq("pb"))
         .crossJoin(broadcast(nOrders))
         .select(col("pa"), col("pb"), col("c_ab"),
           Canon.ratio1e4(col("n_orders").cast("double") * col("c_ab").cast("double")

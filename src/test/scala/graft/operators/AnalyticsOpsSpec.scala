@@ -136,6 +136,24 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(top === Seq(("view>click", 3L)))
   }
 
+  // ---- CoOccur ----
+
+  test("in-row pair generation dedups within group and orders a < b") {
+    val df = Seq((1L, 3L), (1L, 1L), (1L, 3L), (1L, 2L), (2L, 9L), (2L, 7L))
+      .toDF("g", "item")
+    val p = CoOccur.pairs(df, "g", "item")
+      .orderBy($"a", $"b").as[(Long, Long)].collect().toSeq
+    assert(p === Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 9L)))
+  }
+
+  test("pair multiplicity counts one occurrence per group") {
+    val df = Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L), (3L, 5L)).toDF("g", "item")
+    val c = CoOccur.pairs(df, "g", "item")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(c === Seq((5L, 6L, 2L)))
+  }
+
   // ---- IntervalSweep ----
 
   test("sweep finds the peak and its earliest instant") {
