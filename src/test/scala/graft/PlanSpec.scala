@@ -289,6 +289,59 @@ class PlanSpec extends SparkTestBase {
     assert(Bridge.sourcePartitionEstimate(docs.repartition(8)).isEmpty)
   }
 
+  test("analytics windows are all entity-partitioned (no single-task sort)") {
+    // q117 lead(), q119 sessionization, q120 rolling moments, q122
+    // slice-local running sums: every WindowExec must carry a partition
+    // spec — a partition-less window funnels the stream into ONE task.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q117_event_transitions", "q119_session_paths",
+        "q120_rate_anomaly", "q122_max_concurrency")) {
+      val bad = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty, s"$q: partition-less WindowExec in plan")
+    }
+  }
+
+  test("analytics joins produce no cartesian product") {
+    // blocked fuzzy pairs, funnel stage chains, co-occurrence graphs,
+    // basket lift: candidates must come from equality joins (the 1-row
+    // aggregate combiners plan as broadcast nested-loop, not
+    // CartesianProduct).
+    for (q <- Seq("q113_fuzzy_match", "q114_funnel", "q115_triangles",
+        "q116_retention_cohorts", "q118_pagerank", "q121_basket_lift",
+        "q122_max_concurrency")) {
+      val p = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q112 sketch probe is a broadcast join over a partial+final build") {
+    val p = plan("q112_countmin_heavy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q113 fuzzy pairs come from a broadcast block join, DP as a built-in") {
+    // the deduplicated value table is an eager checkpoint (Scan
+    // ExistingRDD hides the pruned parquet scan, the q33/q91 pattern);
+    // the within-block pair join must broadcast the block key side and
+    // the Levenshtein DP must be the codegen built-in, not a UDF
+    val p = plan("q113_fuzzy_match")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("levenshtein"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
+  test("q121 item-frequency dims broadcast into the pair stream") {
+    val p = plan("q121_basket_lift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("bucketed tables join without a shuffle (co-located join at scale)") {
     // The 100 TB join strategy: both sides bucketed on the join key at
     // write time -> SortMergeJoin reads buckets directly, zero Exchange.
