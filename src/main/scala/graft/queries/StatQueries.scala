@@ -123,8 +123,45 @@ object StatQueries extends QueryGroup {
       CountMin.estimate(sketch, top, "l_suppkey")
         .select(col("l_suppkey"), col("exact_cnt"), col("cm_est"))
         .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+    }),
+
+    // Benford first-digit audit (the forensic data-quality screen for
+    // fabricated/corrupted numeric columns): observed leading-digit
+    // counts vs Benford expectation log10(1+1/d), with the per-digit
+    // χ² contribution at 1e-4 fixed point. Determinism choices: the
+    // leading digit comes from the DECIMAL STRING of the exact 2-dp
+    // integer (floor(x·100+0.5) — BIGINT-to-string is identical across
+    // engines, double-to-string is NOT); the expectations are the SAME
+    // Scala-computed double literals interpolated into both sides; and
+    // each χ² term is a single per-row double expression over exact
+    // integers — no cross-row float summation anywhere (the only sums
+    // are integer counts).
+    "q123_benford" -> ((s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .select(substring(
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val n = obs.agg(sum(col("n_obs")).as("n_total"))
+      val expCol = BenfordExp.tail.zipWithIndex.foldLeft(lit(BenfordExp.head)) {
+        case (acc, (e, i)) => when(col("digit") === (i + 2), lit(e)).otherwise(acc)
+      }
+      obs.crossJoin(broadcast(n))
+        .select(col("digit"), col("n_obs"),
+          floor(expCol * 1000000.0 + 0.5).cast("long").as("exp_ppm"),
+          ratio1e4(
+            (col("n_obs").cast("double") - col("n_total").cast("double") * expCol)
+              * (col("n_obs").cast("double") - col("n_total").cast("double") * expCol)
+              / (col("n_total").cast("double") * expCol)).as("chi2_1e4"))
+        .orderBy(col("digit"))
     })
   )
+
+  /** Benford expectations log10(1+1/d), d = 1..9 — computed ONCE here
+    * and interpolated as identical literals into the Spark plan and
+    * the DuckDB twin (Double.toString round-trips exactly). */
+  private val BenfordExp: Seq[Double] =
+    (1 to 9).map(dig => math.log10(1 + 1.0 / dig))
 
   override def oracle: Map[String, String] = Map(
     "q49_percentile_disc" ->
@@ -207,6 +244,27 @@ object StatQueries extends QueryGroup {
          |  GROUP BY 1, 2)
          |SELECT l_suppkey, exact_cnt, CAST(cm_est AS BIGINT) AS cm_est
          |FROM est ORDER BY exact_cnt DESC, l_suppkey""".stripMargin
+    },
+
+    "q123_benford" -> {
+      val expCase = BenfordExp.zipWithIndex
+        .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ")
+      s"""WITH o AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         |              AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |         CAST(COUNT(*) AS BIGINT) AS n_obs
+         |  FROM lineitem GROUP BY 1),
+         |n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o),
+         |e AS (SELECT o.digit, o.n_obs, n.n_total,
+         |             CASE o.digit $expCase END AS ex
+         |      FROM o CROSS JOIN n)
+         |SELECT digit, n_obs,
+         |       CAST(floor(ex * 1000000.0 + 0.5) AS BIGINT) AS exp_ppm,
+         |       CAST(floor(
+         |         (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ex)
+         |         * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ex)
+         |         / (CAST(n_total AS DOUBLE) * ex) * 10000 + 0.5) AS BIGINT) AS chi2_1e4
+         |FROM e ORDER BY digit""".stripMargin
     }
   )
 }
