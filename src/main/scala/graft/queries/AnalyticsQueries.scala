@@ -153,6 +153,11 @@ object AnalyticsQueries extends QueryGroup {
     // is bounded by order size; the support floor (c_ab ≥ 3) prunes
     // the pair table before any join.
     "q121_basket_lift" -> ((s, d) => {
+      // three slices over the ONE checkpointed basket table (pairs +
+      // item frequencies + group count). A fused single-shuffle form
+      // (markers + singles + pairs in one explode/agg) was measured
+      // 1.44 s → 1.88 s at sf0.1 and reverted: the ×1.6 explode volume
+      // costs more than the two extra slice passes over cached blocks.
       val b = CoOccur.baskets(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
       val nOrders = b.agg(count(lit(1)).as("n_orders"))
       val ca = b.select(explode(col("ps")).as("p"))
