@@ -298,6 +298,86 @@ object ScaleProbe {
       val (sec, rows) = time(run())
       println(s"""{"op":"profile_onepass","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
+    // ---- round-9 analytics operators over scaled graphs/streams ----
+    // Disjoint copies (shifted order/part/user ids) keep each copy's
+    // structure identical — triangles/PageRank see f disjoint
+    // co-purchase graphs, funnel/sweep see f disjoint user populations
+    // — so measured growth isolates the engine, not new structure.
+    val liGraph = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    def scaledGraph(f: Int): DataFrame =
+      (0 until f).map(k =>
+        liGraph.select((col("l_orderkey") + lit(k * 100000000L)).as("o"),
+          (col("l_partkey") + lit(k * 10000000L)).as("p"))).reduce(_ union _)
+
+    for (f <- factors if wanted("triangles")) {
+      def run(): Long = graft.operators.Triangles.count(
+        graft.operators.CoOccur.pairs(scaledGraph(f), "o", "p"), "a", "b")
+        .head().getLong(2)
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"triangles","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    for (f <- factors if wanted("pagerank4")) {
+      def run(): Long = graft.operators.PageRank.ranks(
+        graft.operators.CoOccur.pairs(scaledGraph(f), "o", "p"),
+        "a", "b", iters = 4).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"pagerank4","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // Basket pair-support aggregation (q121's heavy leg) over f
+    // disjoint copies of the FULL lineitem basket set.
+    val liFull = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    for (f <- factors if wanted("basket_pairs")) {
+      val d = (0 until f).map(k =>
+        liFull.select((col("l_orderkey") + lit(k * 100000000L)).as("o"),
+          (col("l_partkey") + lit(k * 10000000L)).as("p"))).reduce(_ union _)
+      def run(): Long = graft.operators.CoOccur.pairs(d, "o", "p")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"basket_pairs","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // Funnel + interval sweep over f disjoint user populations (same
+    // time range, so sweep concurrency grows with f — the deltas are
+    // the scaling axis, the per-slice sort stays slice-sized).
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def scaledEv(f: Int): DataFrame =
+      (0 until f).map(k =>
+        evBase.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("ts"), (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+          col("event_type"))).reduce(_ union _)
+
+    for (f <- factors if wanted("funnel")) {
+      def run(): Long = graft.operators.Funnel.report(scaledEv(f), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase")).head().getLong(0)
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"funnel","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    for (f <- factors if wanted("interval_sweep")) {
+      def run(): Long = {
+        val sess = graft.operators.SessionPaths.sessions(scaledEv(f), "user_id",
+            "ts", "event_id", gapNs = 30L * 60L * 1000000000L)
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("t0"), (max(col("ts")) + 1).as("t1"))
+        graft.operators.IntervalSweep.maxConcurrent(sess, "t0", "t1")
+          .head().getLong(0)
+      }
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"interval_sweep","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
     spark.stop()
   }
 }
