@@ -133,6 +133,74 @@ object StatefulOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  case class PendingEv(ts: Long, typ: String)
+
+  /** Streaming funnel state: the monotone stage-completion vector
+    * (−1 = unreached) plus the not-yet-admissible event buffer. */
+  case class FunnelBuf(stageTimes: List[Long], pending: List[PendingEv])
+
+  case class StageReached(user_id: Long, stage: Int, stage_name: String,
+      at: Timestamp)
+
+  /** Streaming twin of the batch `Funnel` operator (q114), with EXACT
+    * batch parity under out-of-order arrival: stage i is reached at the
+    * entity's earliest stages(i)-typed event STRICTLY after its stage
+    * i−1 time — so a late-but-admissible early event must be allowed to
+    * claim a stage before a later-timed event that arrived first. The
+    * processor therefore buffers each user's events until the WATERMARK
+    * passes them, then applies them in ascending event-time order to
+    * the monotone stage vector; applying ripe events in ts order makes
+    * "first qualifying event advances" identical to the batch
+    * min(CASE) algebra. Emits one row per stage ADVANCE — each (user,
+    * stage) appears at most once, when it becomes FINAL (no
+    * retraction is ever needed, the append-mode contract).
+    *
+    * State per user is |stages| longs + the in-flight buffer (bounded
+    * by the watermark delay × the user's event rate); state is
+    * REMOVED once the funnel completes and the buffer drains — a
+    * completed user costs nothing forever after. Event-time timers
+    * drain buffers whose user receives no further events. */
+  def funnelStages(spark: SparkSession, events: Dataset[TypedEvent],
+      stages: Seq[String], watermarkDelay: String): Dataset[StageReached] = {
+    import spark.implicits._
+    val n = stages.size
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, StageReached](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption
+            .getOrElse(FunnelBuf(List.fill(n)(-1L), Nil))
+          val pending =
+            if (state.hasTimedOut) prev.pending
+            else prev.pending ++ rows.map(e => PendingEv(e.ts.getTime, e.event_type))
+          val (ripe, hold) = pending.partition(_.ts <= wm)
+          var times = prev.stageTimes.toArray
+          val emits = List.newBuilder[StageReached]
+          for (e <- ripe.sortBy(_.ts)) {
+            val k = times.indexOf(-1L)
+            if (k >= 0 && e.typ == stages(k) &&
+                (k == 0 || e.ts > times(k - 1))) {
+              times(k) = e.ts
+              emits += StageReached(user, k, stages(k), new Timestamp(e.ts))
+            }
+          }
+          val complete = !times.contains(-1L)
+          if (hold.isEmpty && complete) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(FunnelBuf(times.toList, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(hold.map(_.ts).min, wm + 1))
+          }
+          emits.result().iterator
+      }
+  }
+
   /** Sessionize an event stream with an explicit gap: a session closes
     * when no event arrives for `gapMs` (enforced by event-time timeout
     * against the watermark). Emits one row per CLOSED session — the
