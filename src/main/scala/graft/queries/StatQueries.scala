@@ -154,6 +154,63 @@ object StatQueries extends QueryGroup {
               * (col("n_obs").cast("double") - col("n_total").cast("double") * expCol)
               / (col("n_total").cast("double") * expCol)).as("chi2_1e4"))
         .orderBy(col("digit"))
+    }),
+
+    // Referential-integrity audit (the FK health check before any join
+    // pipeline trusts its keys): per relationship, child rows and
+    // orphans (children whose parent key does not exist) via left-anti
+    // joins — each an equality join Catalyst can broadcast or
+    // sketch-prefilter (SketchFilter.bloomSemiAuto is the 100 TB form
+    // when the parent side is huge). All-zero orphans is the healthy
+    // TPC-H answer; the audit exists to go red when ingestion breaks.
+    "q124_fk_orphans" -> ((s, d) => {
+      def audit(rel: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val n = child.agg(count(lit(1)).as("n_child"))
+        val o = child.join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        n.crossJoin(o)
+          .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d)
+      audit("lineitem->orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("rel"))
+    }),
+
+    // Distribution drift between two time slices (train/eval or
+    // week-over-week shift detection): per (event_type, value-bin)
+    // two-sample χ² contribution — spelled from EXACT integer counts
+    // with one per-row double expression (the q123 discipline; PSI's
+    // ln is avoided deliberately, engines round it differently). The
+    // only cross-row sums are integer cell counts; window totals are
+    // integer sums per type.
+    "q125_drift_chi2" -> ((s, d) => {
+      val boundaryNs = 1704672000000000000L // 2024-01-08T00:00:00Z
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("ts") < boundaryNs).as("in_a"),
+          floor(col("value") / 50.0).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+      val tot = Window.partitionBy(col("event_type"))
+      val w = cells
+        .withColumn("n", col("a") + col("b"))
+        .withColumn("na", sum(col("a")).over(tot))
+        .withColumn("nb", sum(col("b")).over(tot))
+      def d_(c: String) = col(c).cast("double")
+      val ea = d_("n") * d_("na") / (col("na") + col("nb")).cast("double")
+      val eb = d_("n") * d_("nb") / (col("na") + col("nb")).cast("double")
+      w.select(col("event_type"), col("bin"), col("a"), col("b"),
+          ratio1e4((d_("a") - ea) * (d_("a") - ea) / ea
+            + (d_("b") - eb) * (d_("b") - eb) / eb).as("chi2_1e4"))
+        .orderBy(col("event_type"), col("bin"))
     })
   )
 
@@ -265,6 +322,46 @@ object StatQueries extends QueryGroup {
          |         * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ex)
          |         / (CAST(n_total AS DOUBLE) * ex) * 10000 + 0.5) AS BIGINT) AS chi2_1e4
          |FROM e ORDER BY digit""".stripMargin
-    }
+    },
+
+    "q124_fk_orphans" -> {
+      val rels = Seq(
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      rels.map { case (rel, c, ck, p, pk) =>
+        s"""SELECT '$rel' AS rel,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $c) AS n_child,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $p WHERE $p.$pk = $c.$ck)) AS n_orphans""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+    },
+
+    "q125_drift_chi2" ->
+      """WITH e AS (
+        |  SELECT event_type, ts < TIMESTAMP '2024-01-08' AS in_a,
+        |         CAST(floor(value / 50.0) AS BIGINT) AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bin, a, b, a + b AS n,
+        |         CAST(SUM(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |         CAST(SUM(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM c)
+        |SELECT event_type, bin, a, b,
+        |  CAST(floor((
+        |    (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    * (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    + (CAST(b AS DOUBLE) - CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    * (CAST(b AS DOUBLE) - CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |  ) * 10000 + 0.5) AS BIGINT) AS chi2_1e4
+        |FROM w ORDER BY event_type, bin""".stripMargin
   )
 }
