@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{Aggregators, Fnv1aHash, NGrams}
 
@@ -94,6 +95,36 @@ object FunctionQueries extends QueryGroup {
         col("n_kept"),
         floor(lit((k - 1).toDouble * math.pow(2, 64)) / col("hk").cast("double"))
           .cast("long").as("kmv_est"))
+    }),
+
+    // PER-GROUP KMV distinct sketches — the grouped form of q52 and the
+    // real 100 TB shape (one mergeable sketch per dimension cell, not
+    // one global). The k-minima per group come from a ranking window
+    // that PLANS as WindowGroupLimit: each map task keeps only its
+    // local top-k per group BEFORE the exchange (q105's pinned shape),
+    // so the shuffle carries ≤ k rows per (task, group) — never the
+    // distinct-hash stream. Groups with fewer than k distinct values
+    // report their exact count (the sketch saturates to truth).
+    "q126_kmv_per_group" -> ((s, d) => {
+      val k = 64
+      val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+      val h = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          Fnv1aHash.fnv1a64(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      val uh = when(col("h") < 0, col("h").cast("decimal(21,0)") + lit(two64))
+        .otherwise(col("h").cast("decimal(21,0)"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("uh"))
+      h.select(col("l_returnflag"), uh.as("uh"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), max(col("uh")).as("hk"))
+        .select(col("l_returnflag"), col("n_kept"),
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(floor(lit((k - 1).toDouble * math.pow(2, 64))
+              / col("hk").cast("double")).cast("long")).as("kmv_est"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -133,6 +164,22 @@ object FunctionQueries extends QueryGroup {
          |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
          |       CAST(floor(255.0 * 18446744073709551616.0 / CAST(MAX(hv) AS DOUBLE)) AS BIGINT) AS kmv_est
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+
+    "q126_kmv_per_group" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |                  ${duckFnv("CAST(l_partkey AS VARCHAR)")} AS hv
+         |           FROM lineitem),
+         |r AS (SELECT l_returnflag, hv,
+         |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+         |      FROM h),
+         |g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |             MAX(hv) AS hk
+         |      FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT l_returnflag, n_kept,
+         |       CASE WHEN n_kept < 64 THEN n_kept
+         |            ELSE CAST(floor(63.0 * 18446744073709551616.0
+         |                            / CAST(hk AS DOUBLE)) AS BIGINT) END AS kmv_est
+         |FROM g ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -123,6 +123,23 @@ class AqePlanSpec extends SparkTestBase {
     }
   }
 
+  test("AQE: analytics joins still avoid cartesian products at cluster width") {
+    withAqe {
+      for (q <- Seq("q115_triangles", "q118_pagerank", "q121_basket_lift",
+          "q122_max_concurrency")) {
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
+    }
+  }
+
+  test("AQE: q126 keeps WindowGroupLimit; q112 sketch probe still broadcasts") {
+    withAqe {
+      assert(plan("q126_kmv_per_group").contains("WindowGroupLimit"))
+      assert(plan("q112_countmin_heavy").contains("BroadcastHashJoin"))
+    }
+  }
+
   test("AQE: answers are identical to the bench-config plans (q32/q76/q91)") {
     // shape pins above; this pins VALUES — the adaptive planner must not
     // change any result. Compared via the canonical render sort.

@@ -342,6 +342,11 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q126 per-group k-minima plan as WindowGroupLimit (map-side top-k)") {
+    val p = plan("q126_kmv_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("bucketed tables join without a shuffle (co-located join at scale)") {
     // The 100 TB join strategy: both sides bucketed on the join key at
     // write time -> SortMergeJoin reads buckets directly, zero Exchange.

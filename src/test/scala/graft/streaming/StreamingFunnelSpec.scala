@@ -64,6 +64,49 @@ class StreamingFunnelSpec extends SparkTestBase {
     assert(got === Map((3L, 0) -> ts(10), (4L, 0) -> ts(7)))
   }
 
+  test("funnel state survives a kill-and-restart from the checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("funnel-out").toString
+    val in = MemoryStream[StatefulOps.TypedEvent]
+    // the memory sink refuses checkpoint recovery — use the parquet
+    // sink, which replays committed offsets on restart
+    def start() =
+      StatefulOps.funnelStages(s, in.toDS(), Stages, "10 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+    def emitted(): Map[Int, Timestamp] =
+      s.read.parquet(out).filter(col("user_id") === 1L)
+        .select("stage", "at").collect()
+        .map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    // leg 1: the view finalizes (watermark pushed past it), then KILL
+    val q1 = start()
+    try {
+      in.addData(ev(1, 0, "view"))
+      in.addData(StatefulOps.TypedEvent(99L,
+        Timestamp.valueOf("2024-01-01 11:00:00"), "error"))
+      q1.processAllAvailable()
+      assert(emitted() === Map(0 -> ts(0)), s"pre-restart: ${emitted()}")
+    } finally q1.stop()
+    // leg 2: restart from the SAME checkpoint; a click after the view
+    // converts ONLY if the recovered state still holds t0 = 10:00
+    // (lost state would leave the funnel at stage 0, where a click
+    // cannot advance anything)
+    val q2 = start()
+    try {
+      in.addData(StatefulOps.TypedEvent(1L,
+        Timestamp.valueOf("2024-01-01 11:05:00"), "click"))
+      in.addData(StatefulOps.TypedEvent(99L,
+        Timestamp.valueOf("2024-01-01 12:30:00"), "error"))
+      q2.processAllAvailable()
+      assert(emitted() === Map(0 -> ts(0),
+        1 -> Timestamp.valueOf("2024-01-01 11:05:00")),
+        s"post-restart: ${emitted()}")
+    } finally q2.stop()
+  }
+
   test("streaming emissions equal the batch Funnel stage times") {
     val fixture = Seq(
       ev(10, 0, "view"), ev(10, 2, "click"), ev(10, 1, "click"),
