@@ -211,6 +211,29 @@ object StatQueries extends QueryGroup {
           ratio1e4((d_("a") - ea) * (d_("a") - ea) / ea
             + (d_("b") - eb) * (d_("b") - eb) / eb).as("chi2_1e4"))
         .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // INCREMENTAL Count-Min maintenance (the q101/q110 pattern applied
+    // to the frequency sketch): the history slice's grid lives in a
+    // persisted parquet store; each ingest batch sketches only its
+    // delta and MERGES cell-wise (sum is associative — the CountMinSpec
+    // merge law). The oracle recomputes the FULL corpus from scratch
+    // (this is q112's exact oracle algebra), so the hash compare proves
+    // store+delta ≡ from-scratch — the property that lets a 100 TB
+    // pipeline never rescan history to keep its sketches current.
+    "q127_countmin_incremental" -> ((s, d) => {
+      import graft.operators.CountMin
+      val hist = s.read.parquet(storedCmSketch(s, d))
+      val delta = CountMin.build(
+        Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0),
+        col("l_suppkey"), lit(1L))
+      val sketch = CountMin.merge(hist, delta)
+      val top = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+      CountMin.estimate(sketch, top, "l_suppkey")
+        .select(col("l_suppkey"), col("exact_cnt"), col("cm_est"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey"))
     })
   )
 
@@ -219,6 +242,29 @@ object StatQueries extends QueryGroup {
     * the DuckDB twin (Double.toString round-trips exactly). */
   private val BenfordExp: Seq[Double] =
     (1 to 9).map(dig => math.log10(1 + 1.0 / dig))
+
+  /** q127's PERSISTED Count-Min grid: the history slice's sketch,
+    * written once per (session, sfDir) as plain parquet (r, c, cnt) —
+    * the operational form in which a frequency sketch lives between
+    * ingest batches (the q101/q110 store pattern applied to sketches). */
+  private val cmStores =
+    new java.util.LinkedHashMap[(SparkSession, String), String](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
+        size() > 8
+    }
+
+  private def storedCmSketch(s: SparkSession, d: String): String =
+    cmStores.synchronized { Option(cmStores.get((s, d))).getOrElse {
+      val path = java.nio.file.Files.createTempDirectory("graft-q127").toString
+      graft.operators.CountMin.build(
+          Tables.lineitem(s, d).filter(col("l_orderkey") % 5 =!= 0),
+          col("l_suppkey"), lit(1L))
+        .write.mode("overwrite").parquet(path)
+      cmStores.put((s, d), path)
+      path
+    }}
 
   override def oracle: Map[String, String] = Map(
     "q49_percentile_disc" ->
@@ -322,6 +368,30 @@ object StatQueries extends QueryGroup {
          |         * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ex)
          |         / (CAST(n_total AS DOUBLE) * ex) * 10000 + 0.5) AS BIGINT) AS chi2_1e4
          |FROM e ORDER BY digit""".stripMargin
+    },
+
+    "q127_countmin_incremental" -> {
+      val params = graft.operators.CountMin.RowParams.zipWithIndex
+        .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+      s"""WITH params(r, a, b) AS (VALUES $params),
+         |cells AS (
+         |  SELECT p.r AS r,
+         |         ((p.a * (l.l_suppkey % 2147483647) + p.b) % 2147483647) % 512 AS c,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem l CROSS JOIN params p
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM lineitem GROUP BY 1
+         |  ORDER BY exact_cnt DESC, l_suppkey LIMIT 10),
+         |est AS (
+         |  SELECT t.l_suppkey, t.exact_cnt, MIN(COALESCE(s.cnt, 0)) AS cm_est
+         |  FROM top t CROSS JOIN params p
+         |  LEFT JOIN cells s ON s.r = p.r
+         |    AND s.c = ((p.a * (t.l_suppkey % 2147483647) + p.b) % 2147483647) % 512
+         |  GROUP BY 1, 2)
+         |SELECT l_suppkey, exact_cnt, CAST(cm_est AS BIGINT) AS cm_est
+         |FROM est ORDER BY exact_cnt DESC, l_suppkey""".stripMargin
     },
 
     "q124_fk_orphans" -> {
