@@ -39,6 +39,44 @@ object PageRank {
 
   val Scale = 1000000L
 
+  /** WEIGHTED integer PageRank — the general form for co-occurrence
+    * graphs where edge multiplicity matters (a pair co-ordered 50
+    * times should pull more mass than one co-ordered once):
+    * contrib(u→v) = (pr(u)·w(u,v)) div W(u) with W(u) = u's total
+    * incident weight — still pure BIGINT floor division, so the same
+    * cross-engine determinism as [[ranks]] holds. Duplicate/reverse
+    * input edges merge by weight-sum during canonicalization. Bound:
+    * pr stays ≤ ~|V|·10⁶ and weights are corpus counts, so pr·w fits
+    * BIGINT for any graph whose total weight is < ~10⁹ per vertex —
+    * far beyond any per-entity co-occurrence table. */
+  def ranksWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val dir = e0.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(e0.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(true)
+    val wtot = dir.groupBy(col("u")).agg(sum(col("w")).as("wt"))
+      .localCheckpoint(true)
+    val init = wtot.select(col("u").as("v"), lit(Scale).as("pr"))
+    (1 to iters).foldLeft(init) { (pr, _) =>
+      val sums = dir
+        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
+        .join(wtot, Seq("u"))
+        .select(col("v"), expr("(pr * w) div wt").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+      wtot.select(col("u").as("v"))
+        .join(sums, Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"))
+    }
+  }
+
   /** (v, pr) after `iters` rounds, over the undirected graph's
     * vertices; pr is at scale 10⁶ (10⁶ = the uniform start mass). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,

@@ -191,6 +191,22 @@ object AnalyticsQueries extends QueryGroup {
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("ts")).as("t0"), (max(col("ts")) + 1).as("t1"))
       graft.operators.IntervalSweep.maxConcurrent(sess, "t0", "t1")
+    }),
+
+    // WEIGHTED integer PageRank over the co-purchase graph: edge
+    // weight = co-occurrence count (a pair ordered together 50× pulls
+    // more mass than a once-pair). Same BIGINT-closed algebra as q118
+    // with weight-proportional shares; same 1/8 subset fixture; the
+    // DuckDB twin unrolls all four weighted iterations.
+    "q128_pagerank_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 0)
+      val we = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      PageRank.ranksWeighted(we, "a", "b", "w", iters = 4)
+        .orderBy(col("pr").desc, col("v"))
+        .limit(15)
+        .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
     })
   )
 
@@ -391,6 +407,33 @@ object AnalyticsQueries extends QueryGroup {
         |m AS (SELECT MAX(active) AS mx FROM r)
         |SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
         |       CAST(MIN(r.t) AS BIGINT) AS at_t
-        |FROM r, m WHERE r.active = m.mx GROUP BY 1""".stripMargin
+        |FROM r, m WHERE r.active = m.mx GROUP BY 1""".stripMargin,
+
+    "q128_pagerank_weighted" -> {
+      val iterCte = (1 to 4).map { i =>
+        s"""p$i AS (
+           |  SELECT wt.u AS v,
+           |         CAST(150000 + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS pr
+           |  FROM wtot wt LEFT JOIN (
+           |    SELECT dir.v AS v, SUM((p${i - 1}.pr * dir.w) // wtot.wt) AS m
+           |    FROM dir JOIN p${i - 1} ON p${i - 1}.v = dir.u
+           |             JOIN wtot ON wtot.u = dir.u
+           |    GROUP BY 1) s ON s.v = wt.u)"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |            WHERE l_orderkey % 8 = 0),
+         |bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM li),
+         |e0 AS (
+         |  SELECT a.p AS a, b.p AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2),
+         |dir AS (SELECT a AS u, b AS v, w FROM e0
+         |        UNION ALL SELECT b AS u, a AS v, w FROM e0),
+         |wtot AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wt FROM dir GROUP BY 1),
+         |p0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS pr FROM wtot),
+         |$iterCte
+         |SELECT v AS p_partkey, pr AS pr_1e6
+         |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin
+    }
   )
 }

@@ -204,6 +204,26 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(again === r)
   }
 
+  test("uniform weights reduce weighted PageRank to the unweighted form") {
+    // (pr·w) div (w·d) == pr div d exactly (same rational under floor),
+    // so a constant weight must reproduce ranks() bit-for-bit
+    val es = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val un = PageRank.ranks(es, "s", "t", iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    val wd = PageRank.ranksWeighted(es.withColumn("w", lit(7L)),
+        "s", "t", "w", iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(wd === un)
+  }
+
+  test("a heavier edge pulls proportionally more mass") {
+    val es = Seq((0L, 1L, 100L), (0L, 2L, 1L), (0L, 3L, 1L), (0L, 4L, 1L))
+      .toDF("s", "t", "w")
+    val pr = PageRank.ranksWeighted(es, "s", "t", "w", iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toMap
+    assert(pr(1L) > pr(2L) && pr(2L) === pr(3L))
+  }
+
   test("triangle count is invariant to edge order and partitioning") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
       (5L, 6L), (1L, 6L))
