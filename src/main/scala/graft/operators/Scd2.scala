@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension builder — the batch form of the
+  * dimension-versioning a CDC consumer (the reference's webhook/PubSub
+  * targets, `reference/internal/binwatch/blsenderwork/blsenderwork.go`)
+  * materializes downstream: collapse an entity's change events into
+  * effective-dated version rows (value, eff_from, eff_to, version).
+  *
+  * Scale shape: both windows partition by the ENTITY key, so every sort
+  * is entity-history-sized (tens of rows), never global — the plan is
+  * two WindowExecs over one exchange on the entity hash, reused by both
+  * (same partitioning, Catalyst plans a single shuffle). No join, no
+  * aggregation, no driver state; 100 TB of history shards cleanly by
+  * entity.
+  *
+  * Semantics: events are ordered per entity by (time, tie) — the tie
+  * column makes same-instant updates deterministic (the CDC ItemID
+  * ordering rule, `blreaderwork.go:239-247`). A version row opens at
+  * the first event whose value differs from the running value
+  * (run-length collapse via lag), closes at the next version's open
+  * instant (lead), and the current version carries a NULL eff_to.
+  */
+object Scd2 {
+
+  /** @param df     change stream: one row per observed (entity, time, value)
+    * @param entity grouping key column name
+    * @param time   event-time column (any orderable type; emitted as-is)
+    * @param tie    unique-per-entity tiebreak column for same-instant rows
+    * @param value  the tracked attribute
+    * @return (entity, value, version, eff_from, eff_to) — version is
+    *         1-based per entity in time order; eff_to NULL = current
+    */
+  def build(df: DataFrame, entity: String, time: String, tie: String,
+      value: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(time), col(tie))
+    val changes = df
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      // NULL-safe inequality: the first event per entity (prev NULL)
+      // always opens version 1; a NULL value is a legal tracked state.
+      .filter(!(col(value) <=> col("__prev")))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("eff_from", col(time))
+      .withColumn("eff_to", lead(col(time), 1).over(w))
+      .select(col(entity), col(value), col("version"),
+        col("eff_from"), col("eff_to"))
+  }
+
+  /** Point-in-time lookup over a built SCD2 table: the version row
+    * effective at `at` (eff_from <= at < eff_to, NULL eff_to = open).
+    * A plain filter — partition-prunable when the dimension is stored
+    * partitioned/z-ordered by entity. */
+  def asOf(scd2: DataFrame, at: Column): DataFrame =
+    scd2.filter(col("eff_from") <= at &&
+      (col("eff_to").isNull || col("eff_to") > at))
+}

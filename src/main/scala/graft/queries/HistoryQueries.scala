@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Changepoint, Scd2}
+
+/** Temporal-history operators (round 9, continued): dimension
+  * versioning and level-shift detection — the "what changed, and when"
+  * family a CDC-fed warehouse runs over its landed history.
+  */
+object HistoryQueries extends QueryGroup {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 build over each customer's order-status history: run-length
+    // collapse (lag) + effective-dating (lead), both windows
+    // entity-partitioned over ONE reused exchange. Ordering runs on the
+    // full-precision timestamp; only the OUTPUT is rendered through the
+    // canonical string protocol (Canon.tss ↔ strftime), and the tie
+    // column makes same-instant orders deterministic.
+    "q129_scd2_history" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate").as("t"),
+        col("o_orderstatus").as("status"))
+      Scd2.build(o, "o_custkey", "t", "o_orderkey", "status")
+        .select(col("o_custkey"), col("status"), col("version"),
+          graft.Canon.tss(col("eff_from")).as("eff_from_s"),
+          graft.Canon.tss(col("eff_to")).as("eff_to_s"))
+        .orderBy(col("o_custkey"), col("version"))
+    }),
+
+    // CUSUM split changepoint per event-type over the hourly rate
+    // series (q120's grain): argmax_k |n·S_k − k·S_n| in BIGINT-closed
+    // integer algebra — WHERE each feed's level shifted, not which
+    // single buckets spike. Entity-partitioned windows only.
+    "q131_changepoint" -> ((s, d) => {
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      Changepoint.split(hc, "event_type", "hr", "n")
+        .select(col("event_type"), col("cp_bucket").as("cp_hr"),
+          col("d_stat"), col("n_buckets"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q129_scd2_history" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS t,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_custkey, o_orderkey, t, status,
+        |         LAG(status) OVER w AS prev
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)),
+        |ch AS (
+        |  SELECT o_custkey, o_orderkey, t, status FROM c
+        |  WHERE prev IS NULL OR prev <> status)
+        |SELECT o_custkey, status,
+        |       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+        |       strftime(t, '%Y-%m-%d %H:%M:%S') AS eff_from_s,
+        |       strftime(LEAD(t) OVER w2, '%Y-%m-%d %H:%M:%S') AS eff_to_s
+        |FROM ch WINDOW w2 AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "q131_changepoint" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, hr,
+        |         SUM(n) OVER wp AS sk,
+        |         CAST(COUNT(*) OVER wp AS BIGINT) AS k,
+        |         SUM(n) OVER wt AS sn,
+        |         CAST(COUNT(*) OVER wt AS BIGINT) AS nn
+        |  FROM hc
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wt AS (PARTITION BY event_type)),
+        |d AS (
+        |  SELECT event_type, hr, CAST(abs(nn * sk - k * sn) AS BIGINT) AS d_stat,
+        |         nn AS n_buckets,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(nn * sk - k * sn) DESC, hr) AS rn
+        |  FROM sc)
+        |SELECT event_type, hr AS cp_hr, d_stat, n_buckets
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
+  )
+}
