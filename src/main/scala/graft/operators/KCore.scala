@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round k-core peeling (Seidman 1983 degeneracy cores): drop
+  * every vertex with degree < k, recompute degrees on the induced
+  * subgraph, repeat. The k-core is the fixed point; `rounds` is a
+  * STATIC bound, so the operator's semantics are "the vertex set after
+  * exactly `rounds` peels" — a deterministic object whatever the
+  * convergence state, which is what lets a SQL twin unroll the
+  * identical algebra round for round (the spec additionally asserts the
+  * fixture graphs reach their true fixed point well inside the bound).
+  *
+  * Scale shape per round: one hash aggregation (degrees) + two
+  * semi-joins of the edge list against the surviving-vertex set — all
+  * keyed on vertex ids, AQE-skew-splittable, nothing driver-side. The
+  * edge list is eagerly localCheckpointed per round: round i's edges
+  * are referenced three times by round i+1 (degree count + both
+  * endpoint filters), so an uncheckpointed unroll re-runs an
+  * exponentially growing subtree; the checkpoint makes each round one
+  * small job over materialized blocks and keeps the final plan flat.
+  * Peeling is monotone — each round's edge set shrinks — so the
+  * per-round cost only falls.
+  */
+object KCore {
+
+  /** @param edges undirected edge list (duplicates/reversals/self-loops
+    *              tolerated — canonicalized away first)
+    * @return (v, core_deg): vertices surviving `rounds` peels at
+    *         threshold k, with their degree inside the surviving
+    *         induced subgraph. At the fixed point every core_deg >= k.
+    */
+  def peel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 30, s"rounds=$rounds out of [1, 30]")
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var dir = e0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("u"))
+      dir = dir
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    dir.groupBy(col("u").as("v")).agg(count(lit(1)).as("core_deg"))
+  }
+}

@@ -207,6 +207,23 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy(col("pr").desc, col("v"))
         .limit(15)
         .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
+    }),
+
+    // 8-core of the co-purchase graph by bounded-round peeling (8
+    // peels — the fixture graphs reach their fixed point inside the
+    // bound at every SF, asserted in KCoreSpec): the densely
+    // co-purchased part community that survives when weakly attached
+    // parts drop away. Per round: one degree aggregation + two
+    // vertex-keyed semi-joins over a per-round checkpointed edge list;
+    // the DuckDB twin unrolls the identical eight rounds.
+    "q130_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 0)
+      val e = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+      graft.operators.KCore.peel(e, "a", "b", k = 8, rounds = 8)
+        .select(col("v").as("p_partkey"), col("core_deg"))
+        .orderBy(col("core_deg").desc, col("p_partkey"))
+        .limit(25)
     })
   )
 
@@ -434,6 +451,30 @@ object AnalyticsQueries extends QueryGroup {
          |$iterCte
          |SELECT v AS p_partkey, pr AS pr_1e6
          |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin
+    },
+
+    "q130_kcore" -> {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each round references its predecessor three times — an
+      // uninlined unroll is a 3^8-scan plan ("too many open files").
+      val peelCte = (1 to 8).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT u FROM d${i - 1} GROUP BY u HAVING COUNT(*) >= 8),
+           |d$i AS MATERIALIZED (SELECT e.u, e.v FROM d${i - 1} e
+           |        WHERE e.u IN (SELECT u FROM k$i)
+           |          AND e.v IN (SELECT u FROM k$i))"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |            WHERE l_orderkey % 8 = 0),
+         |e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |d0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+         |       UNION ALL SELECT b AS u, a AS v FROM e0),
+         |$peelCte
+         |SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM d8 GROUP BY 1
+         |ORDER BY core_deg DESC, p_partkey LIMIT 25""".stripMargin
     }
   )
 }

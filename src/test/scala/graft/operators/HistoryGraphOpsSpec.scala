@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class HistoryGraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Scd2 ----
+
+  private def hist(rows: (Long, Long, Long, String)*) =
+    rows.toDF("ent", "t", "tie", "v")
+
+  test("scd2 collapses runs and chains effective dates") {
+    val scd = Scd2.build(hist(
+        (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+        (1L, 40L, 4L, "B"), (1L, 50L, 5L, "A")),
+      "ent", "t", "tie", "v")
+      .orderBy($"version")
+      .as[(Long, String, Long, Long, Option[Long])].collect().toSeq
+    assert(scd === Seq(
+      (1L, "A", 1L, 10L, Some(30L)),
+      (1L, "B", 2L, 30L, Some(50L)),
+      (1L, "A", 3L, 50L, None)))
+  }
+
+  test("scd2 orders same-instant rows by the tie column") {
+    val scd = Scd2.build(hist(
+        (1L, 10L, 2L, "B"), (1L, 10L, 1L, "A")),
+      "ent", "t", "tie", "v")
+      .orderBy($"version")
+      .as[(Long, String, Long, Long, Option[Long])].collect().toSeq
+    assert(scd.map(_._2) === Seq("A", "B"))
+  }
+
+  test("scd2 asOf returns exactly the effective version") {
+    val scd = Scd2.build(hist(
+        (1L, 10L, 1L, "A"), (1L, 30L, 2L, "B")),
+      "ent", "t", "tie", "v")
+    assert(Scd2.asOf(scd, lit(29L)).select($"v").as[String].collect().toSeq
+      === Seq("A"))
+    assert(Scd2.asOf(scd, lit(30L)).select($"v").as[String].collect().toSeq
+      === Seq("B")) // eff_from <= at < eff_to: boundary belongs to the opener
+    assert(Scd2.asOf(scd, lit(5L)).count() === 0)
+  }
+
+  // ---- Changepoint ----
+
+  private def series(rows: (String, Long, Long)*) =
+    rows.toDF("ent", "b", "n")
+
+  test("changepoint finds the level shift, not the ends") {
+    val r = Changepoint.split(series(
+        ("x", 1L, 1L), ("x", 2L, 1L), ("x", 3L, 1L),
+        ("x", 4L, 9L), ("x", 5L, 9L), ("x", 6L, 9L)),
+      "ent", "b", "n")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // D_k = |6*S_k - k*30|: 24, 48, 72, 48, 24, 0 -> argmax after bucket 3
+    assert(r === Seq(("x", 3L, 72L, 6L)))
+  }
+
+  test("changepoint tie resolves to the earliest bucket") {
+    val r = Changepoint.split(series(
+        ("x", 1L, 5L), ("x", 2L, 5L)), "ent", "b", "n")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // D_1 = |2*5 - 1*10| = 0 = D_2 -> earliest bucket wins
+    assert(r === Seq(("x", 1L, 0L, 2L)))
+  }
+
+  test("changepoint single-bucket series reports zero drift") {
+    val r = Changepoint.split(series(("y", 7L, 42L)), "ent", "b", "n")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("y", 7L, 0L, 1L)))
+  }
+
+  // ---- KCore ----
+
+  private def edges(rows: (Long, Long)*) = rows.toDF("a", "b")
+
+  test("kcore keeps the clique, peels the tail cascade") {
+    // K4 on {1,2,3,4} plus a path 4-5-6: at k=3 the path peels away
+    // over successive rounds, the clique is the fixed point.
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val core = KCore.peel(e, "a", "b", k = 3, rounds = 4)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kcore of a path at k=2 peels to empty") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(KCore.peel(e, "a", "b", k = 2, rounds = 4).count() === 0)
+  }
+
+  test("kcore ignores duplicates, reversals, self-loops") {
+    val e = edges((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L),
+      (1L, 3L), (2L, 3L))
+    val core = KCore.peel(e, "a", "b", k = 2, rounds = 2)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("q130's fixture graph reaches its fixed point inside the bound") {
+    // The declared semantics are "after exactly 8 peels"; this pins the
+    // stronger fact that 8 ≡ the true 8-core at the smallest fixture
+    // (rounds 7 and 8 agree), so the query really reports a k-core.
+    val li = graft.Tables.lineitem(spark, sf001)
+      .filter($"l_orderkey" % 8 === 0)
+    val e = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+    val r7 = KCore.peel(e, "a", "b", k = 8, rounds = 7)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    val r8 = KCore.peel(e, "a", "b", k = 8, rounds = 8)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(r7 === r8)
+    assert(r8.nonEmpty && r8.forall(_._2 >= 8))
+  }
+}
