@@ -67,9 +67,11 @@ object FuzzyJoin {
       // length prune first: |Δlen| is a lower bound on edit distance,
       // and it reads two ints where the DP reads O(len²) cells
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
-        col("n_a"), col("n_b"))
+      // materialize the DP result once — filtering on the projected
+      // column keeps a single levenshtein evaluation per surviving pair
+      // (the DP is the dominant O(len²) cost of the survivor stream)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
   }
 }

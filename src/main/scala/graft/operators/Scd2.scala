@@ -38,10 +38,14 @@ object Scd2 {
       value: String): DataFrame = {
     val w = Window.partitionBy(col(entity)).orderBy(col(time), col(tie))
     val changes = df
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(value), 1).over(w))
-      // NULL-safe inequality: the first event per entity (prev NULL)
-      // always opens version 1; a NULL value is a legal tracked state.
-      .filter(!(col(value) <=> col("__prev")))
+      // The first event per entity always opens version 1 — marked
+      // explicitly by row_number, because lag() is NULL both for "no
+      // previous row" and "previous value was NULL", and a NULL value
+      // is a legal tracked state. Later rows open a version on any
+      // NULL-safe change of the tracked value.
+      .filter(col("__rn") === 1 || !(col(value) <=> col("__prev")))
     changes
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("eff_from", col(time))

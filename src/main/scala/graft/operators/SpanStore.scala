@@ -55,10 +55,26 @@ object SpanStore {
     * delta appended since (may carry cross-batch duplicates — harmless
     * for the semi-join membership it exists to serve). */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val dirs = readMeta(spark, path).map(m => s"$path/${m.base}").toSeq ++
+    // Defense in depth on top of the atomic pointer swing: if the meta
+    // file is momentarily absent (a crashed half-finished writeMeta on a
+    // non-atomic FS), fall back to the newest base-NNN generation rather
+    // than silently serving a delta-only (under-scrubbing) view.
+    val base = readMeta(spark, path).map(m => s"$path/${m.base}")
+      .orElse(newestBase(spark, path))
+    val dirs = base.toSeq ++
       (if (exists(spark, s"$path/delta")) Seq(s"$path/delta") else Nil)
     require(dirs.nonEmpty, s"SpanStore.read: nothing stored at $path")
     spark.read.parquet(dirs: _*)
+  }
+
+  private def newestBase(spark: SparkSession, path: String): Option[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("base-"))
+      .map(_.getPath.getName).toSeq.sorted.lastOption
+      .map(name => s"$path/$name")
   }
 
   /** Distinct-rewrite the store: base∪delta → distinct → the next base
@@ -93,7 +109,10 @@ object SpanStore {
   def compactIfNeeded(spark: SparkSession, path: String,
       maxDeltaRatio: Double = 0.2, minDeltaRows: Long = 0L): Option[(Long, Long)] =
     readMeta(spark, path) match {
-      case None => Some(compact(spark, path))
+      // Never-compacted store: compact only if something was appended —
+      // on a virgin path there is nothing to do (and read() would throw).
+      case None =>
+        if (exists(spark, s"$path/delta")) Some(compact(spark, path)) else None
       case Some(m) =>
         val deltaRows = if (exists(spark, s"$path/delta"))
           spark.read.parquet(s"$path/delta").count() else 0L
@@ -135,10 +154,13 @@ object SpanStore {
       s"""{"base":"${m.base}","gen":${m.gen},"rows":${m.rows}}"""
         .getBytes("UTF-8"))
     finally out.close()
-    // rename is the atomic primitive HDFS/local give us; object stores
-    // substitute their own conditional-put — the pointer file is the
-    // single thing that must move atomically
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"SpanStore: pointer swing failed at $p")
+    // rename-with-overwrite is the atomic primitive (HDFS supports it
+    // through FileContext; local FS maps it to an atomic move). A plain
+    // delete-then-rename would open a window where no meta exists and a
+    // reader would silently see a delta-only view — the pointer file is
+    // the single thing that must move atomically.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

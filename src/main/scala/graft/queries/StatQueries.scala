@@ -207,7 +207,12 @@ object StatQueries extends QueryGroup {
       def d_(c: String) = col(c).cast("double")
       val ea = d_("n") * d_("na") / (col("na") + col("nb")).cast("double")
       val eb = d_("n") * d_("nb") / (col("na") + col("nb")).cast("double")
-      w.select(col("event_type"), col("bin"), col("a"), col("b"),
+      // A type with all rows in one slice has ea or eb = 0 → the χ²
+      // contribution is undefined (Spark would emit Infinity, DuckDB
+      // errors casting it) — drop degenerate types identically on both
+      // sides; drift over an absent slice is meaningless anyway.
+      w.filter(col("na") > 0 && col("nb") > 0)
+        .select(col("event_type"), col("bin"), col("a"), col("b"),
           ratio1e4((d_("a") - ea) * (d_("a") - ea) / ea
             + (d_("b") - eb) * (d_("b") - eb) / eb).as("chi2_1e4"))
         .orderBy(col("event_type"), col("bin"))
@@ -424,6 +429,8 @@ object StatQueries extends QueryGroup {
         |         CAST(SUM(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
         |  FROM c)
         |SELECT event_type, bin, a, b,
+        |  -- types with an empty slice (na or nb = 0) are filtered below:
+        |  -- their expected counts are 0 and the chi2 term is undefined
         |  CAST(floor((
         |    (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |    * (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
@@ -432,6 +439,6 @@ object StatQueries extends QueryGroup {
         |    * (CAST(b AS DOUBLE) - CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |  ) * 10000 + 0.5) AS BIGINT) AS chi2_1e4
-        |FROM w ORDER BY event_type, bin""".stripMargin
+        |FROM w WHERE na > 0 AND nb > 0 ORDER BY event_type, bin""".stripMargin
   )
 }

@@ -33,6 +33,22 @@ class HistoryGraphOpsSpec extends SparkTestBase {
     assert(scd.map(_._2) === Seq("A", "B"))
   }
 
+  test("scd2 opens version 1 when the entity's first tracked value is NULL") {
+    // lag() is NULL both for "no previous row" and "previous value was
+    // NULL" — the first event must still open version 1, and the later
+    // NULL→A transition must open version 2 (the ADVICE r9 regression).
+    val scd = Scd2.build(
+      Seq[(Long, Long, Long, Option[String])](
+        (1L, 10L, 1L, None), (1L, 20L, 2L, None), (1L, 30L, 3L, Some("A")))
+        .toDF("ent", "t", "tie", "v"),
+      "ent", "t", "tie", "v")
+      .orderBy($"version")
+      .as[(Long, Option[String], Long, Long, Option[Long])].collect().toSeq
+    assert(scd === Seq(
+      (1L, None, 1L, 10L, Some(30L)),
+      (1L, Some("A"), 2L, 30L, None)))
+  }
+
   test("scd2 asOf returns exactly the effective version") {
     val scd = Scd2.build(hist(
         (1L, 10L, 1L, "A"), (1L, 30L, 2L, "B")),

@@ -73,6 +73,25 @@ class SpanStoreSpec extends SparkTestBase {
     assert(!dirs.contains("delta"))
   }
 
+  test("compactIfNeeded on a virgin path is a no-op, not a crash") {
+    val s = spark
+    assert(SpanStore.compactIfNeeded(s, tmp()).isEmpty)
+  }
+
+  test("read falls back to the newest base when the meta file is absent") {
+    // defense against a crash between meta delete and rename on a
+    // non-atomic FS: the view must still include the compacted base,
+    // never silently degrade to delta-only (an under-scrubbing view)
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    SpanStore.append(Seq((1L, "a b c d")).toDF("doc_id", "text"), 3, path)
+    SpanStore.compact(s, path)
+    val full = SpanStore.read(s, path).collect().map(_.getLong(0)).toSet
+    assert(new java.io.File(s"$path/_store_meta.json").delete())
+    assert(SpanStore.read(s, path).collect().map(_.getLong(0)).toSet === full)
+  }
+
   test("compactIfNeeded follows the delta-ratio cadence") {
     val s = spark
     import s.implicits._
