@@ -35,12 +35,49 @@ object CoOccur {
     * table for the multi-consumer case described above; pass false
     * when the baskets feed exactly ONE downstream consumer (e.g. a
     * pair explode whose own result is checkpointed) — there the extra
-    * materialization job is pure overhead. */
+    * materialization job is pure overhead.
+    *
+    * The groupBy's exchange is widened explicitly to the session's
+    * defaultParallelism (keyed repartition — same shuffle, wider
+    * reduce): the collect_set aggregation is the compute-heavy stage
+    * of every consumer, and letting it inherit a small
+    * spark.sql.shuffle.partitions serializes it (measured r10, sf0.1:
+    * 0.58 s at width 4 → 0.30 s at width 16, BasketProbe). The
+    * checkpointed table then carries that width to every downstream
+    * explode. */
   def baskets(df: DataFrame, groupCol: String, itemCol: String,
       materialize: Boolean = true): DataFrame = {
-    val b = df.groupBy(col(groupCol).as("g"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val b = df.repartition(p, col(groupCol))
+      .groupBy(col(groupCol).as("g"))
       .agg(sort_array(collect_set(col(itemCol))).as("ps"))
     if (materialize) b.localCheckpoint(true) else b
+  }
+
+  /** Apriori item pruning: drop items whose corpus support (number of
+    * distinct groups containing them) is below `minSupport` BEFORE pair
+    * generation. A pair's support is bounded by its rarer item's
+    * support, so under a pair-support floor >= minSupport the surviving
+    * pair set is IDENTICAL (CoOccurSpec pins pruned ≡ unpruned) while
+    * the exploded pair volume shrinks at the source — the lever that
+    * matters on long-tail item distributions, where most items are
+    * seen once or twice and would otherwise still pay C(k,2) fan-out.
+    * (On the TPC-H fixture it prunes nothing — every part is in ~30
+    * orders, BasketProbe r10 — so q121 leaves it off; a real basket
+    * corpus is exactly the opposite.)
+    *
+    * Cost shape: one extra aggregation over the exploded item stream
+    * (support counts) + a broadcast semi-filter applied IN-ROW to the
+    * basket arrays — no second shuffle of the baskets. */
+  def pruneInfrequentItems(b: DataFrame, minSupport: Long): DataFrame = {
+    val keep = b.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .agg(sort_array(collect_list(col("p"))).as("keepset"))
+    b.crossJoin(broadcast(keep))
+      .select(col("g"),
+        filter(col("ps"), x => array_contains(col("keepset"), x)).as("ps"))
+      .filter(size(col("ps")) >= 2)
   }
 
   /** One row per (group, unordered pair) occurrence: (a, b) with a < b

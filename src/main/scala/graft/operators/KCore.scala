@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Bounded-round k-core peeling (Seidman 1983 degeneracy cores): drop
   * every vertex with degree < k, recompute degrees on the induced
-  * subgraph, repeat. The k-core is the fixed point; `rounds` is a
-  * STATIC bound, so the operator's semantics are "the vertex set after
-  * exactly `rounds` peels" — a deterministic object whatever the
-  * convergence state, which is what lets a SQL twin unroll the
-  * identical algebra round for round (the spec additionally asserts the
-  * fixture graphs reach their true fixed point well inside the bound).
+  * subgraph, repeat. The k-core is the fixed point; `rounds` bounds the
+  * peels, and the loop STOPS EARLY at the fixed point (a round that
+  * removes zero edges — the BpeTrain cost-gate pattern): once nothing
+  * peels, every further round is the identity, so "stop at the fixed
+  * point" and "run exactly `rounds` peels" produce the SAME vertex set
+  * whatever the convergence state (KCoreSpec pins early-stop ≡ full
+  * unroll). That is what lets a SQL twin unroll the identical algebra
+  * round for round while the engine skips the converged tail — on the
+  * q130 fixture the peel converges in 2 of the 8 budgeted rounds.
   *
   * Scale shape per round: one hash aggregation (degrees) + two
   * semi-joins of the edge list against the surviving-vertex set — all
@@ -20,6 +23,8 @@ import org.apache.spark.sql.functions._
   * endpoint filters), so an uncheckpointed unroll re-runs an
   * exponentially growing subtree; the checkpoint makes each round one
   * small job over materialized blocks and keeps the final plan flat.
+  * The convergence probe is a count over those just-materialized
+  * blocks — metadata-cheap next to the checkpoint job it rides.
   * Peeling is monotone — each round's edge set shrinks — so the
   * per-round cost only falls.
   */
@@ -43,7 +48,10 @@ object KCore {
     var dir = e0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var m = dir.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val keep = dir.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("u"))
@@ -51,7 +59,14 @@ object KCore {
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .localCheckpoint(true)
+      val m2 = dir.count()
+      converged = m2 == m // zero edges peeled -> every later round is identity
+      m = m2
+      round += 1
     }
+    System.err.println(
+      s"[kcore] ${if (converged) "fixed point" else "round budget"} after " +
+        s"$round/$rounds rounds (directed edges left: $m)")
     dir.groupBy(col("u").as("v")).agg(count(lit(1)).as("core_deg"))
   }
 }

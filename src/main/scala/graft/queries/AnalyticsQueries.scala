@@ -158,11 +158,20 @@ object AnalyticsQueries extends QueryGroup {
       // (markers + singles + pairs in one explode/agg) was measured
       // 1.44 s → 1.88 s at sf0.1 and reverted: the ×1.6 explode volume
       // costs more than the two extra slice passes over cached blocks.
+      // Apriori item pruning (CoOccur.pruneInfrequentItems) is OFF here
+      // by measurement: every part is in ~30 orders at this SF, so the
+      // floor prunes 0 of 20000 items (BasketProbe r10) and the pruning
+      // pass would be pure cost. On a long-tail corpus it goes first.
       val b = CoOccur.baskets(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
       val nOrders = b.agg(count(lit(1)).as("n_orders"))
       val ca = b.select(explode(col("ps")).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      // pair agg widened explicitly (same shuffle, defaultParallelism
+      // reducers): 0.54 s -> 0.28 s at sf0.1 vs inheriting the bench
+      // session's 4 shuffle partitions (BasketProbe r10)
+      val p = s.sparkContext.defaultParallelism
       val pairs = CoOccur.pairsFromBaskets(b)
+        .repartition(p, col("a"), col("b"))
         .groupBy(col("a").as("pa"), col("b").as("pb"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3)

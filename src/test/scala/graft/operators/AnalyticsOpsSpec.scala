@@ -154,6 +154,39 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(c === Seq((5L, 6L, 2L)))
   }
 
+  test("apriori pruning preserves the floored pair counts exactly") {
+    // long-tail corpus: items 1,2 co-occur in 3 groups (frequent);
+    // items 7,8,9 each appear once (below any floor >= 2) and would
+    // naively still pay pair fan-out
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 7L),
+      (2L, 1L), (2L, 2L), (2L, 8L),
+      (3L, 1L), (3L, 2L), (3L, 9L)).toDF("g", "item")
+    val floor = 3L
+    def flooredPairs(b: org.apache.spark.sql.DataFrame) =
+      CoOccur.pairsFromBaskets(b)
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= floor)
+        .orderBy($"a", $"b").as[(Long, Long, Long)].collect().toSeq
+    val b = CoOccur.baskets(df, "g", "item")
+    val pruned = CoOccur.pruneInfrequentItems(b, floor)
+    // pruning is non-vacuous: the tail items are gone from the baskets
+    assert(pruned.select(explode($"ps")).as[Long].collect().toSet
+      === Set(1L, 2L))
+    // and answer-identical under the pair-support floor
+    assert(flooredPairs(pruned) === flooredPairs(b))
+    assert(flooredPairs(b) === Seq((1L, 2L, 3L)))
+  }
+
+  test("apriori pruning drops groups left with fewer than two items") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 9L), (3L, 1L), (3L, 2L))
+      .toDF("g", "item")
+    // item 9 appears once; group 2 degenerates to [1] and must vanish
+    val pruned = CoOccur.pruneInfrequentItems(
+      CoOccur.baskets(df, "g", "item"), 2L)
+    assert(pruned.select($"g").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   // ---- IntervalSweep ----
 
   test("sweep finds the peak and its earliest instant") {

@@ -116,6 +116,18 @@ class HistoryGraphOpsSpec extends SparkTestBase {
     assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 
+  test("kcore early-stop equals the full unroll past the fixed point") {
+    // K4 + tail converges in 2 peels; a generous budget must change
+    // nothing (the early-stop is answer-invisible — rounds past the
+    // fixed point are the identity, the loop just skips running them)
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    def run(r: Int) = KCore.peel(e, "a", "b", k = 3, rounds = r)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(run(2) === run(20))
+    assert(run(20) === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   test("q130's fixture graph reaches its fixed point inside the bound") {
     // The declared semantics are "after exactly 8 peels"; this pins the
     // stronger fact that 8 ≡ the true 8-core at the smallest fixture
