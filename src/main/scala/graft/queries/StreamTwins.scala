@@ -257,6 +257,30 @@ object StreamTwins extends QueryGroup {
       val state = CdcPipeline.readCurrentState(
         s, landedDocsLake(s, d), snapDir, "corpus", "docs", docsLiftSchema)
       qualityBands(state)
+    }),
+
+    // INCREMENTAL changepoint over the compacted CDC lake (round 10):
+    // the monitoring loop a 100 TB deployment actually runs — detect
+    // level shifts on the LANDED current state without rescanning
+    // history. Composes the q88 snapshot+delta read (read cost is
+    // O(live rows + delta), not O(history)) with q131's CUSUM split:
+    // per-lang live-document counts over pk strides, argmax_k
+    // |n·S_k − k·S_n| in BIGINT-closed algebra. The oracle recomputes
+    // the IDENTICAL statistic from the full change history in DuckDB,
+    // so the hash compare proves snapshot+delta ≡ from-scratch through
+    // the entire capture path AND the changepoint algebra (the
+    // q88/q127 store≡scratch discipline).
+    "q132_changepoint_incremental" -> ((s, d) => {
+      val (snapDir, _) = snapshotOfLake(s, d)
+      val state = CdcPipeline.readCurrentState(
+        s, landedDocsLake(s, d), snapDir, "corpus", "docs", docsLiftSchema)
+      val counts = state
+        .groupBy(col("lang"), expr("pk div 16").as("bkt"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Changepoint.split(counts, "lang", "bkt", "n")
+        .select(col("lang"), col("cp_bucket").as("cp_bkt"),
+          col("d_stat"), col("n_buckets"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -352,7 +376,42 @@ object StreamTwins extends QueryGroup {
     // q88 reads the same state via snapshot+delta, so the SAME
     // full-history twin must hash-match it too.
     "q88_cdc_compacted_state" -> q87OracleSql,
-    "q87_cdc_landed_quality" -> q87OracleSql
+    "q87_cdc_landed_quality" -> q87OracleSql,
+
+    // Full-history recompute of q132's statistic: same synthetic change
+    // stream, latest-wins state, then the q131 CUSUM algebra — every
+    // intermediate a BIGINT.
+    "q132_changepoint_incremental" ->
+      """WITH changes AS (
+        |  SELECT doc_id // 3 AS pk, doc_id AS seq,
+        |         CASE WHEN doc_id % 10 < 6 THEN 'INSERT'
+        |              WHEN doc_id % 10 < 9 THEN 'UPDATE'
+        |              ELSE 'DELETE' END AS operation,
+        |         lang
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        |      FROM changes),
+        |state AS (SELECT * FROM r WHERE rn = 1 AND operation <> 'DELETE'),
+        |hc AS (SELECT lang, pk // 16 AS bkt, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM state GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, bkt,
+        |         SUM(n) OVER wp AS sk,
+        |         CAST(COUNT(*) OVER wp AS BIGINT) AS k,
+        |         SUM(n) OVER wt AS sn,
+        |         CAST(COUNT(*) OVER wt AS BIGINT) AS nn
+        |  FROM hc
+        |  WINDOW wp AS (PARTITION BY lang ORDER BY bkt
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wt AS (PARTITION BY lang)),
+        |d AS (
+        |  SELECT lang, bkt, CAST(abs(nn * sk - k * sn) AS BIGINT) AS d_stat,
+        |         nn AS n_buckets,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY abs(nn * sk - k * sn) DESC, bkt) AS rn
+        |  FROM sc)
+        |SELECT lang, bkt AS cp_bkt, d_stat, n_buckets
+        |FROM d WHERE rn = 1 ORDER BY lang""".stripMargin
   )
 
   private val q87OracleSql: String =
