@@ -247,6 +247,71 @@ object Multimodal {
       height: Long, sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long,
       n_dark: Long)
 
+  case class GifFeatures(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, n_dark: Long)
+
+  /** The q133 palette: entry v → (v, (7v+3) mod 256, 255−v). A fixed
+    * bijective-ish ramp the oracle can recompute per index in SQL. */
+  private def gifPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var v = 0
+    while (v < 256) {
+      p(3 * v) = v.toByte
+      p(3 * v + 1) = ((7 * v + 3) % 256).toByte
+      p(3 * v + 2) = (255 - v).toByte
+      v += 1
+    }
+    p
+  }
+
+  /** GIF twin of [[attachPng]]: pixel j's palette INDEX is text byte
+    * (j mod len), width 8, height ⌈len/8⌉ — one byte per pixel, the
+    * indexed-color synthesis rule — encoded through GifCodec's real
+    * LZW compressor. The palette is [[gifPalette]]'s fixed ramp, so the
+    * oracle maps index→RGB per pixel in SQL. */
+  def attachGif(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val w = 8
+        val h = math.max((bytes.length + w - 1) / w, 1)
+        val idx = new Array[Byte](w * h)
+        var j = 0
+        while (j < idx.length) { idx(j) = bytes(j % bytes.length); j += 1 }
+        MediaRecord(id, GifCodec.encode(GifCodec.Gif(w, h, gifPalette, idx)), "gif")
+      }
+      .toDF()
+  }
+
+  /** GIF decode stage: header/extension walk, LZW decode (variable
+    * width, clear-reset, KwKwK), palette mapping, exact integer pixel
+    * stats — one narrow mapPartitions like every codec stage. */
+  def gifFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val g = GifCodec.decode(r.content)
+          var sr = 0L; var sg = 0L; var sb = 0L; var dark = 0L
+          var i = 0
+          val n = g.width * g.height
+          while (i < n) {
+            val v = g.indices(i) & 0xff
+            val r8 = g.palette(3 * v) & 0xff
+            val g8 = g.palette(3 * v + 1) & 0xff
+            val b8 = g.palette(3 * v + 2) & 0xff
+            sr += r8; sg += g8; sb += b8
+            if ((299L * r8 + 587L * g8 + 114L * b8) / 1000L < 128L) dark += 1
+            i += 1
+          }
+          GifFeatures(r.doc_id, g.width.toLong, g.height.toLong, sr, sg, sb, dark)
+        }
+      }
+      .toDF()
+  }
+
   /** PNG twin of [[attachImage]]: even doc_ids encode as truecolor RGB
     * (color type 2), odd as RGBA (color type 6) — byte j of the pixel
     * stream is text byte j mod len, exactly the [[synthesize]] rule at

@@ -64,6 +64,20 @@ object MultimodalQueries extends QueryGroup {
     // type 2), odd RGBA (6, with the exact alpha-channel sum). The
     // oracle recomputes the pixel algebra straight from the text bytes
     // at the container's channel width.
+    // GIF features through the REAL LZW decoder (second compressed
+    // container after PNG): full header/extension walk, variable-width
+    // LZW with clear-reset and the KwKwK case, then palette-mapped
+    // exact pixel sums. The oracle recomputes index→RGB per pixel from
+    // the text bytes and the fixed palette ramp — any LZW drift
+    // anywhere breaks the hash.
+    "q133_gif_decode" -> ((s, d) => {
+      val media = Multimodal.attachGif(s, Tables.documents(s, d))
+      Multimodal.gifFeatures(s, media)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("n_dark"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q102_png_decode" -> ((s, d) => {
       val media = Multimodal.attachPng(s, Tables.documents(s, d))
       Multimodal.pngFeatures(s, media)
@@ -158,6 +172,27 @@ object MultimodalQueries extends QueryGroup {
     // q102: same byte-cycling synthesis at the container's own channel
     // width (3 for RGB, 4 for RGBA); the decoder's CRC/inflate/unfilter
     // chain must reproduce this algebra exactly.
+    // q133: indexed-color synthesis — pixel j's palette index is text
+    // byte (j mod len); palette entry v = (v, (7v+3) mod 256, 255−v).
+    "q133_gif_decode" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len
+        |           FROM documents WHERE strlen(text) > 0),
+        |dims AS (SELECT doc_id, text, len, (len + 7) // 8 AS h FROM d),
+        |vs AS (SELECT doc_id, h, list_transform(range(0, 8 * h),
+        |         j -> CAST(ascii(text[(j % len) + 1]) AS BIGINT)) AS v
+        |       FROM dims)
+        |SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_reduce(v, (a, x) -> a + x) AS BIGINT) AS sum_r,
+        |  CAST(list_reduce(list_transform(v, x -> (7 * x + 3) % 256),
+        |       (a, x) -> a + x) AS BIGINT) AS sum_g,
+        |  CAST(list_reduce(list_transform(v, x -> 255 - x),
+        |       (a, x) -> a + x) AS BIGINT) AS sum_b,
+        |  CAST(len(list_filter(v, x ->
+        |    (299 * x + 587 * ((7 * x + 3) % 256) + 114 * (255 - x)) // 1000 < 128))
+        |    AS BIGINT) AS n_dark
+        |FROM vs ORDER BY doc_id""".stripMargin,
+
     "q102_png_decode" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS len
         |           FROM documents WHERE strlen(text) > 0),
