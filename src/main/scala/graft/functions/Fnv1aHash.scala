@@ -48,6 +48,31 @@ case class Fnv1aHashLongLE(child: Expression) extends UnaryExpression with Expec
     copy(child = newChild)
 }
 
+/** Murmur3's 64-bit finalizer (fmix64, public domain — Appleby's
+  * MurmurHash3.cpp) over a long, codegen'd like [[Fnv1aHash]]. FNV-1a
+  * alone is NOT uniform enough in its small-value tail for
+  * order-statistic sketches: over short sequential key strings the
+  * k-th minimum lands ~35% low, which the r10 SketchError ledger
+  * measured as a 54% KMV overestimate (vs the 6.3% theoretical rsd at
+  * k=256). Three xor-shift-multiply rounds restore full avalanche; the
+  * DuckDB oracle twins reproduce the identical algebra in hi/lo 32-bit
+  * HUGEINT arithmetic. */
+case class Fmix64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fmix64"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1aHash.fmix64Impl(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv1aHash.fmix64Impl($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fmix64 =
+    copy(child = newChild)
+}
+
 object Fnv1aHash {
   /** Static entry shared by interpreted eval and generated code. */
   def hashUtf8(s: UTF8String): Long = {
@@ -74,6 +99,17 @@ object Fnv1aHash {
     h
   }
 
+  /** fmix64 (MurmurHash3 finalizer): full-avalanche bijection on the
+    * 64-bit space — wraparound multiply is Java's native semantics. */
+  def fmix64Impl(v: Long): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   def fnv1a64(c: Column): Column = Bridge.column(Fnv1aHash(Bridge.expression(c)))
   def fnv1a64LongLE(c: Column): Column = Bridge.column(Fnv1aHashLongLE(Bridge.expression(c)))
+  def fmix64(c: Column): Column = Bridge.column(Fmix64(Bridge.expression(c)))
 }

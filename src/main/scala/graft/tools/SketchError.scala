@@ -51,7 +51,7 @@ object SketchError {
     // --- KMV global (q52 algebra, k = 256) ---------------------------
     val two64 = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
     def uh = {
-      val h = Fnv1aHash.fnv1a64(col("l_partkey").cast("string"))
+      val h = Fnv1aHash.fmix64(Fnv1aHash.fnv1a64(col("l_partkey").cast("string")))
       when(h < 0, h.cast("decimal(21,0)") + lit(two64))
         .otherwise(h.cast("decimal(21,0)"))
     }
