@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.{count => cnt}
-import org.apache.spark.sql.expressions.Window
 
 /** Interval sweep-line in two distributed phases — "how many intervals
   * are active at once, and when does the peak happen": the classic
@@ -17,11 +16,16 @@ import org.apache.spark.sql.expressions.Window
   *
   *  1. boundary deltas (+1 at start, −1 at end) are RANGE-partitioned
   *     on the sweep order (t, d) — each partition owns a contiguous
-  *     time slice;
-  *  2. each partition computes its LOCAL running sum (a window
-  *     partitioned by the slice id — parallel, slice-sized sorts) and
-  *     reduces, in the SAME pass, to one summary row per slice: the
-  *     peak local run with its earliest instant, and the delta total;
+  *     time slice — and sorted WITHIN each partition (local sort, no
+  *     further exchange);
+  *  2. each partition folds its slice in ONE streaming mapPartitions
+  *     pass to a single summary row: the peak local running sum with
+  *     its earliest instant, and the slice's delta total. (This is the
+  *     legitimate mapPartitions case — a per-partition imperative fold
+  *     whose window formulation forces an extra hash(pid) exchange,
+  *     because Catalyst cannot know that spark_partition_id IS the
+  *     partitioning: measured r10, the fold is 0.31 s vs 0.45 s for
+  *     the window form on the same 190 k deltas, SweepProbe);
   *  3. the per-slice totals — one row per slice — turn into slice
   *     OFFSETS by a triangular self-join on the tiny summary table
   *     (≤ #partitions rows; no partition-less window anywhere); the
@@ -54,29 +58,32 @@ object IntervalSweep {
       .select(col(startCol).cast("long").as("t"), lit(1L).as("d"))
       .unionAll(intervals
         .select(col(endCol).cast("long").as("t"), lit(-1L).as("d")))
-    val n = intervals.sparkSession.sparkContext.defaultParallelism
-    // No checkpoint on the ranged stream: since the local-sum window
-    // and the per-slice reduction fused into ONE pass (below), the
-    // slice id has exactly one consumer — it only needs to be
-    // consistent within that single evaluation, which any evaluation
-    // is. (The old two-consumer shape needed the eager checkpoint to
-    // pin pid across re-evaluations.)
-    val ranged = deltas.repartitionByRange(n, col("t"), col("d"))
-      .withColumn("pid", spark_partition_id().cast("long"))
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("t"), col("d"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // ONE full-data pass: the local running sum feeds straight into a
-    // per-slice reduction — the slice's peak local run with its
-    // EARLIEST instant (max of (run, −t): the offset is constant inside
-    // a slice, so the global peak within a slice sits exactly at its
-    // local-run peak) plus the slice's delta total. The groupBy shares
-    // the window's hash partitioning on pid, so no second exchange; all
-    // downstream work is over ≤ n slice-summary rows.
-    val loc = ranged
-      .withColumn("run", sum(col("d")).over(wLocal))
-      .groupBy(col("pid"))
-      .agg(max(struct(col("run"), (-col("t")).as("nt"))).as("m"),
-        sum(col("d")).as("tot"))
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val n = spark.sparkContext.defaultParallelism
+    // ONE full-data pass: range exchange + in-partition sort, then the
+    // imperative slice fold — peak local run with its EARLIEST instant
+    // (strictly-greater update keeps the first t at the peak; the
+    // offset is constant inside a slice, so the global peak within a
+    // slice sits exactly at its local-run peak) plus the slice's delta
+    // total. Each slice emits exactly one summary row; the pid only
+    // needs to be consistent within this single evaluation, and the
+    // eager ≤ n-row checkpoint pins the summaries for their two
+    // consumers below.
+    val loc = deltas.repartitionByRange(n, col("t"), col("d"))
+      .sortWithinPartitions(col("t"), col("d"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var run = 0L; var best = Long.MinValue; var bestT = 0L
+        var any = false
+        for ((t, d) <- it) {
+          any = true; run += d
+          if (run > best) { best = run; bestT = t }
+        }
+        if (any) Iterator((pid, best, -bestT, run)) else Iterator.empty
+      }
+      .toDF("pid", "run", "nt", "tot")
       .localCheckpoint(true) // ≤ n rows, consumed twice below
     val offs = loc.select(col("pid"))
       .join(loc.select(col("pid").as("p2"), col("tot")),
@@ -84,9 +91,9 @@ object IntervalSweep {
       .groupBy(col("pid")).agg(coalesce(sum(col("tot")), lit(0L)).as("off"))
     // global peak = max over slices of (offset + local peak); earliest
     // instant = min t among slices achieving it (each slice summary
-    // already carries ITS earliest peak instant, encoded as max(−t))
+    // already carries ITS earliest peak instant, encoded as −t)
     loc.join(offs, Seq("pid"))
-      .select((col("m.run") + col("off")).as("active"), col("m.nt").as("nt"))
+      .select((col("run") + col("off")).as("active"), col("nt"))
       .agg(max(struct(col("active"), col("nt"))).as("s"))
       .select(col("s.active").as("max_concurrent"), (-col("s.nt")).as("at_t"))
   }

@@ -107,6 +107,86 @@ object BasketProbe {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3))))
 
+    // (e) the DuckDB shape: distinct + self-equi-join on the order key,
+    // no array materialization anywhere. repartition(ok) BEFORE the
+    // (ok, pk) distinct: HashPartitioning(ok) satisfies the agg's
+    // ClusteredDistribution(ok, pk) AND the join's, so the whole chain
+    // runs on ONE exchange (and the two join sides reuse it).
+    def selfJoinPairs(): DataFrame = {
+      val d0 = li.repartition(p, col("l_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok"), col("pk")).agg(lit(1))
+        .select(col("ok"), col("pk"))
+      d0.select(col("ok"), col("pk").as("a"))
+        .join(d0.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+    }
+    report("pairs via distinct+self-join noop",
+      warmBest(runs)(noop(selfJoinPairs())))
+
+    // (g) remaining stage decomposition at the declared widths: the
+    // item-support pass and the 1-row order count over the checkpoint
+    report("item supports (explode+agg) narrow",
+      warmBest(runs)(noop(bWide.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c")))))
+    report(s"item supports (explode+agg) $p-wide",
+      warmBest(runs)(noop(bWide.select(explode(col("ps")).as("p"))
+        .repartition(p, col("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c")))))
+    report("n_orders 1-row count",
+      warmBest(runs)(noop(bWide.agg(count(lit(1)).as("n_orders")))))
+    // (h) packed pairs at the declared width, 2^32 radix (safe for any
+    // partkey < 2^31, unlike the 2^21 demo radix above)
+    def packed32(bs: DataFrame): DataFrame =
+      bs.select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> x * 4294967296 + y)))")).as("pk"))
+    report(s"pairs packed-2^32 agg+floor $p-wide",
+      warmBest(runs)(noop(packed32(bWide)
+        .repartition(p, col("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3))))
+    report(s"pairs packed-2^32 agg+floor+unpack $p-wide",
+      warmBest(runs)(noop(packed32(bWide)
+        .repartition(p, col("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+        .select((col("pk") / 4294967296L).cast("long").as("pa"),
+          pmod(col("pk"), lit(4294967296L)).as("pb"), col("c_ab")))))
+
+    // (f) full q121 algebra on the self-join shape: c_a and n_orders
+    // from the SAME distinct pass (no basket table, no checkpoint)
+    def q121SelfJoin(): DataFrame = {
+      val d0 = li.repartition(p, col("l_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok"), col("pk")).agg(lit(1))
+        .select(col("ok"), col("pk"))
+        .localCheckpoint(true)
+      val nOrders = d0.agg(countDistinct(col("ok")).as("n_orders"))
+      val ca = d0.groupBy(col("pk").as("p")).agg(count(lit(1)).as("c"))
+      val pairs = d0.select(col("ok"), col("pk").as("a"))
+        .join(d0.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a").as("pa"), col("b").as("pb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(broadcast(ca.select(col("p").as("pa"), col("c").as("c_a"))), Seq("pa"))
+        .join(broadcast(ca.select(col("p").as("pb"), col("c").as("c_b"))), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("c_ab"),
+          graft.Canon.ratio1e4(col("n_orders").cast("double") * col("c_ab").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double")))
+            .as("lift_1e4"))
+        .orderBy(col("lift_1e4").desc, col("pa"), col("pb"))
+        .limit(20)
+    }
+    report("q121 algebra via self-join, e2e",
+      warmBest(runs)(noop(q121SelfJoin())))
+
     // (c) the declared query, end to end
     report("query: q121 as declared",
       warmBest(runs)(noop(
