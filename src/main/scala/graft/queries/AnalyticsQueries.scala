@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Canon, Tables}
-import graft.operators.{CoOccur, FuzzyJoin, Funnel, PageRank, SessionPaths, Triangles}
+import graft.operators.{Bfs, CoOccur, FuzzyJoin, Funnel, PageRank, SessionPaths, Triangles}
 
 /** Entity-resolution, behavioral-funnel, and graph-metric operators
   * (round 9 catalog growth): the analytics families a training-data /
@@ -110,6 +110,27 @@ object AnalyticsQueries extends QueryGroup {
         .orderBy(col("pr").desc, col("v"))
         .limit(15)
         .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
+    }),
+
+    // Multi-source BFS over the co-purchase graph (q118's 1/8 subset):
+    // hop distance from the seed parts (u % 97 == 0) out to 3 hops —
+    // frontier ⋈ edges + anti-join per round, early-stopped at the
+    // fixed point; distance is min-over-paths, so the answer is
+    // schedule-invariant and the DuckDB twin unrolls the same rounds
+    // declaratively. Aggregated per hop ring (count + id range).
+    "q135_bfs_hops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 8 === 0)
+      val e0 = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+      val dir = e0.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true) // consumed once per BFS round
+      val seeds = dir.select(col("u")).distinct().filter(col("u") % 97 === 0)
+      Bfs.hops(dir, "u", "v", seeds, maxHops = 3)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_vertices"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("dist"))
     }),
 
     // Top session paths (30-min gap, q26's sessionization rule): the
@@ -353,6 +374,33 @@ object AnalyticsQueries extends QueryGroup {
          |$iterCte
          |SELECT v AS p_partkey, pr AS pr_1e6
          |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin
+    },
+
+    "q135_bfs_hops" -> {
+      val roundCte = (1 to 3).map { k =>
+        s"""r$k AS (
+           |  SELECT v, MIN(dist) AS dist FROM (
+           |    SELECT v, dist FROM r${k - 1}
+           |    UNION ALL
+           |    SELECT dir.v, CAST($k AS BIGINT) AS dist
+           |    FROM dir JOIN r${k - 1} f ON f.v = dir.u
+           |    WHERE f.dist = ${k - 1}) x$k
+           |  GROUP BY v)"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |            WHERE l_orderkey % 8 = 0),
+         |e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |dir AS (SELECT a AS u, b AS v FROM e0
+         |        UNION ALL SELECT b AS u, a AS v FROM e0),
+         |r0 AS (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS dist
+         |       FROM dir WHERE u % 97 = 0),
+         |$roundCte
+         |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |       MIN(v) AS min_v, MAX(v) AS max_v
+         |FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q119_session_paths" ->

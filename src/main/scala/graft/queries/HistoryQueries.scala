@@ -29,6 +29,35 @@ object HistoryQueries extends QueryGroup {
         .orderBy(col("o_custkey"), col("version"))
     }),
 
+    // Point-in-time (as-of) fact→dimension join over the q129 SCD2
+    // table — THE consumer a versioned dimension exists for: each fact
+    // row joins the version row effective at its own instant
+    // (eff_from <= t, eff_to NULL or > t). Zero-width versions (two
+    // same-instant changes; the tie column orders them) are correctly
+    // skipped by the end-exclusive interval, so every fact matches
+    // EXACTLY one version. One equi-join on the entity key with the
+    // range predicate evaluated inside the sort-merge — at 100 TB both
+    // sides partition by entity and the join stays co-located (same
+    // shape as q61's interval join); output aggregated per
+    // (status, version) so the result is compact but fully sensitive.
+    "q134_scd2_pit" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate").as("t"),
+        col("o_orderstatus").as("status"))
+      val dim = Scd2.build(o, "o_custkey", "t", "o_orderkey", "status")
+      val facts = Tables.orders(s, d).select(
+        col("o_custkey").as("f_cust"), col("o_orderkey").as("f_ok"),
+        col("o_orderdate").as("f_t"))
+      facts.join(dim,
+          col("f_cust") === col("o_custkey") &&
+            col("eff_from") <= col("f_t") &&
+            (col("eff_to").isNull || col("eff_to") > col("f_t")))
+        .groupBy(col("status"), col("version"))
+        .agg(count(lit(1)).as("n_facts"),
+          min(col("f_ok")).as("min_ok"), max(col("f_ok")).as("max_ok"))
+        .orderBy(col("status"), col("version"))
+    }),
+
     // CUSUM split changepoint per event-type over the hourly rate
     // series (q120's grain): argmax_k |n·S_k − k·S_n| in BIGINT-closed
     // integer algebra — WHERE each feed's level shifted, not which
@@ -64,6 +93,32 @@ object HistoryQueries extends QueryGroup {
         |       strftime(LEAD(t) OVER w2, '%Y-%m-%d %H:%M:%S') AS eff_to_s
         |FROM ch WINDOW w2 AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+
+    "q134_scd2_pit" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS t,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_custkey, o_orderkey, t, status,
+        |         LAG(status) OVER w AS prev
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)),
+        |ch AS (
+        |  SELECT o_custkey, o_orderkey, t, status FROM c
+        |  WHERE prev IS NULL OR prev <> status),
+        |dim AS (
+        |  SELECT o_custkey, status,
+        |         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+        |         t AS eff_from, LEAD(t) OVER w2 AS eff_to
+        |  FROM ch WINDOW w2 AS (PARTITION BY o_custkey ORDER BY t, o_orderkey))
+        |SELECT dim.status, dim.version,
+        |       CAST(COUNT(*) AS BIGINT) AS n_facts,
+        |       MIN(f.o_orderkey) AS min_ok, MAX(f.o_orderkey) AS max_ok
+        |FROM orders f JOIN dim
+        |  ON f.o_custkey = dim.o_custkey
+        | AND dim.eff_from <= f.o_orderdate
+        | AND (dim.eff_to IS NULL OR dim.eff_to > f.o_orderdate)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q131_changepoint" ->
       """WITH hc AS (

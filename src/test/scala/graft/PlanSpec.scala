@@ -347,6 +347,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q134 point-in-time join is an equi-join on the entity key") {
+    // the range predicate must ride INSIDE an equality join on
+    // o_custkey (sort-merge or shuffled-hash with the interval as a
+    // residual condition) — never a BroadcastNestedLoop/cartesian over
+    // facts × versions, which would be quadratic at 100 TB
+    val p = plan("q134_scd2_pit")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed tables join without a shuffle (co-located join at scale)") {
     // The 100 TB join strategy: both sides bucketed on the join key at
     // write time -> SortMergeJoin reads buckets directly, zero Exchange.

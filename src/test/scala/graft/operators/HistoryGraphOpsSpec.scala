@@ -60,6 +60,51 @@ class HistoryGraphOpsSpec extends SparkTestBase {
     assert(Scd2.asOf(scd, lit(5L)).count() === 0)
   }
 
+  test("scd2 point-in-time join skips zero-width same-instant versions") {
+    // two same-instant changes: version 1 is zero-width (eff_from ==
+    // eff_to) — a probe AT that instant must hit only version 2 (the
+    // end-exclusive interval), so every fact matches exactly one row
+    val dim = Scd2.build(hist(
+        (1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 40L, 3L, "C")),
+      "ent", "t", "tie", "v")
+    assert(Scd2.asOf(dim, lit(10L)).select($"v").as[String].collect().toSeq
+      === Seq("B"))
+    assert(Scd2.asOf(dim, lit(39L)).select($"v").as[String].collect().toSeq
+      === Seq("B"))
+    assert(Scd2.asOf(dim, lit(40L)).select($"v").as[String].collect().toSeq
+      === Seq("C"))
+  }
+
+  // ---- Bfs ----
+
+  test("bfs hop distances from multiple seeds, min over paths") {
+    // 1-2-3-4 path plus 10-3 shortcut; seeds {1, 10}
+    val dir0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L))
+      .toDF("a", "b")
+    val dir = dir0.select($"a".as("u"), $"b".as("v"))
+      .unionAll(dir0.select($"b".as("u"), $"a".as("v")))
+    val seeds = Seq(1L, 10L).toDF("v")
+    val got = Bfs.hops(dir, "u", "v", seeds, maxHops = 5)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    // 3 is 1 hop from seed 10 (not 2 hops from seed 1); 4 is 2 hops
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (10L, 0L)))
+  }
+
+  test("bfs early-stops at the fixed point and caps at maxHops") {
+    val dir0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val dir = dir0.select($"a".as("u"), $"b".as("v"))
+      .unionAll(dir0.select($"b".as("u"), $"a".as("v")))
+    val seeds = Seq(1L).toDF("v")
+    // disconnected {5,6} never appears; generous budget == tight budget
+    val full = Bfs.hops(dir, "u", "v", seeds, maxHops = 50)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(full === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // cap cuts the ring at maxHops
+    val capped = Bfs.hops(dir, "u", "v", seeds, maxHops = 2)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(capped === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
   // ---- Changepoint ----
 
   private def series(rows: (String, Long, Long)*) =
