@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Changepoint, Scd2}
+import graft.operators.{Changepoint, Cusum, Scd2}
 
 /** Temporal-history operators (round 9, continued): dimension
   * versioning and level-shift detection — the "what changed, and when"
@@ -70,6 +70,23 @@ object HistoryQueries extends QueryGroup {
       Changepoint.split(hc, "event_type", "hr", "n")
         .select(col("event_type"), col("cp_bucket").as("cp_hr"),
           col("d_stat"), col("n_buckets"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CUSUM control chart per event-type (the ONLINE complement of
+    // q131's retrospective split): the textbook alarm recurrence
+    // T ← max(0, T + (x − μ)), unrolled exactly to prefix-sum minus
+    // running-min — two windows over ONE entity-partitioned exchange,
+    // all BIGINT (reference μ = Sn/n enters n-scaled, never divided).
+    // The streaming twin (StreamingCusum.chart) runs the same
+    // recurrence causally against a fixed reference; spec pins
+    // stream ≡ batch on shuffled arrival.
+    "q136_cusum_chart" -> ((s, d) => {
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      Cusum.alarmsRetro(hc, "event_type", "hr", "n", hSnMultiple = 4)
         .orderBy(col("event_type"))
     })
   )
@@ -142,6 +159,34 @@ object HistoryQueries extends QueryGroup {
         |                            ORDER BY abs(nn * sk - k * sn) DESC, hr) AS rn
         |  FROM sc)
         |SELECT event_type, hr AS cp_hr, d_stat, n_buckets
-        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q136_cusum_chart" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hr, n,
+        |         SUM(n) OVER wt AS sn,
+        |         CAST(COUNT(*) OVER wt AS BIGINT) AS nn
+        |  FROM hc WINDOW wt AS (PARTITION BY event_type)),
+        |r AS (
+        |  SELECT event_type, hr, sn,
+        |         SUM(nn * n - sn) OVER wp AS r
+        |  FROM w
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT event_type, hr, sn,
+        |         r - LEAST(CAST(0 AS HUGEINT), MIN(r) OVER wp) AS t
+        |  FROM r
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type,
+        |       CAST(COUNT(CASE WHEN t > 4 * sn THEN 1 END) AS BIGINT) AS n_alarms,
+        |       MIN(CASE WHEN t > 4 * sn THEN hr END) AS first_alarm,
+        |       CAST(MAX(t) AS BIGINT) AS peak_t
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
