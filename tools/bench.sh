@@ -22,9 +22,14 @@ done
 # Bench writes the full artifact straight to $OUT (tail-safe protocol:
 # stdout carries full line + final compact summary; the file is the
 # canonical copy even if the stdout capture truncates).
+# Heap default 16g (r10): the 136-query catalog accumulates
+# localCheckpoint blocks + codegen classes over the run; the measured
+# full-catalog A/B on an idle host was 49.97s at 16g vs 55.24s at 8g
+# (same per-query best-of-3 protocol) — the 8g heap pays an in-run GC
+# tax that inflates the heavy tail (q56 +30%, q96 +47%).
 SPARK_GRAFT_BENCH_OUT="$OUT" java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench > "$OUT".raw 2> "$OUT".log
 # fallback for older classes that don't write SPARK_GRAFT_BENCH_OUT: the
