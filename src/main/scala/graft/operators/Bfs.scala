@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * distance is order-independent (min over path lengths), so the
   * result is partitioning- and schedule-invariant — the DuckDB twin
   * unrolls the same rounds declaratively and hash-matches.
+  *
+  * Cost gate (r10, the KCore/BpeTrain driver-finish pattern): a BFS
+  * round at local/bench scale is JOB-COUNT-bound — ~3 scheduler floors
+  * per hop against milliseconds of actual row work. When the edge list
+  * fits `spark.graft.bfs.localEdgeMax` (default 4 M rows ≈ 64 MB), the
+  * whole traversal runs driver-locally with the IDENTICAL round
+  * algebra (level-synchronous frontier expansion, min-hop wins), so
+  * the answer is bit-equal to the distributed unroll — BfsSpec pins
+  * local ≡ distributed, and the gate count rides the edge list the
+  * caller should already have checkpointed. At 100 TB the distributed
+  * loop runs (edge count over the gate); set the conf to 0 to force it.
   */
 object Bfs {
 
@@ -33,8 +44,32 @@ object Bfs {
     */
   def hops(edges: DataFrame, src: String, dst: String, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
-    var dist = seeds.toDF("v").distinct()
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).cast("long").as("__u"),
+      col(dst).cast("long").as("__v"))
+    val localMax = spark.conf.getOption("spark.graft.bfs.localEdgeMax")
+      .map(_.toLong).getOrElse(4000000L)
+    if (e.count() <= localMax) {
+      val pairs = e.as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val seedArr = seeds.toDF("v").distinct()
+        .select(col("v").cast("long"))
+        .as(org.apache.spark.sql.Encoders.scalaLong).collect()
+      val out = hopsLocal(pairs, seedArr, maxHops)
+      System.err.println(s"[bfs] local traversal (${pairs.length} edges, " +
+        s"${seedArr.length} seeds, ${out.length} reached)")
+      import spark.implicits._
+      return out.toSeq.toDF("v", "dist")
+    }
+    hopsDistributed(e, seeds, maxHops)
+  }
+
+  /** The r9 frontier-join loop — ground truth for BfsSpec's local ≡
+    * distributed pin and the over-gate execution path. */
+  private[operators] def hopsDistributed(e: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    var dist = seeds.toDF("v").distinct().select(col("v").cast("long"))
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = dist
     var k = 1
@@ -54,5 +89,54 @@ object Bfs {
       k += 1
     }
     dist
+  }
+
+  /** Driver-local level-synchronous BFS, bit-equal to the frontier-join
+    * loop: seeds are dist 0 (present in the output even when isolated),
+    * each hop visits unreached out-neighbors of the previous frontier. */
+  private def hopsLocal(pairs: Array[(Long, Long)], seedArr: Array[Long],
+      maxHops: Int): Array[(Long, Long)] = {
+    val idx = new java.util.HashMap[Long, Integer](pairs.length)
+    def intern(v: Long): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { val i = idx.size; idx.put(v, i); i }
+    }
+    pairs.foreach { case (u, v) => intern(u); intern(v) }
+    seedArr.foreach(intern)
+    val n = idx.size
+    val names = new Array[Long](n)
+    idx.forEach((vid, i) => names(i) = vid)
+    val outDeg = new Array[Int](n)
+    pairs.foreach { case (u, _) => outDeg(idx.get(u)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](pairs.length)
+    pairs.foreach { case (u, v) =>
+      val ui: Int = idx.get(u)
+      adj(fill(ui)) = idx.get(v)
+      fill(ui) += 1
+    }
+    val dist = Array.fill(n)(-1L)
+    var frontier = seedArr.map(v => idx.get(v).intValue()).distinct
+    frontier.foreach(dist(_) = 0L)
+    var k = 1
+    while (k <= maxHops && frontier.nonEmpty) {
+      val next = Array.newBuilder[Int]
+      frontier.foreach { u =>
+        var p = off(u)
+        while (p < off(u + 1)) {
+          val v = adj(p)
+          if (dist(v) < 0) { dist(v) = k.toLong; next += v }
+          p += 1
+        }
+      }
+      frontier = next.result()
+      k += 1
+    }
+    (0 until n).iterator.filter(dist(_) >= 0)
+      .map(j => (names(j), dist(j))).toArray
   }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan et al.
+  * 2007), made DETERMINISTIC: every vertex starts labeled with its own
+  * id; each round ALL vertices simultaneously adopt the most frequent
+  * label among their neighbors, ties broken toward the SMALLEST label.
+  * Fixing the update order (synchronous) and the tie rule makes the
+  * result a pure function of the graph — no randomness, so a SQL twin
+  * can unroll the identical rounds and hash-match, and a re-run on
+  * different partitioning produces the same communities. Bounded
+  * `rounds` (LPA converges in a handful of sweeps; synchronous LPA can
+  * 2-cycle on bipartite structures, which a fixed round budget also
+  * neutralizes — the budget IS the semantics, like q118's fixed
+  * PageRank unroll).
+  *
+  * Round shape: join labels onto the directed edge list's dst endpoint
+  * (labels are vertex-keyed — the SMALL side at any scale), count
+  * (u, lbl) pairs, then pick per-u argmax with the min-label tie via
+  * one more hash aggregation of `max(struct(cnt, -lbl))` — partial-
+  * aggregable, so a celebrity vertex's million neighbor-labels combine
+  * map-side, never in one reducer. Per-round localCheckpoint keeps the
+  * lineage flat (iterative-plan rule).
+  *
+  * Cost gate (KCore/BpeTrain discipline): under
+  * `spark.graft.labelprop.localEdgeMax` (default 4 M directed edges)
+  * the rounds run driver-locally with the identical synchronous
+  * algebra — LabelPropSpec pins local ≡ distributed.
+  */
+object LabelProp {
+
+  /** @param edges undirected edge list (canonicalized internally)
+    * @return (v, community) after `rounds` synchronous sweeps */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds=$rounds out of [1, 20]")
+    val spark = edges.sparkSession
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = e0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val localMax = spark.conf.getOption("spark.graft.labelprop.localEdgeMax")
+      .map(_.toLong).getOrElse(4000000L)
+    if (dir.count() <= localMax) {
+      val pairs = dir.as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val out = runLocal(pairs, rounds)
+      System.err.println(s"[labelprop] local sweeps (${pairs.length} " +
+        s"directed edges, $rounds rounds)")
+      import spark.implicits._
+      return out.toSeq.toDF("v", "community")
+    }
+    runDistributed(dir, rounds)
+  }
+
+  /** Ground truth for LabelPropSpec's local ≡ distributed pin and the
+    * over-gate path. `dir` must hold both edge orientations. */
+  private[operators] def runDistributed(dir: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = dir.select(col("u").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      labels = dir
+        .join(labels, Seq("v")) // neighbor label rides the edge
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("u").as("v"), (-col("w.nl")).as("lbl"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels.select(col("v"), col("lbl").as("community"))
+  }
+
+  /** Driver-local synchronous sweeps, bit-equal to the distributed
+    * rounds: argmax neighbor-label frequency, min label on ties. */
+  private def runLocal(pairs: Array[(Long, Long)],
+      rounds: Int): Array[(Long, Long)] = {
+    val idx = new java.util.HashMap[Long, Integer](pairs.length / 2)
+    pairs.foreach { case (u, _) =>
+      if (!idx.containsKey(u)) idx.put(u, idx.size) }
+    val n = idx.size
+    val names = new Array[Long](n)
+    idx.forEach((vid, i) => names(i) = vid)
+    val deg = new Array[Int](n)
+    pairs.foreach { case (u, _) => deg(idx.get(u)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](pairs.length)
+    pairs.foreach { case (u, v) =>
+      val ui: Int = idx.get(u)
+      adj(fill(ui)) = idx.get(v)
+      fill(ui) += 1
+    }
+    var lbl: Array[Long] = names.clone()
+    var r = 0
+    while (r < rounds) {
+      val next = new Array[Long](n)
+      val freq = new java.util.HashMap[Long, Int]()
+      var v = 0
+      while (v < n) {
+        freq.clear()
+        var p = off(v)
+        while (p < off(v + 1)) {
+          freq.merge(lbl(adj(p)), 1, Integer.sum(_, _))
+          p += 1
+        }
+        var best = 0L
+        var bestCnt = -1
+        freq.forEach { (l, c) =>
+          if (c > bestCnt || (c == bestCnt && l < best)) {
+            best = l; bestCnt = c
+          }
+        }
+        next(v) = best
+        v += 1
+      }
+      lbl = next
+      r += 1
+    }
+    (0 until n).iterator.map(j => (names(j), lbl(j))).toArray
+  }
+}

@@ -105,6 +105,32 @@ class HistoryGraphOpsSpec extends SparkTestBase {
     assert(capped === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("bfs local traversal equals the distributed frontier loop") {
+    // The r10 cost-gated local finish must be bit-equal to the
+    // frontier-join unroll on: min-over-paths, isolated seeds (present
+    // at dist 0), capped budgets, and the q135 fixture graph.
+    val dir0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L)).toDF("a", "b")
+    val dir = dir0.select($"a".as("u"), $"b".as("v"))
+      .unionAll(dir0.select($"b".as("u"), $"a".as("v")))
+    val li = graft.Tables.lineitem(spark, sf001)
+      .filter($"l_orderkey" % 8 === 0)
+    val e0 = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+    val eq = e0.select($"a".as("u"), $"b".as("v"))
+      .unionAll(e0.select($"b".as("u"), $"a".as("v")))
+    val fixSeeds = eq.select($"u").distinct().filter($"u" % 97 === 0)
+    for ((e, seeds, cap) <- Seq(
+        (dir, Seq(1L, 10L, 99L).toDF("v"), 5), // 99: isolated seed
+        (dir, Seq(1L).toDF("v"), 2),           // capped mid-traversal
+        (eq, fixSeeds, 3))) {
+      val local = Bfs.hops(e, "u", "v", seeds, cap)
+        .orderBy($"v").as[(Long, Long)].collect().toSeq
+      val distr = Bfs.hopsDistributed(
+          e.select($"u".as("__u"), $"v".as("__v")), seeds, cap)
+        .orderBy($"v").as[(Long, Long)].collect().toSeq
+      assert(local === distr)
+    }
+  }
+
   // ---- Changepoint ----
 
   private def series(rows: (String, Long, Long)*) =
@@ -171,6 +197,40 @@ class HistoryGraphOpsSpec extends SparkTestBase {
       .orderBy($"v").as[(Long, Long)].collect().toSeq
     assert(run(2) === run(20))
     assert(run(20) === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kcore local finish and delta peeling equal the recompute form") {
+    // Three forms, one answer: the driver-local synchronized finish
+    // (default gate), the broadcast delta rounds (gate forced shut via
+    // localEdgeMax=0), and the r9 full-recompute loop (peelNaive) —
+    // on cascading peels, full evictions, a CAPPED budget (rounds=1,
+    // mid-peel state must match too), and the q130 fixture graph.
+    val cascade = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val li = graft.Tables.lineitem(spark, sf001)
+      .filter($"l_orderkey" % 8 === 0)
+    val eq = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int, r: Int,
+        form: String): Seq[(Long, Long)] = form match {
+      case "local" =>
+        KCore.peel(df, "a", "b", k, r)
+          .orderBy($"v").as[(Long, Long)].collect().toSeq
+      case "delta" =>
+        spark.conf.set("spark.graft.kcore.localEdgeMax", "0")
+        try KCore.peel(df, "a", "b", k, r)
+          .orderBy($"v").as[(Long, Long)].collect().toSeq
+        finally spark.conf.unset("spark.graft.kcore.localEdgeMax")
+      case _ =>
+        KCore.peelNaive(df, "a", "b", k, r)
+          .orderBy($"v").as[(Long, Long)].collect().toSeq
+    }
+    for ((e, k, r) <- Seq((cascade, 3, 8), (cascade, 3, 1), (cascade, 2, 8),
+        (path, 2, 8), (path, 2, 1), (eq, 8, 8))) {
+      val naive = run(e, k, r, "naive")
+      assert(run(e, k, r, "local") === naive, s"local != naive at k=$k r=$r")
+      assert(run(e, k, r, "delta") === naive, s"delta != naive at k=$k r=$r")
+    }
   }
 
   test("q130's fixture graph reaches its fixed point inside the bound") {
