@@ -14,7 +14,7 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] =
     Seq(BatchQueries, StreamTwins, TextQueries, VectorQueries, DedupQueries,
       MultimodalQueries, FunctionQueries, PipelineQueries, StatQueries,
-      AdvancedQueries, AnalyticsQueries, HistoryQueries)
+      AdvancedQueries, AnalyticsQueries, HistoryQueries, CurationQueries)
 
   /** Flagship query (TPC-H Q1 analog) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

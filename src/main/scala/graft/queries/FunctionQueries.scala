@@ -16,7 +16,7 @@ object FunctionQueries extends QueryGroup {
 
   /** DuckDB twin of Fnv1aHash.hashUtf8 for an ASCII expression `e`:
     * byte-fold in HUGEINT, mod 2^64 — yields the UNSIGNED 64-bit hash. */
-  private def duckFnv(e: String): String =
+  private[queries] def duckFnv(e: String): String =
     s"""list_reduce(
        |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |    list_transform(range(1, strlen($e)+1), i -> CAST(ascii(($e)[i]) AS HUGEINT))),
@@ -31,7 +31,7 @@ object FunctionQueries extends QueryGroup {
     * applies fmix64 — KMV needs full avalanche in the small-value tail
     * (the r10 SketchError finding: raw FNV's k-th minimum lands ~35%
     * low over short sequential key strings). */
-  private def duckFmix(cols: String, from: String): String = {
+  private[queries] def duckFmix(cols: String, from: String): String = {
     val M = "18446744073709551616" // 2^64
     s"""(SELECT ${cols}xor(u4, u4 // 8589934592) AS hv
        | FROM (SELECT ${cols}((u3 % 4294967296) * 14181476777654086739
