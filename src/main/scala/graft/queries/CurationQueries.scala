@@ -201,6 +201,29 @@ object CurationQueries extends QueryGroup {
         .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
           col("kl_1e6"))
         .orderBy(col("source"))
+    }),
+
+    // Exchange-free bucketed join (the warehouse co-location lever:
+    // land both fact tables bucketed on the join key ONCE, join forever
+    // with zero shuffle on either side — Bucketed scaladoc). The
+    // bucketed layout materializes on the session's first call and is
+    // reused after (land-once discipline); BucketedJoinSpec pins the
+    // join plan to zero Exchange operators between the bucketed scans
+    // and the SortMergeJoin. The ANSWER is bucketing-invariant, which
+    // is exactly what the oracle's plain join checks.
+    "q144_bucketed_join" -> ((s, d) => {
+      val sfx = graft.operators.Bucketed.suffixFor(d)
+      val o = graft.operators.Bucketed.materializeOnce(
+        Tables.orders(s, d).select(col("o_custkey"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents")),
+        s"graft_bkt_orders_$sfx", "o_custkey", 32)
+      val c = graft.operators.Bucketed.materializeOnce(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        s"graft_bkt_customer_$sfx", "c_custkey", 32)
+      graft.operators.Bucketed.join(o, c, "o_custkey", "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -365,6 +388,13 @@ object CurationQueries extends QueryGroup {
         |       CAST(SUM(term_1e6) AS BIGINT) AS kl_1e6
         |FROM term JOIN ns ON term.source = ns.source
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q144_bucketed_join" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q141_trend_ols" ->
       """WITH daily AS (
