@@ -239,6 +239,73 @@ object StatQueries extends QueryGroup {
       CountMin.estimate(sketch, top, "l_suppkey")
         .select(col("l_suppkey"), col("exact_cnt"), col("cm_est"))
         .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+    }),
+
+    // Two-proportion z-test (round 10; the A/B experiment readout):
+    // users split into arms by id parity, conversion = any purchase
+    // event; the four exact BIGINT counts (n/conv per arm) reduce to
+    // ONE z statistic in a single deterministic double expression at
+    // 1e-4 (the q50 discipline — no float crosses rows, sqrt of the
+    // same exact-integer expression is the same IEEE double in both
+    // engines). At 100 TB: one user-grain aggregation + one 4-cell
+    // conditional agg — nothing else.
+    "q145_ab_ztest" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"))
+        // conversion = a heavy purchaser (>= 14 events): splits every
+        // fixture scale; "any purchase" saturates (pp = 1 -> z undefined)
+        .select((col("user_id") % 2).as("arm"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+      val agg = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      agg.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        ratio1e4((p0 - p1) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n0").cast("double") +
+              lit(1.0) / col("n1").cast("double")))).as("z_1e4"))
+    }),
+
+    // Median/MAD robust anomaly scan (round 10; the robust complement
+    // of q120's mean/σ rule — a level shift inflates a trailing σ and
+    // hides its own spikes, the median/MAD pair doesn't budge): per
+    // event-type hourly rates, bucket is anomalous when
+    // |x − med| > 3·MAD. Both medians come from the q49 histogram pick
+    // (cumulative counts over value cells — the only shuffle is
+    // histogram-sized), everything integer end to end.
+    "q146_mad_anomaly" -> ((s, d) => {
+      def medOf(df: DataFrame, g: String, v: String, out: String) = {
+        val cw = Window.partitionBy(col(g)).orderBy(col(v))
+        val nw = Window.partitionBy(col(g))
+        df.groupBy(col(g), col(v)).agg(count(lit(1)).as("__c"))
+          .withColumn("__hi", sum(col("__c")).over(cw))
+          .withColumn("__n", sum(col("__c")).over(nw))
+          .groupBy(col(g))
+          .agg(min(when(col("__hi") >= ceil(lit(0.5) * col("__n"))
+            .cast("long"), col(v))).as(out))
+      }
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val med = medOf(hc, "event_type", "n", "med")
+      val dev = hc.join(med, "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = medOf(dev, "event_type", "dev", "mad")
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3L) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -439,6 +506,68 @@ object StatQueries extends QueryGroup {
         |    * (CAST(b AS DOUBLE) - CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |  ) * 10000 + 0.5) AS BIGINT) AS chi2_1e4
-        |FROM w WHERE na > 0 AND nb > 0 ORDER BY event_type, bin""".stripMargin
+        |FROM w WHERE na > 0 AND nb > 0 ORDER BY event_type, bin""".stripMargin,
+
+    "q145_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS np
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT user_id % 2 AS arm,
+        |             CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv FROM u),
+        |m AS (
+        |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM a)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(floor(
+        |    (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |     - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / sqrt(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+        |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS z_1e4
+        |FROM m""".stripMargin,
+
+    "q146_mad_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(datediff('hour', TIMESTAMP '1970-01-01',
+        |              date_trunc('hour', ts)) AS BIGINT) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |             THEN n END) AS med
+        |  FROM r1 GROUP BY 1),
+        |d AS (
+        |  SELECT h.event_type, h.n, med, abs(h.n - med) AS dev
+        |  FROM h JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |             THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type AS event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |       MIN(med) AS med, MIN(mad) AS mad,
+        |       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -294,7 +294,20 @@ object VectorQueries extends QueryGroup {
           floor(col("se") / size(col("vd")).cast("double") * 1e8 + 0.5)
             .cast("long").as("mse_1e8"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // Dominant embedding direction by FIXED-POINT power iteration
+    // (round 10; the 1-D PCA that flags collapsed embedding spaces):
+    // quantized Gram matrix in exact BIGINT (one in-row explode +
+    // d²-cell partial-aggregable hash agg — the distributed pass),
+    // then 8 integer-only iteration rounds (w = M·v in BIGINT, rescale
+    // by truncating division) on the FIXED-SIZE d×d aggregate — the
+    // driver-finish gate argument in its strongest form; the oracle
+    // unrolls the identical rounds in HUGEINT (PowerIteration scaladoc).
+    "q147_power_iteration" -> ((s, d) =>
+      graft.operators.PowerIteration.dominantDirection(
+          Tables.embeddings(s, d), "embedding", iters = 8)
+        .orderBy(col("i")))
   )
 
   /** DuckDB twin of Similarity.hyperplaneBucket: nBits sign bits over
@@ -306,7 +319,43 @@ object VectorQueries extends QueryGroup {
       s"(CASE WHEN ${duckDot.format(v, w)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** q147's unrolled HUGEINT power-iteration rounds: w = M·v exact,
+    * rescale sign(w)·(|w|·10⁶ // max|w|) — `//` on positive HUGEINTs
+    * truncates exactly like BigInteger.divide on magnitudes. */
+  private def powerIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT m.i AS i, CAST(SUM(CAST(m.m AS HUGEINT) * v.x) AS HUGEINT) AS w
+         |  FROM m JOIN v${k - 1} v ON m.j = v.i GROUP BY 1),
+         |a$k AS (SELECT MAX(abs(w)) AS amax FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN w < 0 THEN -(((-w) * 1000000) // amax)
+         |                 ELSE ((w * 1000000) // amax) END AS x
+         |  FROM w$k, a$k)"""
+    }.mkString(",\n")
+
   override def oracle: Map[String, String] = Map(
+    "q147_power_iteration" ->
+      s"""WITH b AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |           FROM embeddings),
+         |a0 AS (SELECT vec_id, vd,
+         |              list_aggregate(list_transform(vd, x -> abs(x)), 'max')
+         |                AS amax
+         |       FROM b),
+         |q AS (SELECT vec_id,
+         |             list_transform(vd,
+         |               x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+         |      FROM a0 WHERE amax > 0),
+         |cell AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, qv[i] AS qi
+         |         FROM q, unnest(range(1, len(qv) + 1)) u(i)),
+         |m AS MATERIALIZED (
+         |  SELECT x.i AS i, y.i AS j, CAST(SUM(x.qi * y.qi) AS BIGINT) AS m
+         |  FROM cell x JOIN cell y ON x.vec_id = y.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS x FROM m),
+         |${powerIterCtes(8)}
+         |SELECT i, CAST(x AS BIGINT) AS v_1e6 FROM v8 ORDER BY i""".stripMargin,
+
     "q99_embed_clip" ->
       """WITH x AS (SELECT unnest(range(0, len(embedding))) AS dim,
         |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v6
