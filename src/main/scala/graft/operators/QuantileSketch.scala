@@ -35,18 +35,16 @@ object QuantileSketch {
 
   /** Priority column: fmix64(fnv1a64(key)) — full-avalanche, so
     * sequential keys don't bias the low order statistics (the r10
-    * SketchError KMV finding applies verbatim here) — rendered as the
-    * UNSIGNED view in exact DECIMAL(21,0) (the q52 KMV idiom), so the
-    * k-minima agree with an engine that compares the 64-bit hash
-    * unsigned. */
-  def priority(key: Column): Column = {
-    val h = graft.functions.Fnv1aHash.fmix64(
+    * SketchError KMV finding applies verbatim here) — with the SIGN
+    * BIT FLIPPED, so ordering the signed long equals ordering the
+    * 64-bit hash unsigned (what a HUGEINT oracle compares) while the
+    * sort stays a radix-sortable LONG: the q52 DECIMAL(21,0) unsigned
+    * view is oracle-exact too, but a decimal comparator in the
+    * map-side top-k sort measured 3× slower at 600 k rows. */
+  def priority(key: Column): Column =
+    graft.functions.Fnv1aHash.fmix64(
       graft.functions.Fnv1aHash.fnv1a64(key))
-    val two64 = new java.math.BigDecimal(
-      java.math.BigInteger.ONE.shiftLeft(64))
-    when(h < 0, h.cast("decimal(21,0)") + lit(two64))
-      .otherwise(h.cast("decimal(21,0)"))
-  }
+      .bitwiseXOR(lit(Long.MinValue))
 
   /** Keep the k lowest-priority rows per group.
     * @return (groupCol, value, prio, key) — the mergeable sketch rows */

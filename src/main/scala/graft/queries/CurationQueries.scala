@@ -144,21 +144,27 @@ object CurationQueries extends QueryGroup {
     // sketch's ACCURACY is under the hash gate, not just its
     // determinism (the r10 sketch-ledger discipline).
     "q142_quantile_sketch" -> ((s, d) => {
+      // value = whole dollars: the 1e-2-grain cents domain is ~the row
+      // count (583 k distinct at sf0.1), which makes the EXACT-twin
+      // histogram the table itself and its per-group windows the query
+      // cost; whole dollars (104 k distinct) keep the resolution
+      // meaningful and the exact side histogram-sized (measured 4.4 s
+      // -> ~1 s at sf0.1)
       val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
-        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        floor(col("l_extendedprice")).cast("long").as("usd"),
         concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("kstr"))
       val sk = graft.operators.QuantileSketch.bottomK(
-        li, "g", "cents", "kstr", k = 128)
+        li, "g", "usd", "kstr", k = 128)
       val est = graft.operators.QuantileSketch.estimates(sk, "g",
         Seq("est_p50" -> 0.5, "est_p95" -> 0.95))
-      val cw = Window.partitionBy(col("g")).orderBy(col("cents"))
+      val cw = Window.partitionBy(col("g")).orderBy(col("usd"))
       val nw = Window.partitionBy(col("g"))
-      val cum = li.groupBy(col("g"), col("cents")).agg(count(lit(1)).as("c"))
+      val cum = li.groupBy(col("g"), col("usd")).agg(count(lit(1)).as("c"))
         .withColumn("hi", sum(col("c")).over(cw))
         .withColumn("n", sum(col("c")).over(nw))
       def pick(p: Double) =
         min(when(col("hi") >= ceil(lit(p) * col("n")).cast("long"),
-          col("cents")))
+          col("usd")))
       val exact = cum.groupBy(col("g"))
         .agg(pick(0.5).as("ex_p50"), pick(0.95).as("ex_p95"))
       est.join(exact, "g")
@@ -321,22 +327,22 @@ object CurationQueries extends QueryGroup {
     "q142_quantile_sketch" ->
       s"""WITH li AS (
          |  SELECT l_returnflag AS g,
-         |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         |         CAST(floor(l_extendedprice) AS BIGINT) AS usd,
          |         CAST(l_orderkey AS VARCHAR) || '-' ||
          |           CAST(l_linenumber AS VARCHAR) AS kstr
          |  FROM lineitem),
-         |h0 AS (SELECT g, cents, kstr,
+         |h0 AS (SELECT g, usd, kstr,
          |              ${FunctionQueries.duckFnv("kstr")} AS u0 FROM li),
-         |h AS (SELECT g, cents, kstr, hv
-         |      FROM ${FunctionQueries.duckFmix("g, cents, kstr, ", "h0")} fm),
-         |r AS (SELECT g, cents,
+         |h AS (SELECT g, usd, kstr, hv
+         |      FROM ${FunctionQueries.duckFmix("g, usd, kstr, ", "h0")} fm),
+         |r AS (SELECT g, usd,
          |             ROW_NUMBER() OVER (PARTITION BY g
-         |                                ORDER BY hv, cents, kstr) AS rn
+         |                                ORDER BY hv, usd, kstr) AS rn
          |      FROM h),
-         |sk AS (SELECT g, cents FROM r WHERE rn <= 128),
+         |sk AS (SELECT g, usd FROM r WHERE rn <= 128),
          |est AS (
          |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |         list_sort(list(cents)) AS vals
+         |         list_sort(list(usd)) AS vals
          |  FROM sk GROUP BY 1),
          |e2 AS (SELECT g, n_kept,
          |         vals[CAST(ceil(0.5 * n_kept) AS BIGINT)] AS est_p50,
@@ -345,11 +351,11 @@ object CurationQueries extends QueryGroup {
          |x AS (
          |  SELECT g,
          |    MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
-         |             THEN cents END) AS ex_p50,
+         |             THEN usd END) AS ex_p50,
          |    MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
-         |             THEN cents END) AS ex_p95
-         |  FROM (SELECT g, cents,
-         |               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS rn,
+         |             THEN usd END) AS ex_p95
+         |  FROM (SELECT g, usd,
+         |               ROW_NUMBER() OVER (PARTITION BY g ORDER BY usd) AS rn,
          |               COUNT(*) OVER (PARTITION BY g) AS n
          |        FROM li)
          |  GROUP BY 1)

@@ -115,7 +115,7 @@ class CurationOpsSpec extends SparkTestBase {
     val a = df.filter($"v" % 2 === 0)
     val b = df.filter($"v" % 2 =!= 0)
     val whole = QuantileSketch.bottomK(df, "g", "v", "kid", 32)
-      .orderBy($"prio").as[(String, Long, java.math.BigDecimal, String)]
+      .orderBy($"prio").as[(String, Long, Long, String)]
       .collect().toSeq
     val merged = QuantileSketch.bottomK(
         QuantileSketch.bottomK(a, "g", "v", "kid", 32)
@@ -123,7 +123,7 @@ class CurationOpsSpec extends SparkTestBase {
           .withColumnRenamed("value", "v").withColumnRenamed("key", "kid")
           .select($"g", $"v", $"kid"),
         "g", "v", "kid", 32)
-      .orderBy($"prio").as[(String, Long, java.math.BigDecimal, String)]
+      .orderBy($"prio").as[(String, Long, Long, String)]
       .collect().toSeq
     assert(whole === merged)
   }
