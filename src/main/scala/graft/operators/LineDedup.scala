@@ -43,9 +43,13 @@ object LineDedup {
       .withColumn("h", graft.functions.Fnv1aHash.fnv1a64(col("line")))
 
   /** Surviving occurrences only: each distinct line kept solely at its
-    * first (doc_id, idx) position corpus-wide. */
+    * first (doc_id, idx) position corpus-wide. The occurrence stream is
+    * eagerly localCheckpointed: it feeds both the winner aggregation
+    * and the probe side of the join-back, and re-running the
+    * split+hash subtree per consumer would double the corpus scan (the
+    * q32 shared-subtree discipline). */
   def survivors(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val occ = lineOccurrences(docs, textCol)
+    val occ = lineOccurrences(docs, textCol).localCheckpoint(true)
     // min(struct) — lexicographic on (doc_id, idx): the global
     // first-occurrence winner per line hash, skew-safe (see scaladoc).
     val winners = occ.groupBy(col("h"))
@@ -58,7 +62,8 @@ object LineDedup {
 
   /** Rebuild each document from its surviving lines (in original order),
     * with kept/dropped accounting. Documents whose every line was
-    * deduped away remain present with an empty `cleaned`. */
+    * deduped away remain present with an empty `cleaned`. Totals come
+    * in-row from the split width — no second pass over the corpus. */
   def rebuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val surv = survivors(docs, textCol)
     val kept = surv.groupBy(col("doc_id")).agg(
@@ -67,8 +72,8 @@ object LineDedup {
         transform(array_sort(collect_list(struct(col("idx"), col("line")))),
           x => x.getField("line")),
         "\n").as("cleaned"))
-    val totals = lineOccurrences(docs, textCol)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val totals = docs.select(col("doc_id"),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"))
     totals.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
