@@ -34,6 +34,21 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
+  /** Deterministic w-token "lines" for corpora without newlines (the
+    * fixture corpus): chunk the space-separated token stream and join
+    * with \n — a pure function of the text, identically expressible in
+    * SQL, so oracles and probes share the exact lining rule. */
+  def chunkLines(textCol: org.apache.spark.sql.Column,
+      tokensPerLine: Int): org.apache.spark.sql.Column =
+    array_join(
+      transform(
+        sequence(lit(0),
+          ((size(split(textCol, " ")) - 1) / tokensPerLine).cast("int")),
+        i => array_join(
+          slice(split(textCol, " "), i * tokensPerLine + 1,
+            lit(tokensPerLine)), " ")),
+      "\n")
+
   /** Per-document occurrence stream: (doc_id, idx, line, h). Empty
     * documents produce one empty line (split semantics), which then
     * dedups like any other line. */

@@ -19,12 +19,7 @@ object CurationQueries extends QueryGroup {
     * space-separated token stream, so the lined text is a pure function
     * of `text` — the operator itself is delimiter-agnostic. */
   private def linedText(textCol: Column): Column =
-    array_join(
-      transform(
-        sequence(lit(0), ((size(split(textCol, " ")) - 1) / 8).cast("int")),
-        i => array_join(
-          slice(split(textCol, " "), i * 8 + 1, lit(8)), " ")),
-      "\n")
+    LineDedup.chunkLines(textCol, 8)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Line-level exact dedup + document reconstruction (C4/Gopher-style

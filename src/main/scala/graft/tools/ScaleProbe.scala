@@ -378,6 +378,114 @@ object ScaleProbe {
       println(s"""{"op":"interval_sweep","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
     }
 
+    // ---- round-10 operators ----
+    // LineDedup over f disjoint-token corpus copies (8-token lines, the
+    // q137 rule): winner agg + join-back, both keyed on the line hash.
+    for (f <- factors if wanted("line_dedup")) {
+      val d = scaled(base, f).select(col("doc_id"),
+        graft.operators.LineDedup.chunkLines(col("text"), 8).as("text"))
+      def run(): Long = graft.operators.LineDedup.rebuild(d).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"line_dedup","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // LabelProp / KCore / Bfs with the driver-local gate FORCED SHUT:
+    // the probe measures the DISTRIBUTED rounds (the 100 TB path the
+    // gate hides at bench scale), over f disjoint co-purchase graphs.
+    for (f <- factors if wanted("label_prop")) {
+      spark.conf.set("spark.graft.labelprop.localEdgeMax", "0")
+      try {
+        def run(): Long = graft.operators.LabelProp.run(
+          graft.operators.CoOccur.pairs(scaledGraph(f), "o", "p"),
+          "a", "b", rounds = 3).count()
+        run() // warm
+        val (sec, rows) = time(run())
+        println(s"""{"op":"label_prop","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+      } finally spark.conf.unset("spark.graft.labelprop.localEdgeMax")
+    }
+
+    for (f <- factors if wanted("kcore_delta")) {
+      spark.conf.set("spark.graft.kcore.localEdgeMax", "0")
+      try {
+        def run(): Long = graft.operators.KCore.peel(
+          graft.operators.CoOccur.pairs(scaledGraph(f), "o", "p"),
+          "a", "b", k = 8, rounds = 8).count()
+        run() // warm
+        val (sec, rows) = time(run())
+        println(s"""{"op":"kcore_delta","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+      } finally spark.conf.unset("spark.graft.kcore.localEdgeMax")
+    }
+
+    for (f <- factors if wanted("bfs_distributed")) {
+      spark.conf.set("spark.graft.bfs.localEdgeMax", "0")
+      try {
+        def run(): Long = {
+          val e0 = graft.operators.CoOccur.pairs(scaledGraph(f), "o", "p")
+          val dir = e0.select(col("a").as("u"), col("b").as("v"))
+            .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+            .localCheckpoint(true)
+          val seeds = dir.select(col("u")).distinct()
+            .filter(col("u") % 97 === 0)
+          graft.operators.Bfs.hops(dir, "u", "v", seeds, maxHops = 3).count()
+        }
+        run() // warm
+        val (sec, rows) = time(run())
+        println(s"""{"op":"bfs_distributed","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+      } finally spark.conf.unset("spark.graft.bfs.localEdgeMax")
+    }
+
+    // QuantileSketch bottom-k over f disjoint lineitem copies: the
+    // group count stays fixed while rows grow f× — the map-side
+    // WindowGroupLimit must keep the shuffle k-bounded (flat output).
+    for (f <- factors if wanted("quantile_sketch")) {
+      val d = (0 until f).map(k =>
+        liFull.select(col("l_partkey"),
+          (col("l_orderkey") + lit(k * 100000000L)).as("o")))
+        .reduce(_ union _)
+        .select((col("o") % 3).cast("string").as("g"),
+          (col("l_partkey") % 100000).as("v"),
+          concat_ws("-", col("o"), col("l_partkey")).as("kid"))
+      def run(): Long = graft.operators.QuantileSketch
+        .bottomK(d, "g", "v", "kid", 128).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"quantile_sketch","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // TableDiff over f disjoint orders copies (the q138 snapshot rule):
+    // two scans to 16-byte fingerprints + one key-partitioned join.
+    for (f <- factors if wanted("table_diff")) {
+      val o = Tables.orders(spark, sfDir)
+      val d = (0 until f).map(k =>
+        o.select((col("o_orderkey") + lit(k * 100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))).reduce(_ union _)
+      val older = d.filter(col("o_orderkey") % 10 =!= 3)
+      val newer = d.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      def run(): Long = graft.operators.TableDiff
+        .diff(older, newer, "o_orderkey")
+        .groupBy(col("status")).agg(count(lit(1))).count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"table_diff","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
+    // PowerIteration Gram build (the distributed pass; the iteration
+    // itself runs on the fixed d×d aggregate) over f rotated embedding
+    // copies: one in-row explode + a d²-cell partial-aggregable agg.
+    for (f <- factors if wanted("power_gram")) {
+      val d = scaledEmb(f)
+      def run(): Long = graft.operators.PowerIteration
+        .gram(d, "embedding").count()
+      run() // warm
+      val (sec, rows) = time(run())
+      println(s"""{"op":"power_gram","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
+    }
+
     spark.stop()
   }
 }
