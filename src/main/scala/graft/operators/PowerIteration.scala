@@ -37,7 +37,12 @@ object PowerIteration {
       .withColumn("q", transform(col("__vd"),
         x => floor(x * lit(127.0) / col("__amax") + 0.5).cast("long")))
 
-  /** Exact-integer Gram matrix Σ q·qᵀ as (i, j, m) — 0-based indices. */
+  /** Exact-integer Gram matrix Σ q·qᵀ as (i, j, m) — 0-based indices.
+    * (Measured dead end, r10: exploiting symmetry by slicing the upper
+    * triangle — posexplode(slice(qv, i+1, d)) — halves the generated
+    * rows but runs 1.4× SLOWER at sf0.1: the per-(row, i) slice
+    * allocation costs more than the extra generator rows the plain
+    * double explode streams through codegen. Full explode stays.) */
   def gram(emb: DataFrame, vecCol: String): DataFrame = {
     val q = quantized(emb, vecCol)
     q.select(col("q").as("__qv"), posexplode(col("q")).as(Seq("i", "qi")))
