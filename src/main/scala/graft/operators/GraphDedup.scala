@@ -42,6 +42,32 @@ object GraphDedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Cost gate (r10, the KCore/Bfs driver-finish discipline): a
+    // label-propagation round is 2 exchanges + a count — all scheduler
+    // floor when the PAIR LIST is small, which for a near-dup component
+    // graph it always is relative to the corpus (pairs are the
+    // LSH-verified survivors, not documents). Under
+    // `spark.graft.cc.localEdgeMax` (default 4 M directed edges) the
+    // components come from a driver-local union-find — the same
+    // (id, min-reachable-id) contract, order-invariant, spec-pinned
+    // against both distributed forms. The gate count rides the
+    // persisted edge list the loop was about to materialize anyway.
+    val localMax = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeMax")
+      .map(_.toLong).getOrElse(4000000L)
+    if (e.count() <= localMax) {
+      val pairs = e.as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      e.unpersist()
+      val out = ccLocal(pairs)
+      System.err.println(s"[cc] local union-find (${pairs.length} directed " +
+        s"edges, ${out.length} vertices)")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
+
     // localCheckpoint (eager) rather than persist: it truncates the
     // lineage each round, so the logical plan stays one-join deep
     // instead of growing with the iteration count (the analyzer cost of
@@ -125,14 +151,38 @@ object GraphDedup {
     * localCheckpoint — no extra pass. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    val e0 = edges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-    val verts = e0.select(col("u").as("id"))
-      .union(e0.select(col("v").as("id"))).distinct()
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    // verts from the RAW edge list (self-loops included), so a vertex
+    // whose only edge is a self-loop still labels itself — matching
+    // [[connectedComponents]]' contract exactly (pre-r10 the star form
+    // silently dropped such vertices; the local≡distributed pin
+    // caught it)
+    val verts = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
       .localCheckpoint(true)
+    val e0 = raw.filter(col("u") =!= col("v"))
 
     var e = e0.distinct().localCheckpoint(true)
+    // same cost gate as [[connectedComponents]] — the star rounds cost
+    // 4 exchanges each, pure floor under the gate
+    val localMax = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeMax")
+      .map(_.toLong).getOrElse(4000000L)
+    if (e.count() <= localMax) {
+      val half = e.as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val vs = verts.as(org.apache.spark.sql.Encoders.scalaLong).collect()
+      val linked = ccLocal(half.flatMap(p => Seq(p, (p._2, p._1))))
+      val seen = linked.iterator.map(_._1).toSet
+      val out = linked ++ vs.filterNot(seen).map(v => (v, v))
+      System.err.println(s"[cc] local union-find, star form " +
+        s"(${half.length} edges, ${out.length} vertices)")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
     var fp = (-1L, -1L)
     var iter = 0
     var converged = false
@@ -151,5 +201,51 @@ object GraphDedup {
     // isolated-within-edge-list vertices label themselves.
     verts.join(e, col("id") === col("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
+  /** Driver-local union-find with path halving: (id, component = min
+    * vertex id in the set) for every vertex on at least one edge —
+    * bit-equal to both distributed forms' contract, order-invariant.
+    * @param pairs directed edges (both orientations or one — union is
+    *              symmetric) */
+  private def ccLocal(pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idx = new java.util.HashMap[Long, Integer](pairs.length)
+    def intern(v: Long): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { val i = idx.size; idx.put(v, i); i }
+    }
+    pairs.foreach { case (u, v) => intern(u); intern(v) }
+    val n = idx.size
+    val names = new Array[Long](n)
+    idx.forEach((vid, i) => names(i) = vid)
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (u, v) =>
+      val ru = find(idx.get(u))
+      val rv = find(idx.get(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    // component label = min vertex id in the set (values boxed
+    // explicitly: a scala.Long value type would unbox absent keys to 0)
+    val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || names(i) < cur.longValue())
+        minOf.put(r, java.lang.Long.valueOf(names(i)))
+      i += 1
+    }
+    (0 until n).iterator
+      .map(j => (names(j), minOf.get(find(j)).longValue()))
+      .toArray
   }
 }

@@ -66,11 +66,37 @@ class GraphDedupSpec extends SparkTestBase {
   test("propagation falls back to star rounds on a path graph deeper than maxIter") {
     // path graph of diameter 60 > default 25 min-label rounds: the old
     // behavior threw; now it must return CORRECT labels via the
-    // star-rounds fallback.
-    val deep = (0 until 60).map(i => (i + 1000L, i + 1001L))
-    val got = components(deep)
-    assert(got.values.toSet == Set(1000L))
-    assert(got.keySet == (1000L to 1060L).toSet)
+    // star-rounds fallback. Gate forced shut so the DISTRIBUTED
+    // propagation loop (not the r10 local union-find) is what's tested.
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try {
+      val deep = (0 until 60).map(i => (i + 1000L, i + 1001L))
+      val got = components(deep)
+      assert(got.values.toSet == Set(1000L))
+      assert(got.keySet == (1000L to 1060L).toSet)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+  }
+
+  test("local union-find equals both distributed forms (r10 gate)") {
+    val cases = Seq(
+      (0 until 30).map(i => (i * 10L, (i + 1) * 10L)),          // chain
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (7L, 7L)),    // cycle+self
+      (0 until 60).map { i =>                                    // random
+        val a = (i * 7919L) % 40
+        val b = (i * 104729L + 13L) % 40
+        (a, b)
+      }.filter { case (a, b) => a != b })
+    for (edges <- cases) {
+      val local = components(edges)      // gate open: union-find
+      val localStar = starComponents(edges)
+      spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+      val (distProp, distStar) =
+        try (components(edges), starComponents(edges))
+        finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+      assert(local === distProp)
+      assert(localStar === distStar)
+      assert(local === localStar)
+    }
   }
 
   test("labels match the transitive closure on a random graph") {
