@@ -46,6 +46,27 @@ object PipelineQueries extends QueryGroup {
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("bucket"))),
 
+    // Hilbert-curve layout (round 10; the locality-stronger sibling of
+    // q92's Z-order): consecutive Hilbert indices are always
+    // GRID-ADJACENT cells — no Morton seam jumps — so range scans over
+    // Hilbert-sorted files touch strictly fewer distant regions
+    // (HilbertSpec proves the unit-step invariant exhaustively and
+    // measures the locality win over Z on the same grid). Same bucket
+    // accounting as q92, so the two layouts' min/max envelopes are
+    // directly comparable; the oracle unrolls the 8 rotation levels as
+    // a generated CTE chain (HilbertValue.hilbertCtes).
+    "q148_hilbert_layout" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(256L)).as("x"),
+          pmod(col("event_id"), lit(256L)).as("y"))
+        .withColumn("h",
+          graft.functions.HilbertValue.hilbert(col("x"), col("y"), 8))
+        .groupBy(expr("h div 256").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))),
+
     // Deterministic 80/10/10 split: pure per-row hash — no sampling RNG,
     // no shuffle, reproducible across engines/runs/cluster sizes, and a
     // document keeps its split when the corpus grows (stable assignment).
@@ -580,6 +601,19 @@ object PipelineQueries extends QueryGroup {
          |       MIN(x) AS min_x, MAX(x) AS max_x,
          |       MIN(y) AS min_y, MAX(y) AS max_y
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q148_hilbert_layout" ->
+      s"""WITH h0 AS (SELECT ((user_id % 256) + 256) % 256 AS ox,
+         |                   ((event_id % 256) + 256) % 256 AS oy,
+         |                   ((user_id % 256) + 256) % 256 AS hx,
+         |                   ((event_id % 256) + 256) % 256 AS hy,
+         |                   CAST(0 AS BIGINT) AS hd
+         |            FROM events),
+         |${graft.functions.HilbertValue.hilbertCtes(8, "ox, oy,")}
+         |SELECT hd // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(ox) AS min_x, MAX(ox) AS max_x,
+         |       MIN(oy) AS min_y, MAX(oy) AS max_y
+         |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q46_split_assign" ->
       """WITH b AS (SELECT ((doc_id % 1000000007) * 40503 + 17) % 1000000007 % 1000 AS b, n_chars
