@@ -225,6 +225,34 @@ object CurationQueries extends QueryGroup {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Diff→apply round trip (round 10; MERGE INTO semantics — the
+    // CONSUMER side of q138's diff): the change set (upserts carrying
+    // full new-side payloads, deletes carrying keys) applies to the
+    // old snapshot, and the law applyChanges(older, changeSet(older,
+    // newer)) ≡ newer is hash-gated end-to-end: the oracle computes
+    // the aggregate DIRECTLY from the newer-snapshot expression, so a
+    // single dropped/duplicated/mangled row anywhere in the
+    // diff→apply path breaks the hash (the q111/q132 store≡scratch
+    // discipline pointed at CDC merge).
+    "q149_diff_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val older = o.filter(col("o_orderkey") % 10 =!= 3)
+      val newer = o.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      val rebuilt = graft.operators.TableDiff.applyChanges(older,
+        graft.operators.TableDiff.changeSet(older, newer, "o_orderkey"),
+        "o_orderkey")
+      rebuilt.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -389,6 +417,17 @@ object CurationQueries extends QueryGroup {
         |       CAST(SUM(term_1e6) AS BIGINT) AS kl_1e6
         |FROM term JOIN ns ON term.source = ns.source
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q149_diff_apply" ->
+      """WITH nw AS (SELECT * REPLACE (
+        |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+        |             ELSE o_totalprice END AS o_totalprice)
+        |      FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q144_bucketed_join" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -64,6 +64,21 @@ class CurationOpsSpec extends SparkTestBase {
     assert(r === Seq((1L, "changed"), (2L, "changed")))
   }
 
+  test("diff -> apply round-trips to the new snapshot exactly") {
+    // adds, deletes, changes, NULL payloads — the reconstruction must
+    // equal `newer` as a row multiset
+    val older = Seq((1L, Some("x"), 10L), (2L, Some("y"), 20L),
+      (3L, None: Option[String], 30L)).toDF("k0", "s", "n")
+    val newer = Seq((2L, Some("y"), 20L), (3L, Some("z"), 30L),
+      (4L, None: Option[String], 40L)).toDF("k0", "s", "n")
+    val rebuilt = TableDiff.applyChanges(older,
+        TableDiff.changeSet(older, newer, "k0"), "k0")
+      .orderBy($"k0").as[(Long, Option[String], Long)].collect().toSeq
+    val want = newer.orderBy($"k0")
+      .as[(Long, Option[String], Long)].collect().toSeq
+    assert(rebuilt === want)
+  }
+
   // ---- LabelProp ----
 
   private def edges(rows: (Long, Long)*) = rows.toDF("a", "b")
