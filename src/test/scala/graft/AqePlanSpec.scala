@@ -140,6 +140,44 @@ class AqePlanSpec extends SparkTestBase {
     }
   }
 
+  test("AQE: q142 sketch keeps its map-side WindowGroupLimit; r10 queries stay cartesian-free") {
+    withAqe {
+      assert(plan("q142_quantile_sketch").contains("WindowGroupLimit"))
+      for (q <- Seq("q137_line_dedup", "q138_snapshot_diff",
+          "q143_kl_mixture", "q147_power_iteration", "q149_diff_apply")) {
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
+    }
+  }
+
+  test("AQE: q144 bucketed join still plans exchange-free between the scans") {
+    withAqe {
+      // the join itself must not shuffle either bucketed side; the
+      // downstream aggregation's exchange is expected — so pin the
+      // SMJ/scan region only (no Exchange between the two bucketed
+      // FileScans and their SortMergeJoin)
+      val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val sfx = graft.operators.Bucketed.suffixFor(sf001)
+        val o = graft.operators.Bucketed.materializeOnce(
+          graft.Tables.orders(spark, sf001).select(
+            org.apache.spark.sql.functions.col("o_custkey")),
+          s"graft_bkt_aqe_o_$sfx", "o_custkey", 8)
+        val c = graft.operators.Bucketed.materializeOnce(
+          graft.Tables.customer(spark, sf001).select(
+            org.apache.spark.sql.functions.col("c_custkey")),
+          s"graft_bkt_aqe_c_$sfx", "c_custkey", 8)
+        val p = graft.operators.Bucketed.join(o, c, "o_custkey", "c_custkey")
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"), p)
+      } finally prev.fold(
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
+
   test("AQE: answers are identical to the bench-config plans (q32/q76/q91)") {
     // shape pins above; this pins VALUES — the adaptive planner must not
     // change any result. Compared via the canonical render sort.
