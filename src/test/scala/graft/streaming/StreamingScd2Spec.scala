@@ -113,4 +113,34 @@ class StreamingScd2Spec extends SparkTestBase {
     val log = run("scd5") { in => scrambled.grouped(3).foreach(in.addData(_: _*)) }
     assert(merged(log) === batch(events))
   }
+
+  test("point-in-time join against the STREAMED dimension equals the batch PIT join") {
+    // the q134 consumer composed over the streaming versioner: facts
+    // joined at their own instants must see the same version whether
+    // the dimension was streamed (shuffled arrival) or built in batch
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      ch(10, 0, 1, "N"), ch(10, 2, 2, "O"), ch(10, 7, 3, "F"),
+      ch(11, 1, 1, "F"), ch(11, 5, 2, "O"),
+      ch(12, 6, 1, "P"))
+    val scrambled = Seq(events(4), events(0), events(5), events(2),
+      events(1), events(3))
+    val log = run("scd6") { in => scrambled.grouped(2).foreach(in.addData(_: _*)) }
+    val streamDim = StreamingScd2.applyChangelog(log.toDF())
+    val batchDim = Scd2.build(events.toDF(), "entity", "ts", "tie", "value")
+    val facts = Seq((10L, ts(1)), (10L, ts(2)), (10L, ts(9)),
+      (11L, ts(3)), (11L, ts(6)), (12L, ts(7))).toDF("f_ent", "f_t")
+    def pit(dim: org.apache.spark.sql.DataFrame) =
+      facts.join(dim, col("f_ent") === col("entity") &&
+          col("eff_from") <= col("f_t") &&
+          (col("eff_to").isNull || col("eff_to") > col("f_t")))
+        .select(col("f_ent"), col("f_t"), col("value"), col("version"))
+        .as[(Long, Timestamp, String, Long)].collect().toSeq.sorted
+    val viaStream = pit(streamDim)
+    val viaBatch = pit(batchDim)
+    assert(viaStream === viaBatch)
+    // every fact matches exactly one version (end-exclusive intervals)
+    assert(viaStream.size === facts.count())
+  }
 }
