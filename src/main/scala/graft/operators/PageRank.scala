@@ -77,6 +77,51 @@ object PageRank {
     }
   }
 
+  /** PERSONALIZED integer PageRank (Page et al. 1999 §6; the
+    * related-item expansion "relevance from these seeds" form): the
+    * restart mass lands ONLY on the seed set —
+    *   pr⁰(v)   = [v ∈ S]·10⁶
+    *   prⁱ⁺¹(v) = [v ∈ S]·150000 + (17·Σ contrib) div 20
+    * — same BIGINT-closed algebra as [[ranks]] (the DuckDB twin unrolls
+    * it with the seed indicator as a LEFT-JOIN flag), so mass
+    * concentrates around the seeds instead of spreading uniformly.
+    * Seeds that aren't graph vertices contribute nothing (inner-join
+    * semantics at init); the seed side is vertex-sized. */
+  def ranksPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = e0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val seed = deg.select(col("u"))
+      .join(seeds.toDF("u").distinct(), Seq("u"), "left_semi")
+      .withColumn("s", lit(1L))
+      .localCheckpoint(true)
+    val init = deg.select(col("u").as("v"))
+      .join(seed.select(col("u").as("v"), col("s")), Seq("v"), "left")
+      .select(col("v"), (coalesce(col("s"), lit(0L)) * Scale).as("pr"))
+    (1 to iters).foldLeft(init) { (pr, _) =>
+      val sums = dir
+        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v"), expr("pr div d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+      deg.select(col("u").as("v"))
+        .join(seed.select(col("u").as("v"), col("s")), Seq("v"), "left")
+        .join(sums, Seq("v"), "left")
+        .select(col("v"),
+          (coalesce(col("s"), lit(0L)) * 150000L +
+            expr("(17 * coalesce(m, 0L)) div 20")).as("pr"))
+    }
+  }
+
   /** (v, pr) after `iters` rounds, over the undirected graph's
     * vertices; pr is at scale 10⁶ (10⁶ = the uniform start mass). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,

@@ -254,6 +254,23 @@ object AnalyticsQueries extends QueryGroup {
         .select(col("v").as("p_partkey"), col("core_deg"))
         .orderBy(col("core_deg").desc, col("p_partkey"))
         .limit(25)
+    }),
+
+    // PERSONALIZED PageRank from a seed part set (round 10; "relevance
+    // FROM these items" — the related-item expansion ranking, vs
+    // q118's global centrality): restart mass lands only on seeds, so
+    // rank concentrates around them; same BIGINT-closed algebra
+    // (PageRank.ranksPersonalized scaladoc), seeds ≡ all-vertices
+    // reduces exactly to q118's recursion (spec-pinned).
+    "q150_pagerank_personalized" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0)
+      val e = CoOccur.pairs(li, "l_orderkey", "l_partkey")
+      val seeds = li.select(col("l_partkey")).distinct()
+        .filter(col("l_partkey") % 97 === 0)
+      graft.operators.PageRank.ranksPersonalized(e, "a", "b", seeds, iters = 4)
+        .select(col("v").as("p_partkey"), col("pr").as("pr_1e6"))
+        .orderBy(col("pr_1e6").desc, col("p_partkey"))
+        .limit(15)
     })
   )
 
@@ -505,6 +522,38 @@ object AnalyticsQueries extends QueryGroup {
          |        UNION ALL SELECT b AS u, a AS v, w FROM e0),
          |wtot AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wt FROM dir GROUP BY 1),
          |p0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS pr FROM wtot),
+         |$iterCte
+         |SELECT v AS p_partkey, pr AS pr_1e6
+         |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin
+    },
+
+    "q150_pagerank_personalized" -> {
+      val iterCte = (1 to 4).map { i =>
+        s"""p$i AS (
+           |  SELECT dg.u AS v,
+           |         CAST(COALESCE(sd2.s, 0) * 150000
+           |              + (17 * COALESCE(s.m, 0)) // 20 AS BIGINT) AS pr
+           |  FROM deg dg
+           |  LEFT JOIN sd sd2 ON sd2.u = dg.u
+           |  LEFT JOIN (
+           |    SELECT dir.v AS v, SUM(p${i - 1}.pr // deg.d) AS m
+           |    FROM dir JOIN p${i - 1} ON p${i - 1}.v = dir.u
+           |             JOIN deg ON deg.u = dir.u
+           |    GROUP BY 1) s ON s.v = dg.u)"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |            WHERE l_orderkey % 8 = 0),
+         |e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |dir AS (SELECT a AS u, b AS v FROM e0
+         |        UNION ALL SELECT b AS u, a AS v FROM e0),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+         |sd AS (SELECT u, CAST(1 AS BIGINT) AS s FROM deg WHERE u % 97 = 0),
+         |p0 AS (SELECT dg.u AS v,
+         |              CAST(COALESCE(sd.s, 0) * 1000000 AS BIGINT) AS pr
+         |       FROM deg dg LEFT JOIN sd ON sd.u = dg.u),
          |$iterCte
          |SELECT v AS p_partkey, pr AS pr_1e6
          |FROM p4 ORDER BY pr DESC, v LIMIT 15""".stripMargin

@@ -249,6 +249,37 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(wd === un)
   }
 
+  test("all-vertex seeds reduce personalized PageRank to the global form") {
+    // [v∈S] = 1 everywhere makes the personalized recursion EXACTLY
+    // q118's: init 1e6 and restart 150000 on every vertex
+    val es = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val allV = es.select($"s".as("v")).union(es.select($"t".as("v"))).distinct()
+    val per = PageRank.ranksPersonalized(es, "s", "t", allV, iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    val glob = PageRank.ranks(es, "s", "t", iters = 3)
+      .orderBy($"v").as[(Long, Long)].collect().toSeq
+    assert(per === glob)
+  }
+
+  test("personalized mass concentrates around the seed") {
+    // path 1-2-3-4-5-6, seed {1}: the seed dominates every other
+    // vertex and the far end gets the least mass (strict monotone
+    // decay does NOT hold at finite iterations — mass travels the path
+    // in waves, so mid-path ranks can locally invert; the seed-max /
+    // far-min envelope is the stable property)
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val pr = PageRank.ranksPersonalized(path, "s", "t",
+        Seq(1L).toDF("v"), iters = 6)
+      .orderBy($"v").as[(Long, Long)].collect().toMap
+    assert((2L to 6L).forall(v => pr(1L) > pr(v)), pr.toString)
+    assert((1L to 5L).forall(v => pr(v) > pr(6L)), pr.toString)
+    // a seed outside the graph contributes nothing: same as no seed
+    val none = PageRank.ranksPersonalized(path, "s", "t",
+        Seq(999L).toDF("v"), iters = 3)
+      .select($"pr").as[Long].collect().toSet
+    assert(none === Set(0L))
+  }
+
   test("a heavier edge pulls proportionally more mass") {
     val es = Seq((0L, 1L, 100L), (0L, 2L, 1L), (0L, 3L, 1L), (0L, 4L, 1L))
       .toDF("s", "t", "w")
