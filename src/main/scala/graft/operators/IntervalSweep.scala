@@ -96,5 +96,9 @@ object IntervalSweep {
       .select((col("run") + col("off")).as("active"), col("nt"))
       .agg(max(struct(col("active"), col("nt"))).as("s"))
       .select(col("s.active").as("max_concurrent"), (-col("s.nt")).as("at_t"))
+      // empty input: a global agg emits one all-NULL row; the
+      // join-based r9 formulation returned zero rows — keep that
+      // contract (r10 review fix)
+      .filter(col("max_concurrent").isNotNull)
   }
 }

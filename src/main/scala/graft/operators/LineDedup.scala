@@ -37,17 +37,37 @@ object LineDedup {
   /** Deterministic w-token "lines" for corpora without newlines (the
     * fixture corpus): chunk the space-separated token stream and join
     * with \n — a pure function of the text, identically expressible in
-    * SQL, so oracles and probes share the exact lining rule. */
+    * SQL, so oracles and probes share the exact lining rule.
+    *
+    * Column-expression form: the `split` inside the transform lambda
+    * re-evaluates PER CHUNK (lambda bodies are outside subexpression
+    * elimination), making this O(tokens²/w) per document — fine for
+    * short rows, wrong for long ones. [[withChunkedLines]] is the
+    * linear form: it materializes the token array as a real column
+    * first, which CollapseProject will not inline back into the lambda
+    * (multi-use non-cheap alias), so each document splits exactly once. */
   def chunkLines(textCol: org.apache.spark.sql.Column,
+      tokensPerLine: Int): org.apache.spark.sql.Column =
+    chunkOf(split(textCol, " "), tokensPerLine)
+
+  private def chunkOf(toks: org.apache.spark.sql.Column,
       tokensPerLine: Int): org.apache.spark.sql.Column =
     array_join(
       transform(
         sequence(lit(0),
-          ((size(split(textCol, " ")) - 1) / tokensPerLine).cast("int")),
+          ((size(toks) - 1) / tokensPerLine).cast("int")),
         i => array_join(
-          slice(split(textCol, " "), i * tokensPerLine + 1,
-            lit(tokensPerLine)), " ")),
+          slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " ")),
       "\n")
+
+  /** Linear-cost chunking: rewrites `textCol` in place to its w-token
+    * lined form, splitting each document exactly once (see
+    * [[chunkLines]]). */
+  def withChunkedLines(df: DataFrame, textCol: String,
+      tokensPerLine: Int): DataFrame =
+    df.withColumn("__ld_toks", split(col(textCol), " "))
+      .withColumn(textCol, chunkOf(col("__ld_toks"), tokensPerLine))
+      .drop("__ld_toks")
 
   /** Per-document occurrence stream: (doc_id, idx, line, h). Empty
     * documents produce one empty line (split semantics), which then

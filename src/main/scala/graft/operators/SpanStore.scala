@@ -85,7 +85,18 @@ object SpanStore {
     val prior = readMeta(spark, path)
     val before = read(spark, path)
     val rowsBefore = before.count()
-    val gen = prior.map(_.gen + 1).getOrElse(0L)
+    // Generation = 1 + max(meta gen, newest base ON DISK) — not meta
+    // alone (r10 review fix): a compact that crashed between the base
+    // write and the meta rename leaves an orphan base-N with no meta;
+    // deriving gen from meta alone would (a) rewrite INTO the
+    // directory the read() fallback is concurrently scanning
+    // (mode=overwrite deletes it mid-job) and (b) after later meta
+    // loss, regress below surviving higher-numbered bases, serving a
+    // stale view. Writing strictly above everything on disk keeps
+    // reruns convergent and the newest-base fallback monotone.
+    val onDisk = newestBase(spark, path)
+      .map(_.split("base-").last.toLong)
+    val gen = ((prior.map(_.gen) ++ onDisk).foldLeft(-1L)(math.max)) + 1L
     val nextBase = f"base-$gen%06d"
     before.distinct()
       .repartition(spark.sparkContext.defaultParallelism, col("h"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -14,13 +14,6 @@ import graft.operators.{LabelProp, LineDedup, TableDiff}
   */
 object CurationQueries extends QueryGroup {
 
-  /** Deterministic 8-token "lines" over the synthetic corpus (the
-    * fixture has no newlines): both engines chunk the SAME
-    * space-separated token stream, so the lined text is a pure function
-    * of `text` — the operator itself is delimiter-agnostic. */
-  private def linedText(textCol: Column): Column =
-    LineDedup.chunkLines(textCol, 8)
-
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Line-level exact dedup + document reconstruction (C4/Gopher-style
     // boilerplate kill): every verbatim line survives only at its
@@ -31,8 +24,9 @@ object CurationQueries extends QueryGroup {
     // hash rows shuffle, payloads never do (LineDedup scaladoc).
     "q137_line_dedup" -> ((s, d) =>
       LineDedup.rebuild(
-          Tables.documents(s, d).select(col("doc_id"),
-            linedText(col("text")).as("text")))
+          LineDedup.withChunkedLines(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "text", 8))
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           col("n_dropped"), col("cleaned"))
         .orderBy(col("doc_id"))),

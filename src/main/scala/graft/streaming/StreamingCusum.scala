@@ -51,7 +51,10 @@ object StreamingCusum {
             else prev.pending ++ rows
               .filter(_.ts.getTime >= wm)
               .map(b => PendB(b.ts.getTime, b.n))
-          val (ripe, hold) = pending.partition(_.ts <= wm)
+          // strict boundary (the StreamingScd2 r10 review fix): ts == wm
+          // is still admissible in later batches, so it must not
+          // finalize until the watermark passes it
+          val (ripe, hold) = pending.partition(_.ts < wm)
           var t = prev.t
           val emits = ripe.sortBy(_.ts).map { b =>
             t = math.max(0L, t + (b.n - mu))

@@ -80,7 +80,12 @@ object StreamingScd2 {
             else prev.pending ++ rows
               .filter(_.ts.getTime >= wm) // drop inadmissible stragglers
               .map(c => Pend(c.ts.getTime, c.tie, c.value, c.delete))
-          val (ripe, hold) = pending.partition(_.ts <= wm)
+          // STRICT boundary (r10 review fix): ts == wm stays admissible
+          // for later batches (the >= filter above), so finalizing it
+          // now would let a same-instant lower-tie arrival apply AFTER
+          // it — out of (ts, tie) order. Events at the watermark hold
+          // until the watermark passes them.
+          val (ripe, hold) = pending.partition(_.ts < wm)
           val emits = List.newBuilder[Scd2Version]
           var (open, curV, curN, curFrom) =
             (prev.open, prev.curValue, prev.curVersion, prev.curFrom)
@@ -115,17 +120,23 @@ object StreamingScd2 {
   }
 
   /** Materialize a changelog into the dimension table: last-wins per
-    * (entity, eff_from) — a close row supersedes its open row. The
-    * merge key is (entity, eff_from), NOT (entity, version): version
-    * numbers restart at 1 when a deleted entity reappears, so only the
-    * open instant is unique across lifetimes. This is the batch form of
-    * the downstream streaming MERGE; the spec runs it over the
-    * collected changelog and asserts equality with
-    * [[graft.operators.Scd2.build]]. One window shuffle on the merge
-    * key (the q62 merge-on-read shape). */
+    * (entity, version, eff_from) — a close row supersedes its own open
+    * row. The key needs all three parts (r10 review fix): eff_from
+    * alone collapses SAME-INSTANT versions (two changes at one ts,
+    * ordered by the tie column, share eff_from — the q134 zero-width
+    * case — and the v2 open row would vanish under the v1 close row);
+    * version alone collides across lifetimes (numbers restart at 1
+    * after a delete). The one remaining degenerate key collision — a
+    * delete AND a re-open at the SAME instant, i.e. (entity, version 1,
+    * same eff_from) twice across lifetimes — is documented as
+    * unsupported (batch parity is undefined there too: Scd2.build has
+    * no delete events). This is the batch form of the downstream
+    * streaming MERGE; the spec runs it over the collected changelog and
+    * asserts equality with [[graft.operators.Scd2.build]]. One window
+    * shuffle on the merge key (the q62 merge-on-read shape). */
   def applyChangelog(changelog: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("entity"), col("eff_from"))
+    val w = Window.partitionBy(col("entity"), col("version"), col("eff_from"))
       .orderBy(col("eff_to").asc_nulls_last)
     changelog
       .withColumn("__rn", row_number().over(w))

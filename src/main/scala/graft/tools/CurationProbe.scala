@@ -40,8 +40,9 @@ object CurationProbe {
       println(f"""{"probe":"$name","sec":$t%.3f}""")
 
     // ---- q137 stages ----
-    val lined = Tables.documents(spark, sfDir).select(col("doc_id"),
-      LineDedup.chunkLines(col("text"), 8).as("text"))
+    val lined = LineDedup.withChunkedLines(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "text", 8)
     report("q137_a_chunk_scan", warmBest(runs) {
       noop(LineDedup.lineOccurrences(lined)) })
     report("q137_b_checkpoint", warmBest(runs) {

@@ -382,8 +382,8 @@ object ScaleProbe {
     // LineDedup over f disjoint-token corpus copies (8-token lines, the
     // q137 rule): winner agg + join-back, both keyed on the line hash.
     for (f <- factors if wanted("line_dedup")) {
-      val d = scaled(base, f).select(col("doc_id"),
-        graft.operators.LineDedup.chunkLines(col("text"), 8).as("text"))
+      val d = graft.operators.LineDedup.withChunkedLines(
+        scaled(base, f).select(col("doc_id"), col("text")), "text", 8)
       def run(): Long = graft.operators.LineDedup.rebuild(d).count()
       run() // warm
       val (sec, rows) = time(run())

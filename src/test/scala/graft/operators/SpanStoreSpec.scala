@@ -73,6 +73,26 @@ class SpanStoreSpec extends SparkTestBase {
     assert(!dirs.contains("delta"))
   }
 
+  test("a compact rerun after meta loss writes a FRESH generation above what's on disk") {
+    // the r10 review scenario: a compact that crashed between the base
+    // write and the meta rename leaves base-N with no meta; the rerun
+    // must NOT overwrite base-N (read()'s fallback is scanning it) and
+    // must land strictly above it
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    SpanStore.append(Seq((1L, "a b c d")).toDF("doc_id", "text"), 3, path)
+    SpanStore.compact(s, path) // base-000000 + meta
+    val expect = SpanStore.read(s, path).collect().map(_.getLong(0)).toSet
+    // simulate the crash window: meta gone, orphan base remains
+    new java.io.File(s"$path/_store_meta.json").delete()
+    val (_, after) = SpanStore.compact(s, path)
+    assert(after === expect.size.toLong)
+    assert(SpanStore.read(s, path).collect().map(_.getLong(0)).toSet === expect)
+    val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(dirs.contains("base-000001"), dirs.toString)
+  }
+
   test("compactIfNeeded on a virgin path is a no-op, not a crash") {
     val s = spark
     assert(SpanStore.compactIfNeeded(s, tmp()).isEmpty)

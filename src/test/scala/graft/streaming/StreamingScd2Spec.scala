@@ -114,6 +114,30 @@ class StreamingScd2Spec extends SparkTestBase {
     assert(merged(log) === batch(events))
   }
 
+  test("same-instant changes keep BOTH versions through the changelog merge") {
+    // the r10 review case: two changes at one ts share eff_from; a
+    // merge keyed on (entity, eff_from) alone would drop the v2 open
+    // row under the v1 close row — the key must include version
+    val events = Seq(ch(20, 5, 1, "A"), ch(20, 5, 2, "B"))
+    val log = run("scd7") { in => in.addData(events: _*) }
+    assert(merged(log) === batch(events))
+  }
+
+  test("a same-instant lower-tie arrival in a LATER batch still applies in (ts, tie) order") {
+    // the r10 boundary fix: an event with ts == watermark must HOLD
+    // (it is still admissible for later batches), so (ts=2,tie=1,A)
+    // arriving after (ts=2,tie=2,B) is applied before it
+    val events = Seq(ch(30, 2, 2, "B"), ch(30, 2, 1, "A"))
+    val log = run("scd8") { in =>
+      in.addData(ch(31, 12, 1, "w")) // push wm to ts(2) exactly (10-min delay)
+      in.addData(events(0))
+      in.addData(events(1))
+    }
+    val got = merged(log).filter(_._1 == 30L)
+    val want = batch(Seq(ch(30, 2, 1, "A"), ch(30, 2, 2, "B")))
+    assert(got === want)
+  }
+
   test("point-in-time join against the STREAMED dimension equals the batch PIT join") {
     // the q134 consumer composed over the streaming versioner: facts
     // joined at their own instants must see the same version whether
