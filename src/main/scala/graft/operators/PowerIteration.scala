@@ -64,27 +64,46 @@ object PowerIteration {
     val m = Array.ofDim[Long](d, d)
     cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     val scale = java.math.BigInteger.valueOf(1000000L)
+    // Overflow guard (r10 review): |Σ m_ij·v_j| ≤ d · max|m| · 10⁶ —
+    // Gram cells grow with the ROW COUNT (≤ 127²·rows), so past ~9 M
+    // rows at d = 64 a Long accumulator would wrap while the HUGEINT
+    // oracle stays exact. Big tables route through BigInteger
+    // accumulation AND rescale (d² driver-side multiplies per round —
+    // still free); small tables keep the primitive loop.
+    val maxAbsM = m.iterator.flatMap(_.iterator).map(math.abs).max
+    val bigPath = maxAbsM > 0 &&
+      maxAbsM > Long.MaxValue / 1000000L / math.max(d, 1)
     var v = Array.fill(d)(1000000L)
     var it = 0
     while (it < iters) {
-      val w = new Array[Long](d)
-      var i = 0
-      while (i < d) {
-        var acc = 0L
-        var j = 0
-        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
-        w(i) = acc
-        i += 1
-      }
-      val amax = w.iterator.map(math.abs).max
-      require(amax > 0, "power iteration hit the zero vector")
-      val am = java.math.BigInteger.valueOf(amax)
+      // w in BigInteger on the big path (the sum itself can exceed
+      // Long); rescale sign(w)·(|w|·1e6 div max|w|) is truncating on
+      // magnitudes — the exact op the HUGEINT oracle reproduces
+      val w: Array[java.math.BigInteger] =
+        if (bigPath) {
+          Array.tabulate(d) { i =>
+            var acc = java.math.BigInteger.ZERO
+            var j = 0
+            while (j < d) {
+              acc = acc.add(java.math.BigInteger.valueOf(m(i)(j))
+                .multiply(java.math.BigInteger.valueOf(v(j))))
+              j += 1
+            }
+            acc
+          }
+        } else {
+          Array.tabulate(d) { i =>
+            var acc = 0L
+            var j = 0
+            while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+            java.math.BigInteger.valueOf(acc)
+          }
+        }
+      val amax = w.iterator.map(_.abs).reduce((a, b) => a.max(b))
+      require(amax.signum > 0, "power iteration hit the zero vector")
       v = w.map { x =>
-        // sign(x) * (|x|·1e6 div amax): truncating on magnitudes, the
-        // exact op the HUGEINT oracle reproduces
-        val r = java.math.BigInteger.valueOf(math.abs(x))
-          .multiply(scale).divide(am).longValueExact()
-        if (x < 0) -r else r
+        val r = x.abs.multiply(scale).divide(amax).longValueExact()
+        if (x.signum < 0) -r else r
       }
       it += 1
     }
