@@ -96,39 +96,19 @@ object Bfs {
     * each hop visits unreached out-neighbors of the previous frontier. */
   private def hopsLocal(pairs: Array[(Long, Long)], seedArr: Array[Long],
       maxHops: Int): Array[(Long, Long)] = {
-    val idx = new java.util.HashMap[Long, Integer](pairs.length)
-    def intern(v: Long): Int = {
-      val got = idx.get(v)
-      if (got != null) got.intValue()
-      else { val i = idx.size; idx.put(v, i); i }
-    }
-    pairs.foreach { case (u, v) => intern(u); intern(v) }
-    seedArr.foreach(intern)
-    val n = idx.size
-    val names = new Array[Long](n)
-    idx.forEach((vid, i) => names(i) = vid)
-    val outDeg = new Array[Int](n)
-    pairs.foreach { case (u, _) => outDeg(idx.get(u)) += 1 }
-    val off = new Array[Int](n + 1)
-    var i = 0
-    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
-    val fill = java.util.Arrays.copyOf(off, n)
-    val adj = new Array[Int](pairs.length)
-    pairs.foreach { case (u, v) =>
-      val ui: Int = idx.get(u)
-      adj(fill(ui)) = idx.get(v)
-      fill(ui) += 1
-    }
+    // seeds interned too: an isolated seed still appears at dist 0
+    val g = Csr.build(pairs, extra = seedArr)
+    val n = g.n
     val dist = Array.fill(n)(-1L)
-    var frontier = seedArr.map(v => idx.get(v).intValue()).distinct
+    var frontier = seedArr.map(g.verts.indexOf).distinct
     frontier.foreach(dist(_) = 0L)
     var k = 1
     while (k <= maxHops && frontier.nonEmpty) {
       val next = Array.newBuilder[Int]
       frontier.foreach { u =>
-        var p = off(u)
-        while (p < off(u + 1)) {
-          val v = adj(p)
+        var p = g.off(u)
+        while (p < g.off(u + 1)) {
+          val v = g.adj(p)
           if (dist(v) < 0) { dist(v) = k.toLong; next += v }
           p += 1
         }
@@ -137,6 +117,6 @@ object Bfs {
       k += 1
     }
     (0 until n).iterator.filter(dist(_) >= 0)
-      .map(j => (names(j), dist(j))).toArray
+      .map(j => (g.names(j), dist(j))).toArray
   }
 }

@@ -209,16 +209,9 @@ object GraphDedup {
     * @param pairs directed edges (both orientations or one — union is
     *              symmetric) */
   private def ccLocal(pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
-    val idx = new java.util.HashMap[Long, Integer](pairs.length)
-    def intern(v: Long): Int = {
-      val got = idx.get(v)
-      if (got != null) got.intValue()
-      else { val i = idx.size; idx.put(v, i); i }
-    }
-    pairs.foreach { case (u, v) => intern(u); intern(v) }
-    val n = idx.size
-    val names = new Array[Long](n)
-    idx.forEach((vid, i) => names(i) = vid)
+    val vs = Csr.intern(pairs)
+    val n = vs.n
+    val names = vs.names
     val parent = Array.tabulate(n)(identity)
     def find(x0: Int): Int = {
       var x = x0
@@ -229,8 +222,8 @@ object GraphDedup {
       x
     }
     pairs.foreach { case (u, v) =>
-      val ru = find(idx.get(u))
-      val rv = find(idx.get(v))
+      val ru = find(vs.indexOf(u))
+      val rv = find(vs.indexOf(v))
       if (ru != rv) parent(ru) = rv
     }
     // component label = min vertex id in the set (values boxed

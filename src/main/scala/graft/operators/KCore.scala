@@ -157,25 +157,9 @@ object KCore {
     * @return surviving (v, induced degree), deg > 0 */
   private def peelLocal(pairs: Array[(Long, Long)], k: Int,
       budget: Int): Array[(Long, Long)] = {
-    val idx = new java.util.HashMap[Long, Integer](pairs.length / 2)
-    pairs.foreach { case (u, _) =>
-      if (!idx.containsKey(u)) idx.put(u, idx.size) }
-    val n = idx.size
-    val names = new Array[Long](n)
-    idx.forEach((vid, i) => names(i) = vid)
-    // CSR adjacency: each undirected edge appears once per endpoint
-    val deg = new Array[Int](n)
-    pairs.foreach { case (u, _) => deg(idx.get(u)) += 1 }
-    val off = new Array[Int](n + 1)
-    var i = 0
-    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-    val fill = java.util.Arrays.copyOf(off, n)
-    val adj = new Array[Int](pairs.length)
-    pairs.foreach { case (u, v) =>
-      val ui: Int = idx.get(u)
-      adj(fill(ui)) = idx.get(v)
-      fill(ui) += 1
-    }
+    val g = Csr.build(pairs) // each undirected edge once per endpoint
+    val n = g.n
+    val deg = g.degrees
     val alive = Array.fill(n)(true)
     var round = 0
     var done = false
@@ -194,8 +178,8 @@ object KCore {
         r = 0
         while (r < nrm) {
           val v = rm(r)
-          var p = off(v)
-          while (p < off(v + 1)) { deg(adj(p)) -= 1; p += 1 }
+          var p = g.off(v)
+          while (p < g.off(v + 1)) { deg(g.adj(p)) -= 1; p += 1 }
           r += 1
         }
         round += 1
@@ -203,7 +187,7 @@ object KCore {
     }
     (0 until n).iterator
       .filter(j => alive(j) && deg(j) > 0)
-      .map(j => (names(j), deg(j).toLong))
+      .map(j => (g.names(j), deg(j).toLong))
       .toArray
   }
 }

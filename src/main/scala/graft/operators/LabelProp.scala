@@ -85,25 +85,9 @@ object LabelProp {
     * rounds: argmax neighbor-label frequency, min label on ties. */
   private def runLocal(pairs: Array[(Long, Long)],
       rounds: Int): Array[(Long, Long)] = {
-    val idx = new java.util.HashMap[Long, Integer](pairs.length / 2)
-    pairs.foreach { case (u, _) =>
-      if (!idx.containsKey(u)) idx.put(u, idx.size) }
-    val n = idx.size
-    val names = new Array[Long](n)
-    idx.forEach((vid, i) => names(i) = vid)
-    val deg = new Array[Int](n)
-    pairs.foreach { case (u, _) => deg(idx.get(u)) += 1 }
-    val off = new Array[Int](n + 1)
-    var i = 0
-    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-    val fill = java.util.Arrays.copyOf(off, n)
-    val adj = new Array[Int](pairs.length)
-    pairs.foreach { case (u, v) =>
-      val ui: Int = idx.get(u)
-      adj(fill(ui)) = idx.get(v)
-      fill(ui) += 1
-    }
-    var lbl: Array[Long] = names.clone()
+    val g = Csr.build(pairs)
+    val n = g.n
+    var lbl: Array[Long] = g.names.clone()
     var r = 0
     while (r < rounds) {
       val next = new Array[Long](n)
@@ -111,9 +95,9 @@ object LabelProp {
       var v = 0
       while (v < n) {
         freq.clear()
-        var p = off(v)
-        while (p < off(v + 1)) {
-          freq.merge(lbl(adj(p)), 1, Integer.sum(_, _))
+        var p = g.off(v)
+        while (p < g.off(v + 1)) {
+          freq.merge(lbl(g.adj(p)), 1, Integer.sum(_, _))
           p += 1
         }
         var best = 0L
@@ -129,6 +113,6 @@ object LabelProp {
       lbl = next
       r += 1
     }
-    (0 until n).iterator.map(j => (names(j), lbl(j))).toArray
+    (0 until n).iterator.map(j => (g.names(j), lbl(j))).toArray
   }
 }
