@@ -50,9 +50,7 @@ object Bfs {
     val localMax = spark.conf.getOption("spark.graft.bfs.localEdgeMax")
       .map(_.toLong).getOrElse(4000000L)
     if (e.count() <= localMax) {
-      val pairs = e.as(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val pairs = Csr.collectEdges(e, "__u", "__v")
       val seedArr = seeds.toDF("v").distinct()
         .select(col("v").cast("long"))
         .as(org.apache.spark.sql.Encoders.scalaLong).collect()
@@ -94,7 +92,7 @@ object Bfs {
   /** Driver-local level-synchronous BFS, bit-equal to the frontier-join
     * loop: seeds are dist 0 (present in the output even when isolated),
     * each hop visits unreached out-neighbors of the previous frontier. */
-  private def hopsLocal(pairs: Array[(Long, Long)], seedArr: Array[Long],
+  private def hopsLocal(pairs: Csr.Edges, seedArr: Array[Long],
       maxHops: Int): Array[(Long, Long)] = {
     // seeds interned too: an isolated seed still appears at dist 0
     val g = Csr.build(pairs, extra = seedArr)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Bucketed-table materialization — the EXCHANGE-FREE join lever: two
@@ -16,12 +16,27 @@ import org.apache.spark.sql.functions.col
   * on first use (catalog miss) and is served from the catalog + file
   * layout afterwards, so a bench's warm runs — and every downstream
   * query in the session — pay zero re-layout (the ProfileStore
-  * land-once discipline). Table data lives under /tmp/graft_bucketed,
-  * name-suffixed by the source so different scale factors can't
-  * collide. BucketedJoinSpec pins the join plan: zero `Exchange`
-  * operators between the bucketed scans and the SortMergeJoin.
+  * land-once discipline). Staleness + collision discipline (r11
+  * ADVICE): table names should carry [[contentSuffix]] — a fingerprint
+  * of the SOURCE's file statuses (path, length, mtime) — so a source
+  * that changes in place yields a different table name instead of
+  * silently serving the stale layout; the warehouse root is
+  * per-OS-user by default and configurable via
+  * `spark.graft.bucketed.dir` so shared-host /tmp can't collide.
+  * BucketedJoinSpec pins the join plan: zero `Exchange` operators
+  * between the bucketed scans and the SortMergeJoin.
   */
 object Bucketed {
+
+  /** Warehouse root for bucketed tables: `spark.graft.bucketed.dir` if
+    * set, else a per-OS-user directory under java.io.tmpdir. */
+  def warehouseDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.bucketed.dir").getOrElse {
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val user = System.getProperty("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9_.-]", "_")
+      s"$tmp/graft_bucketed_$user"
+    }
 
   /** Write `df` as a `buckets`-bucket parquet table clustered+sorted on
     * `key` (first call in the session only), and return the catalog
@@ -34,18 +49,56 @@ object Bucketed {
         .mode(SaveMode.Overwrite)
         .bucketBy(buckets, key)
         .sortBy(key)
-        .option("path", s"/tmp/graft_bucketed/$table")
+        .option("path", s"${warehouseDir(spark)}/$table")
         .saveAsTable(table)
     }
     spark.table(table)
   }
 
   /** Deterministic identifier-safe suffix for a source directory, so
-    * per-SF tables can't collide in one warehouse. */
-  def suffixFor(dir: String): String = {
-    var h = 0xcbf29ce484222325L
-    dir.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+    * per-SF tables can't collide in one warehouse. Pure path hash —
+    * use [[contentSuffix]] when the source could change in place. */
+  def suffixFor(dir: String): String =
+    java.lang.Long.toHexString(fnv(0xcbf29ce484222325L, dir))
+
+  /** Path hash FOLDED WITH the source tree's file statuses (relative
+    * path, length, mtime of every file under `dir`): a source that is
+    * rewritten in place fingerprints to a different suffix, so
+    * [[materializeOnce]] lands a fresh layout instead of serving the
+    * stale cached table. One recursive listing, no data scan. */
+  def contentSuffix(spark: SparkSession, dir: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    var h = fnv(0xcbf29ce484222325L, dir)
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      // order-insensitive fold (XOR of per-file hashes): listing order
+      // is filesystem-dependent, the fingerprint must not be
+      var acc = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        var fh = fnv(0xcbf29ce484222325L, st.getPath.getName)
+        fh = fnvLong(fh, st.getLen)
+        fh = fnvLong(fh, st.getModificationTime)
+        acc ^= fh
+      }
+      h = fnvLong(h, acc)
+    }
     java.lang.Long.toHexString(h)
+  }
+
+  private def fnv(seed: Long, s: String): Long = {
+    var h = seed
+    s.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+    h
+  }
+
+  private def fnvLong(seed: Long, v: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < 8) { h ^= (v >>> (8 * i)) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
   }
 
   /** Exchange-free inner equi-join of two co-bucketed sides. */

@@ -1,12 +1,71 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
 /** Shared driver-local graph kernel plumbing for the cost-gated
-  * finishes (Bfs / KCore / LabelProp / GraphDedup): vertex-id interning
-  * and CSR adjacency over a collected directed edge array. Extracted
-  * r10 (review cleanup) — the four kernels carried four copies of this
+  * finishes (Bfs / KCore / LabelProp / GraphDedup): primitive edge
+  * collection, vertex-id interning and CSR adjacency. Extracted r10
+  * (review cleanup) — the four kernels carried four copies of this
   * boilerplate; the algorithms stay in their operators, only the
-  * representation is shared. */
+  * representation is shared.
+  *
+  * r11 (ADVICE): the kernels used to `collect()` boxed (Long, Long)
+  * tuples — ~100 bytes/edge of transient driver heap, several hundred
+  * MB at the 4 M-edge gate default. [[collectEdges]] instead pulls the
+  * two columns through `queryExecution.toRdd` as primitive `getLong`
+  * reads into flat long arrays, so the peak driver cost of a gated
+  * finish is the 16 bytes/edge of the result itself (64 MB at the
+  * gate) plus one transient per-partition chunk copy — no boxing at
+  * any point.
+  */
 private[operators] object Csr {
+
+  /** Directed edge list in structure-of-arrays form: edge i is
+    * `src(i) -> dst(i)`. */
+  final class Edges(val src: Array[Long], val dst: Array[Long]) {
+    def length: Int = src.length
+    @inline def foreachEdge(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < src.length) { f(src(i), dst(i)); i += 1 }
+    }
+    /** Both orientations of every edge (for callers holding one). */
+    def bothOrientations: Edges = {
+      val m = length
+      val s = new Array[Long](2 * m)
+      val d = new Array[Long](2 * m)
+      System.arraycopy(src, 0, s, 0, m)
+      System.arraycopy(dst, 0, d, 0, m)
+      System.arraycopy(dst, 0, s, m, m)
+      System.arraycopy(src, 0, d, m, m)
+      new Edges(s, d)
+    }
+  }
+
+  /** Collect `(c1, c2)` of `df` into primitive long arrays: the rows
+    * stream through the executors as InternalRow `getLong` reads (zero
+    * boxing), land as one flat chunk per partition, and concatenate
+    * driver-side. Peak driver heap ≈ 2× the 16 bytes/edge result
+    * (chunks + concatenated arrays), vs ~100 bytes/edge for a boxed
+    * tuple collect. Columns must be non-null integral types. */
+  def collectEdges(df: DataFrame, c1: String, c2: String): Edges = {
+    val plan = df.select(col(c1).cast("long"), col(c2).cast("long"))
+    val chunks = plan.queryExecution.toRdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+      Iterator.single(b.result())
+    }.collect()
+    var total = 0
+    chunks.foreach(c => total += c.length / 2)
+    val src = new Array[Long](total)
+    val dst = new Array[Long](total)
+    var k = 0
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) { src(k) = c(i); dst(k) = c(i + 1); k += 1; i += 2 }
+    }
+    new Edges(src, dst)
+  }
 
   /** Interned vertex table: `names(i)` is the original id of index i. */
   final class Verts(val idx: java.util.HashMap[Long, Integer],
@@ -18,11 +77,11 @@ private[operators] object Csr {
 
   /** Intern every endpoint of `pairs` (plus `extra` ids), first-seen
     * order — matching the inlined loops this replaces. */
-  def intern(pairs: Array[(Long, Long)],
+  def intern(pairs: Edges,
       extra: Array[Long] = Array.emptyLongArray): Verts = {
     val idx = new java.util.HashMap[Long, Integer](pairs.length)
     def put(v: Long): Unit = if (!idx.containsKey(v)) idx.put(v, idx.size)
-    pairs.foreach { case (u, v) => put(u); put(v) }
+    pairs.foreachEdge { (u, v) => put(u); put(v) }
     extra.foreach(put)
     val names = new Array[Long](idx.size)
     idx.forEach((vid, i) => names(i) = vid)
@@ -40,18 +99,18 @@ private[operators] object Csr {
       Array.tabulate(n)(i => off(i + 1) - off(i))
   }
 
-  def build(pairs: Array[(Long, Long)],
+  def build(pairs: Edges,
       extra: Array[Long] = Array.emptyLongArray): Graph = {
     val vs = intern(pairs, extra)
     val n = vs.n
     val deg = new Array[Int](n)
-    pairs.foreach { case (u, _) => deg(vs.indexOf(u)) += 1 }
+    pairs.foreachEdge { (u, _) => deg(vs.indexOf(u)) += 1 }
     val off = new Array[Int](n + 1)
     var i = 0
     while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
     val fill = java.util.Arrays.copyOf(off, n)
     val adj = new Array[Int](pairs.length)
-    pairs.foreach { case (u, v) =>
+    pairs.foreachEdge { (u, v) =>
       val ui = vs.indexOf(u)
       adj(fill(ui)) = vs.indexOf(v)
       fill(ui) += 1

@@ -56,9 +56,9 @@ object GraphDedup {
       .getOption("spark.graft.cc.localEdgeMax")
       .map(_.toLong).getOrElse(4000000L)
     if (e.count() <= localMax) {
-      val pairs = e.as(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      // primitive-array collect (r11 ADVICE): 16 bytes/edge, not the
+      // ~100 bytes/edge a boxed tuple collect transiently costs
+      val pairs = Csr.collectEdges(e, "e_src", "e_dst")
       e.unpersist()
       val out = ccLocal(pairs)
       System.err.println(s"[cc] local union-find (${pairs.length} directed " +
@@ -170,11 +170,9 @@ object GraphDedup {
       .getOption("spark.graft.cc.localEdgeMax")
       .map(_.toLong).getOrElse(4000000L)
     if (e.count() <= localMax) {
-      val half = e.as(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val half = Csr.collectEdges(e, "u", "v")
       val vs = verts.as(org.apache.spark.sql.Encoders.scalaLong).collect()
-      val linked = ccLocal(half.flatMap(p => Seq(p, (p._2, p._1))))
+      val linked = ccLocal(half.bothOrientations)
       val seen = linked.iterator.map(_._1).toSet
       val out = linked ++ vs.filterNot(seen).map(v => (v, v))
       System.err.println(s"[cc] local union-find, star form " +
@@ -208,7 +206,7 @@ object GraphDedup {
     * bit-equal to both distributed forms' contract, order-invariant.
     * @param pairs directed edges (both orientations or one — union is
     *              symmetric) */
-  private def ccLocal(pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+  private def ccLocal(pairs: Csr.Edges): Array[(Long, Long)] = {
     val vs = Csr.intern(pairs)
     val n = vs.n
     val names = vs.names
@@ -221,7 +219,7 @@ object GraphDedup {
       }
       x
     }
-    pairs.foreach { case (u, v) =>
+    pairs.foreachEdge { (u, v) =>
       val ru = find(vs.indexOf(u))
       val rv = find(vs.indexOf(v))
       if (ru != rv) parent(ru) = rv

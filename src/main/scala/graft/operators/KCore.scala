@@ -98,11 +98,7 @@ object KCore {
     var bcastRounds = 0
     while (round < rounds && !converged) {
       if (bcastMax >= 0 && dir.count() <= localMax) {
-        val pairs = dir.select(col("u").cast("long"), col("v").cast("long"))
-          .as(org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
-          .collect()
+        val pairs = Csr.collectEdges(dir, "u", "v")
         val surv = peelLocal(pairs, k, rounds - round)
         System.err.println(s"[kcore] local finish after $round distributed " +
           s"rounds (${pairs.length} directed edges, ${surv.length} survivors)")
@@ -155,7 +151,7 @@ object KCore {
     * @param pairs directed edges, both directions present, distinct
     * @param budget remaining peel rounds
     * @return surviving (v, induced degree), deg > 0 */
-  private def peelLocal(pairs: Array[(Long, Long)], k: Int,
+  private def peelLocal(pairs: Csr.Edges, k: Int,
       budget: Int): Array[(Long, Long)] = {
     val g = Csr.build(pairs) // each undirected edge once per endpoint
     val n = g.n

@@ -48,9 +48,7 @@ object LabelProp {
     val localMax = spark.conf.getOption("spark.graft.labelprop.localEdgeMax")
       .map(_.toLong).getOrElse(4000000L)
     if (dir.count() <= localMax) {
-      val pairs = dir.as(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong)).collect()
+      val pairs = Csr.collectEdges(dir, "u", "v")
       val out = runLocal(pairs, rounds)
       System.err.println(s"[labelprop] local sweeps (${pairs.length} " +
         s"directed edges, $rounds rounds)")
@@ -83,7 +81,7 @@ object LabelProp {
 
   /** Driver-local synchronous sweeps, bit-equal to the distributed
     * rounds: argmax neighbor-label frequency, min label on ties. */
-  private def runLocal(pairs: Array[(Long, Long)],
+  private def runLocal(pairs: Csr.Edges,
       rounds: Int): Array[(Long, Long)] = {
     val g = Csr.build(pairs)
     val n = g.n

@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   * no float ever enters the loop (float matrix-vector sums are
   * order-dependent and would never cross engines).
   *
-  * Scale shape: the Gram build is the distributed pass — one in-row
-  * explode of (i, qi)×(j, qj) pairs into a (i, j) hash aggregation
-  * (d²-cell output, embarrassingly partial-aggregable; at 100 TB the
-  * map-side combine reduces each task to ≤ d² rows). The iteration
-  * itself runs on the d×d result (4096 cells at d=64) — a
-  * driver-local finish on a FIXED-SIZE aggregate, the BpeTrain gate
-  * argument in its strongest form (the "collected" object never grows
-  * with the data).
+  * Scale shape: the Gram build is the distributed pass — ONE typed
+  * Aggregator whose buffer is the flat d×d long array, rank-1-updated
+  * per row inside each partition and merged across partitions
+  * (r11 rewrite, replacing the r9 double-posexplode: the explode
+  * materialized rows×d² generator rows — 20.5 M at sf0.1 — before the
+  * map-side combine could shrink them; the Aggregator's fan-out is
+  * partitions×d² by construction, the explode's asymptotic best case,
+  * with zero per-pair row objects). The iteration itself runs on the
+  * d×d result (4096 cells at d=64) — a driver-local finish on a
+  * FIXED-SIZE aggregate, the BpeTrain gate argument in its strongest
+  * form (the "collected" object never grows with the data).
   */
 object PowerIteration {
 
@@ -37,18 +40,101 @@ object PowerIteration {
       .withColumn("q", transform(col("__vd"),
         x => floor(x * lit(127.0) / col("__amax") + 0.5).cast("long")))
 
-  /** Exact-integer Gram matrix Σ q·qᵀ as (i, j, m) — 0-based indices.
+  /** Typed Gram aggregator (B31 surface): buffer = the flat d×d long
+    * array, lazily sized from the first vector, rank-1 updated per row
+    * (`buf[i·d+j] += q_i·q_j`, zero rows of fan-out), merged
+    * element-wise across partitions. Mixed-dimension inputs remap the
+    * smaller buffer into the larger stride, matching the old explode
+    * form's "shorter rows contribute their prefix" semantics. */
+  private[operators] object GramAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Array[Long]] {
+    private def dimOf(len: Int): Int = math.round(math.sqrt(len.toDouble)).toInt
+    private def grow(buf: Array[Long], dOld: Int, dNew: Int): Array[Long] = {
+      val nb = new Array[Long](dNew * dNew)
+      var i = 0
+      while (i < dOld) {
+        System.arraycopy(buf, i * dOld, nb, i * dNew, dOld)
+        i += 1
+      }
+      nb
+    }
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b0: Array[Long], q: Seq[Long]): Array[Long] = {
+      val qa = q.toArray
+      val d = qa.length
+      var buf = b0
+      var stride = dimOf(buf.length)
+      if (d > stride) { buf = grow(buf, stride, d); stride = d }
+      var i = 0
+      while (i < d) {
+        val qi = qa(i)
+        if (qi != 0L) {
+          val off = i * stride
+          var j = 0
+          while (j < d) { buf(off + j) += qi * qa(j); j += 1 }
+        }
+        i += 1
+      }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      if (x.length == 0) return y
+      if (y.length == 0) return x
+      val (big, small) =
+        if (x.length >= y.length) (x, y)
+        else (y, x)
+      val target =
+        if (small.length == big.length) big
+        else {
+          val db = dimOf(big.length)
+          // fold the smaller matrix into the bigger stride
+          val ds = dimOf(small.length)
+          val nb = big
+          var i = 0
+          while (i < ds) {
+            var j = 0
+            while (j < ds) { nb(i * db + j) += small(i * ds + j); j += 1 }
+            i += 1
+          }
+          return nb
+        }
+      var k = 0
+      while (k < small.length) { target(k) += small(k); k += 1 }
+      target
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Flat row-major d×d Gram matrix Σ q·qᵀ — one Aggregator pass,
+    * partitions×d² merge traffic. Empty input → empty array. */
+  def gramFlat(emb: DataFrame, vecCol: String): Array[Long] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    quantized(emb, vecCol).select(col("q"))
+      .as[Seq[Long]]
+      .select(GramAgg.toColumn.name("cells"))
+      .head()
+  }
+
+  /** Exact-integer Gram matrix Σ q·qᵀ as (i, j, m) — 0-based indices,
+    * dense d² rows (the r9 explode form's exact output, now derived
+    * from [[gramFlat]]'s single aggregate).
     * (Measured dead end, r10: exploiting symmetry by slicing the upper
     * triangle — posexplode(slice(qv, i+1, d)) — halves the generated
-    * rows but runs 1.4× SLOWER at sf0.1: the per-(row, i) slice
-    * allocation costs more than the extra generator rows the plain
-    * double explode streams through codegen. Full explode stays.) */
+    * rows but runs 1.4× SLOWER at sf0.1 than the double explode; both
+    * are superseded by the Aggregator, which generates no rows at all.) */
   def gram(emb: DataFrame, vecCol: String): DataFrame = {
-    val q = quantized(emb, vecCol)
-    q.select(col("q").as("__qv"), posexplode(col("q")).as(Seq("i", "qi")))
-      .select(col("i"), col("qi"), posexplode(col("__qv")).as(Seq("j", "qj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi") * col("qj")).as("m"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val flat = gramFlat(emb, vecCol)
+    val d = math.round(math.sqrt(flat.length.toDouble)).toInt
+    (0 until d).flatMap(i => (0 until d).map(j => (i, j, flat(i * d + j))))
+      .toDF("i", "j", "m")
   }
 
   /** @return (i, v_1e6): the dominant direction after `iters` integer
@@ -58,11 +144,10 @@ object PowerIteration {
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1, 64]")
     val spark = emb.sparkSession
-    val cells = gram(emb, vecCol).collect()
-    require(cells.nonEmpty, "empty embedding table")
-    val d = cells.iterator.map(_.getInt(0)).max + 1
-    val m = Array.ofDim[Long](d, d)
-    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val flat = gramFlat(emb, vecCol)
+    require(flat.nonEmpty, "empty embedding table")
+    val d = math.round(math.sqrt(flat.length.toDouble)).toInt
+    val m = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     val scale = java.math.BigInteger.valueOf(1000000L)
     // Overflow guard (r10 review): |Σ m_ij·v_j| ≤ d · max|m| · 10⁶ —
     // Gram cells grow with the ROW COUNT (≤ 127²·rows), so past ~9 M

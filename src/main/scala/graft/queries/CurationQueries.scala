@@ -115,11 +115,15 @@ object CurationQueries extends QueryGroup {
         sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // nullif-guarded denominator (r11 ADVICE): a group with a single
+      // distinct x has zero x-variance — the slope is undefined, and an
+      // unguarded 0/0 would cast NaN to null HERE while the DuckDB twin
+      // ERRORS casting nan to BIGINT. NULL slope on both sides instead.
       m.select(col("o_orderstatus"), col("n").as("n_days"),
           floor((col("n").cast("double") * col("sxy").cast("double") -
               col("sx").cast("double") * col("sy").cast("double")) /
-            (col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
+            nullif(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"), lit(0.0)) *
             1000000.0 + 0.5).cast("long").as("slope_1e6"))
         .orderBy(col("o_orderstatus"))
     }),
@@ -207,7 +211,7 @@ object CurationQueries extends QueryGroup {
     // and the SortMergeJoin. The ANSWER is bucketing-invariant, which
     // is exactly what the oracle's plain join checks.
     "q144_bucketed_join" -> ((s, d) => {
-      val sfx = graft.operators.Bucketed.suffixFor(d)
+      val sfx = graft.operators.Bucketed.contentSuffix(s, d)
       val o = graft.operators.Bucketed.materializeOnce(
         Tables.orders(s, d).select(col("o_custkey"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents")),
@@ -447,8 +451,8 @@ object CurationQueries extends QueryGroup {
         |SELECT o_orderstatus, n AS n_days,
         |       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
         |                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) *
         |                  1000000.0 + 0.5) AS BIGINT) AS slope_1e6
         |FROM m ORDER BY 1""".stripMargin
   )

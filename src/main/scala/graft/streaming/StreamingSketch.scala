@@ -23,9 +23,20 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * monotone `upd` counter — downstream reads the max-`upd` row per
   * group as "the sketch now" (the memory/console sinks accumulate
   * update-mode output, so the counter disambiguates).
+  *
+  * PRECONDITION (r11 ADVICE): `key` must uniquely identify a logical
+  * row within its group. The state merge absorbs at-least-once
+  * redelivery by dropping exact (priority, value, key) repeats — under
+  * unique keys a repeat can ONLY be a replay, so stream ≡ batch holds
+  * exactly. A multiset input (two genuine rows with the same key and
+  * value) is indistinguishable from a replay and would collapse to one
+  * rank slot where batch `QuantileSketch.bottomK` keeps two; feed such
+  * inputs a row-unique key (e.g. source offset). The detectable half
+  * of a violation — same key, different value — fails loudly below.
   */
 object StreamingSketch {
 
+  /** `key` MUST be row-unique within `g` (see object scaladoc). */
   case class SkIn(g: String, value: Long, key: String)
   case class SkState(items: List[(Long, Long, String)], upd: Long)
   case class SkOut(g: String, n_kept: Long, vals: Seq[Long], upd: Long)
@@ -50,9 +61,14 @@ object StreamingSketch {
           val fresh = rows.map(r => (priorityOf(r.key), r.value, r.key))
           // merge + re-prune: the associative min-k law
           val merged = (prev.items ++ fresh)
-            .distinct // idempotent under replays of identical rows
-            .sortBy(identity)
-            .take(k)
+            .distinct // replays are exact repeats under the unique-key
+            .sortBy(identity) // precondition — dropping them is the
+            .take(k) // idempotence law StreamingSketchSpec pins
+          // enforce the detectable precondition violation: one key,
+          // two values can never be a replay (k-sized check)
+          require(merged.iterator.map(_._3).toSet.size == merged.size,
+            s"StreamingSketch group '$g': duplicate key with differing " +
+              "values in the kept set — SkIn.key must be row-unique")
           val st = SkState(merged, prev.upd + 1)
           state.update(st)
           Iterator.single(SkOut(g, merged.size.toLong,
