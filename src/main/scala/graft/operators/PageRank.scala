@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions.{count => cnt}
   *
   * Shape per iteration: one equality join of the directed edge list
   * with the rank vector on the source id, one hash aggregation on the
-  * destination id — both shuffles hash vertex ids and are
-  * AQE-skew-splittable; ranks are |V|-sized, edges |E|-sized, nothing
-  * is collected and the iteration count is a static plan unroll (no
-  * driver-side data movement between rounds). At 100 TB-scale graphs
-  * the rank vector stays partitioned by vertex id across iterations —
-  * the same key every round, so a cluster reuses the exchange.
+  * destination id. With ad-hoc edges both shuffles hash vertex ids and
+  * are AQE-skew-splittable. The 100 TB form (r11): land the edge list
+  * ONCE bucketed+sorted on the source vertex (`Bucketed
+  * .materializeOnce`) and run [[ranksOnPrepared]] — the bucket layout
+  * IS the join's required distribution, so the |E|-sized side never
+  * exchanges inside the loop; the only per-iteration shuffle left is
+  * the |V|-sized contribution aggregation onto the destination key
+  * (the mass movement itself — irreducible). PlanSpec pins zero
+  * Exchange above the bucketed scan inside an iteration.
   *
   * Input is an UNDIRECTED edge list (the co-occurrence graphs the rest
   * of the catalog builds): each edge feeds both directions, so every
@@ -38,6 +41,31 @@ import org.apache.spark.sql.functions.{count => cnt}
 object PageRank {
 
   val Scale = 1000000L
+
+  /** Canonicalize an undirected [weighted] edge list into the BOTH-
+    * ORIENTATIONS directed form the iteration loops consume: (a, b)
+    * with a<b, self-loops dropped, duplicates merged ([weight-sum] /
+    * [distinct]), then each edge emitted u→v and v→u. This is the
+    * frame to land bucketed on `u` for the exchange-free loop. */
+  def directedEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val e0 = weightCol match {
+      case Some(w) =>
+        edges.select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"),
+            col(w).cast("long").as("w"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      case None =>
+        edges.select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+    }
+    val cols = e0.columns.drop(2).map(col)
+    e0.select(col("a").as("u") +: col("b").as("v") +: cols: _*)
+      .unionAll(e0.select(col("b").as("u") +: col("a").as("v") +: cols: _*))
+  }
 
   /** WEIGHTED integer PageRank — the general form for co-occurrence
     * graphs where edge multiplicity matters (a pair co-ordered 50
@@ -50,17 +78,20 @@ object PageRank {
     * BIGINT for any graph whose total weight is < ~10⁹ per vertex —
     * far beyond any per-entity co-occurrence table. */
   def ranksWeighted(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, iters: Int): DataFrame = {
+      weightCol: String, iters: Int): DataFrame =
+    ranksWeightedOnPrepared(
+      directedEdges(edges, srcCol, dstCol, Some(weightCol))
+        .localCheckpoint(true),
+      iters)
+
+  /** [[ranksWeighted]] over a PREPARED (u, v, w) frame — both
+    * orientations, merged weights, no self-loops; pass the bucketed
+    * landing for the zero-edge-Exchange loop (object scaladoc). */
+  def ranksWeightedOnPrepared(dir: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"),
-        col(weightCol).cast("long").as("w"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-    val dir = e0.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .unionAll(e0.select(col("b").as("u"), col("a").as("v"), col("w")))
-      .localCheckpoint(true)
+    // wtot derives exchange-free from a u-bucketed landing (groupBy on
+    // the bucket key) and is |V|-sized — checkpointed once, it joins
+    // co-partitioned in every round
     val wtot = dir.groupBy(col("u")).agg(sum(col("w")).as("wt"))
       .localCheckpoint(true)
     val init = wtot.select(col("u").as("v"), lit(Scale).as("pr"))
@@ -88,16 +119,16 @@ object PageRank {
     * Seeds that aren't graph vertices contribute nothing (inner-join
     * semantics at init); the seed side is vertex-sized. */
   def ranksPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, iters: Int): DataFrame = {
+      seeds: DataFrame, iters: Int): DataFrame =
+    ranksPersonalizedOnPrepared(
+      directedEdges(edges, srcCol, dstCol).localCheckpoint(true),
+      seeds, iters)
+
+  /** [[ranksPersonalized]] over a PREPARED (u, v[, w]) frame (weight
+    * ignored — this is the unweighted recursion). */
+  def ranksPersonalizedOnPrepared(dir: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val dir = e0.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
     val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
       .localCheckpoint(true)
     val seed = deg.select(col("u"))
@@ -123,23 +154,21 @@ object PageRank {
   }
 
   /** (v, pr) after `iters` rounds, over the undirected graph's
-    * vertices; pr is at scale 10⁶ (10⁶ = the uniform start mass). */
+    * vertices; pr is at scale 10⁶ (10⁶ = the uniform start mass).
+    * EAGER edge materialization (q32 pattern): dir and deg feed EVERY
+    * iteration, so without the checkpoint the canonicalize + DISTINCT
+    * subtree re-runs ~3× per round — measured 6.4 s → ~1 s for 4
+    * rounds at sf0.1. Callers with a LANDED edge table skip this and
+    * use [[ranksOnPrepared]] directly. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    ranksOnPrepared(
+      directedEdges(edges, srcCol, dstCol).localCheckpoint(true),
+      iters)
+
+  /** [[ranks]] over a PREPARED (u, v[, w]) frame (weight ignored). */
+  def ranksOnPrepared(dir: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
-    // EAGER edge materialization (q32 pattern): dir and deg feed EVERY
-    // iteration (the edge join + the degree join + the vertex base), so
-    // without checkpoints the canonicalize + DISTINCT subtree re-runs
-    // ~3× per round — measured 6.4 s → ~1 s for 4 rounds at sf0.1.
-    // Blocks free when the result goes unreachable.
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val dir = e0.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
     val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
       .localCheckpoint(true)
     val init = deg.select(col("u").as("v"), lit(Scale).as("pr"))
