@@ -92,6 +92,36 @@ object DedupQueries extends QueryGroup {
       path
     }}
 
+  /** q151's persisted cluster store — same caching physics as the
+    * profile/span stores: built ONCE per (session, dataset) as
+    * history-CC + ONE incremental delta merge, so a bench rerun
+    * re-READS labels (one base scan + a broadcast remap lookup); it
+    * never re-runs components over history. */
+  @volatile var clusterStoreElapsedSec: Option[Double] = None
+
+  private def storedClusters(s: SparkSession, d: String): String =
+    spanStores.synchronized { Option(spanStores.get((s, d + "#clusters"))).getOrElse {
+      val path = java.nio.file.Files.createTempDirectory("graft-q151").toString
+      val docs = Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val t0 = System.nanoTime()
+      graft.operators.ClusterStore.build(
+        TextDedup.nearDupPairs(hist, 3000L), "d1", "d2", path)
+      // the delta's new pairs: delta×delta from the batch itself,
+      // delta×history through the SAME band/profile machinery the
+      // profile store serves at ingest (q90/q101) — history text is
+      // touched only for band-matching docs, never re-clustered
+      val dd = TextDedup.nearDupPairs(delta, 3000L)
+        .select(col("d1"), col("d2"))
+      val dh = TextDedup.nearDupAgainst(delta, hist, 3000L)
+        .select(col("doc_id").as("d1"), col("ref_doc_id").as("d2"))
+      graft.operators.ClusterStore.applyDelta(s, path, dd.union(dh), "d1", "d2")
+      clusterStoreElapsedSec = Some((System.nanoTime() - t0) / 1e9)
+      spanStores.put((s, d + "#clusters"), path)
+      path
+    }}
+
   private def storedRefProfile(s: SparkSession, d: String): String =
     profileStores.synchronized { Option(profileStores.get((s, d))).getOrElse {
       val path = java.nio.file.Files.createTempDirectory("graft-q101").toString
@@ -455,6 +485,23 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL near-dup cluster maintenance (round 11 operator —
+    // the operational gap between q101's profile store and q69's
+    // batch-recomputed components): history's clusters persist in a
+    // ClusterStore; when the delta batch lands, its verified pairs
+    // (delta×delta + delta×history via the q90 band/profile probe)
+    // merge ONLY the touched cluster labels — label-level remap rows,
+    // never a re-run of components over history. The oracle is q69's
+    // from-scratch recursive-CTE closure over the WHOLE corpus
+    // verbatim, so the hash gate proves store+delta ≡ from-scratch
+    // (the q88/q127/q110 discipline; ClusterStoreSpec pins the law on
+    // randomized splits).
+    "q151_cluster_incremental" -> ((s, d) =>
+      graft.operators.ClusterStore.read(s, storedClusters(s, d))
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy(col("doc_id"))),
+
     // Asymmetric containment near-dup (sub-document duplication): for
     // LSH band candidates, C(A→B) = |A∩B|/|A| in both directions — a
     // short doc embedded in a long one scores ~1.0 here while Jaccard
@@ -759,6 +806,24 @@ object DedupQueries extends QueryGroup {
          |       FROM sc)
          |SELECT doc_id, component, score_1e4, rn = 1 AS keep
          |FROM rr ORDER BY doc_id""".stripMargin,
+
+    // q151 ≡ q69's from-scratch answer by the store+delta law — the
+    // oracle is intentionally the SAME full-corpus closure, so any
+    // divergence in the incremental path (missed cross pair, stale
+    // remap, double-appended vertex) breaks the hash.
+    "q151_cluster_incremental" ->
+      s"""WITH RECURSIVE ${lshCtes()},
+         |pairs AS ($lshPairsSelect),
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |       UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM e2
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+         |          WHERE e.b <> r.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT id AS doc_id, component, id = component AS keep
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q69_dedup_resolution" ->
       s"""WITH RECURSIVE ${lshCtes()},

@@ -180,6 +180,49 @@ object ScaleProbe {
           array(rot: _*).as("embedding"))
       }.reduce(_ union _)
 
+    // ClusterStore MAINTENANCE (q151's operator): the persisted label
+    // store grows f×, the delta pair batch stays FIXED — applyDelta
+    // wall-clock must stay ~FLAT across f: the only history-touching
+    // step is the endpoint label probe (a broadcast lookup against the
+    // base scan, no history shuffle), merges are label-level remap
+    // entries, and the append is delta-sized. The read row is printed
+    // for context (it scans the accumulated base — the read side, not
+    // the maintenance side). Synthetic disjoint 2-cliques isolate the
+    // store mechanics; pair GENERATION scaling is neardup_ingest's row.
+    if (wanted("cluster_store_delta")) {
+      import graft.operators.ClusterStore
+      for (f <- factors) {
+        val n = 200000L * f
+        val hist = spark.range(n)
+          .select((col("id") * 2).as("d1"), (col("id") * 2 + 1).as("d2"))
+        val path = java.nio.file.Files
+          .createTempDirectory(s"cstore-scale-$f").toString
+        ClusterStore.build(hist, "d1", "d2", path) // setup: f× store
+        // warm the plan shapes on a throwaway store (applyDelta
+        // mutates, so the real delta can only run once)
+        val wpath = java.nio.file.Files
+          .createTempDirectory(s"cstore-warm-$f").toString
+        ClusterStore.build(spark.range(1000)
+          .select((col("id") * 2).as("d1"), (col("id") * 2 + 1).as("d2")),
+          "d1", "d2", wpath)
+        ClusterStore.applyDelta(spark, wpath, spark.range(100)
+          .select((col("id") * 4).as("d1"), (col("id") * 4 + 2).as("d2")),
+          "d1", "d2")
+        // fixed delta: 5k cluster merges + 5k brand-new pairs
+        val delta = spark.range(5000)
+          .select((col("id") * 4).as("d1"), (col("id") * 4 + 2).as("d2"))
+          .union(spark.range(5000)
+            .select((col("id") + 2000000000L).as("d1"),
+              (col("id") + 2100000000L).as("d2")))
+        val (sec, _) = time {
+          ClusterStore.applyDelta(spark, path, delta, "d1", "d2"); 0L
+        }
+        val (rsec, rows) = time(ClusterStore.read(spark, path).count())
+        println(s"""{"op":"cluster_store_delta","factor":$f,"sec":${f"$sec%.2f"},""" +
+          s""""read_sec":${f"$rsec%.2f"},"rows":$rows}""")
+      }
+    }
+
     for (f <- factors if wanted("neardup_bucketed")) {
       val d = scaledEmb(f)
       // occupancy-preserving bits: +log2(factor) keeps per-bucket counts
