@@ -338,6 +338,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** Adam7 twin of [[attachPng]] (r11): the same byte-cycling pixel
+    * synthesis ENCODED INTERLACED through [[PngCodec.encodeAdam7]], at
+    * width 9 so every pass hits the ragged-width/height edge cases
+    * (w=8 would tile the pass grid exactly). The decode side is the
+    * same [[pngFeatures]] — the container layout must be transparent
+    * to the pixel algebra, which is precisely what q152's oracle
+    * hash-checks. */
+  def attachPngAdam7(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(t => t._2 != null && t._2.nonEmpty)
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val colorType = if (id % 2 == 0) 2 else 6
+        val bpp = if (colorType == 6) 4 else 3
+        val w = 9
+        val nPixels = (bytes.length + bpp - 1) / bpp
+        val h = math.max((nPixels + w - 1) / w, 1)
+        val pix = new Array[Byte](bpp * w * h)
+        var j = 0
+        while (j < pix.length) { pix(j) = bytes(j % bytes.length); j += 1 }
+        MediaRecord(id,
+          PngCodec.encodeAdam7(PngCodec.Png(w, h, colorType, pix)), "png")
+      }
+      .toDF()
+  }
+
   /** PNG decode stage: the real chunk walk / CRC verify / zlib inflate /
     * unfilter per record inside one narrow mapPartitions — same shape as
     * [[imageFeatures]], plus the alpha channel sum for RGBA. */

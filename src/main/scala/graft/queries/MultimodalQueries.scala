@@ -86,6 +86,23 @@ object MultimodalQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // Adam7-INTERLACED PNG decode (round 11; the third compressed-
+    // container hardening after q102's sequential PNG and q133's GIF
+    // LZW): same pixel synthesis, width 9 so the seven-pass grid is
+    // ragged in both axes, encoded via the from-scratch Adam7 encoder
+    // (per-pass filter rotation) and decoded through the pass
+    // extraction + scatter path. The oracle computes features straight
+    // from the text bytes — the interlace must be TRANSPARENT, and any
+    // pass-origin/stride/unfilter slip lands pixels in the wrong cells
+    // and breaks the hash.
+    "q152_png_adam7" -> ((s, d) => {
+      val media = Multimodal.attachPngAdam7(s, Tables.documents(s, d))
+      Multimodal.pngFeatures(s, media)
+        .select(col("doc_id"), col("color_type"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"), col("n_dark"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Audio features from REAL decoded RIFF/WAVE PCM: header fields,
     // integer duration, peak, exact sum-of-squares energy, sign-flip
     // zero crossings. The fixture WAVs carry an odd-sized JUNK chunk, so
@@ -192,6 +209,41 @@ object MultimodalQueries extends QueryGroup {
         |    (299 * x + 587 * ((7 * x + 3) % 256) + 114 * (255 - x)) // 1000 < 128))
         |    AS BIGINT) AS n_dark
         |FROM vs ORDER BY doc_id""".stripMargin,
+
+    // q152: q102's byte-cycling algebra at width 9 (the Adam7 fixture
+    // width) — the interlaced container must decode to the identical
+    // pixel array, so the oracle needs no notion of passes at all.
+    "q152_png_adam7" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len
+        |           FROM documents WHERE strlen(text) > 0),
+        |dims AS (SELECT doc_id, text, len, bpp,
+        |           ((len + bpp - 1) // bpp + 8) // 9 AS h
+        |         FROM (SELECT doc_id, text, len,
+        |                 CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS bpp
+        |               FROM d)),
+        |bs AS (SELECT doc_id, bpp, h, list_transform(range(0, bpp * 9 * h),
+        |         j -> CAST(ascii(text[(j % len) + 1]) AS BIGINT)) AS b
+        |       FROM dims),
+        |ch AS (SELECT doc_id, bpp, h,
+        |         list_transform(range(0, 9 * h), i -> b[bpp * i + 1]) AS rs,
+        |         list_transform(range(0, 9 * h), i -> b[bpp * i + 2]) AS gs,
+        |         list_transform(range(0, 9 * h), i -> b[bpp * i + 3]) AS bls,
+        |         CASE WHEN bpp = 4
+        |           THEN list_reduce(list_transform(range(0, 9 * h),
+        |                  i -> b[4 * i + 4]), (a, x) -> a + x)
+        |           ELSE 0 END AS suma
+        |       FROM bs)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS BIGINT) AS color_type,
+        |  CAST(9 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_reduce(rs, (a, b) -> a + b) AS BIGINT) AS sum_r,
+        |  CAST(list_reduce(gs, (a, b) -> a + b) AS BIGINT) AS sum_g,
+        |  CAST(list_reduce(bls, (a, b) -> a + b) AS BIGINT) AS sum_b,
+        |  CAST(suma AS BIGINT) AS sum_a,
+        |  CAST(len(list_filter(range(0, 9 * h),
+        |    i -> (299 * rs[i + 1] + 587 * gs[i + 1] + 114 * bls[i + 1]) // 1000 < 128))
+        |    AS BIGINT) AS n_dark
+        |FROM ch ORDER BY doc_id""".stripMargin,
 
     "q102_png_decode" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS len

@@ -51,5 +51,7 @@ if [ -z "$SKIP_ORACLE" ]; then
     graft.Verify "$SF_DIR" /tmp/graft_oracle_dump >> "$OUT".log 2>&1
   python3 tools/duckdb_bench.py "$SF_DIR" /tmp/graft_oracle_dump/oracle_sql.json \
     "$OUT".duckdb.json "${SPARK_GRAFT_BENCH_RUNS:-3}" 2>> "$OUT".log
-  python3 tools/pair_bench.py "$OUT" "$OUT".duckdb.json "$OUT".pair.json
+  # sf dir enables the r11 stall-reconciliation pass (suspect rows
+  # re-run isolated best-of-3; both values recorded per query)
+  python3 tools/pair_bench.py "$OUT" "$OUT".duckdb.json "$OUT".pair.json "$SF_DIR"
 fi
