@@ -97,11 +97,29 @@ object ClusterStore {
     val current = read(spark, path)
     val endpoints = pairs.select(col("pa").as("id"))
       .union(pairs.select(col("pb").as("id"))).distinct()
+      .localCheckpoint(true)
     // current label of every endpoint, keeping whether history has the
     // id (an unseen id labels itself — exactly a fresh CC vertex; only
     // those rows append, so base stays one-row-per-id and reads need
-    // no distinct)
-    val lbl = endpoints.join(current, Seq("id"), "left")
+    // no distinct). Two-step join so HISTORY NEVER SHUFFLES: a plain
+    // left-outer of endpoints against the base could only broadcast
+    // its right (history) side, so Spark would shuffle both; instead
+    // the base scan is broadcast-SEMI-filtered down to the endpoint
+    // ids (endpoint-sized output, no exchange on the scan), and the
+    // outer join runs endpoints-vs-that — both sides tiny.
+    // broadcast only under a size gate (default 4M endpoints ≈ 32 MB):
+    // a monster delta falls back to shuffle joins — correct at any
+    // cardinality, just not scan-cheap (and at that point the delta is
+    // history-sized anyway, so a shuffle is the honest cost)
+    val bcastMax = spark.conf.getOption("spark.graft.clusterstore.bcastMax")
+      .map(_.toLong).getOrElse(4000000L)
+    val small = endpoints.count() <= bcastMax
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    val known = current
+      .join(maybeBcast(endpoints), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val lbl = endpoints.join(maybeBcast(known), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("lbl"),
         col("component").isNull.as("is_new"))
       .localCheckpoint(true)

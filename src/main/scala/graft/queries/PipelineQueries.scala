@@ -25,8 +25,16 @@ object PipelineQueries extends QueryGroup {
   private def splitBucket(c: Column): Column =
     (((c % P) * 40503L + 17L) % P) % 1000L
 
+  /** Bounded LRU like DedupQueries' store caches: entries hold
+    * checkpointed RDD blocks (and transitively their SparkSession), so
+    * the map must not grow with the number of sessions a long-lived
+    * JVM creates. */
   private val labeledCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new java.util.LinkedHashMap[String, DataFrame](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 8
+    }
 
   /** Per-doc pipeline labeling — the ONE frame q100 and q103 both
     * derive from (r11 verdict item: the audit used to re-derive every
@@ -42,7 +50,16 @@ object PipelineQueries extends QueryGroup {
     * testdata layout already guarantees (Bucketed.contentSuffix
     * protects the cross-process case; this cache dies with the JVM). */
   private def labeledDocs(s: SparkSession, d: String): DataFrame =
-    labeledCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+    labeledCache.synchronized {
+      val key = s"${System.identityHashCode(s)}:$d"
+      Option(labeledCache.get(key)).getOrElse {
+        val built = buildLabeledDocs(s, d)
+        labeledCache.put(key, built)
+        built
+      }
+    }
+
+  private def buildLabeledDocs(s: SparkSession, d: String): DataFrame = {
       val all = Tables.spread(Tables.documents(s, d))
       val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
       // one tokenize+score pass, materialized: three branches below
@@ -90,7 +107,7 @@ object PipelineQueries extends QueryGroup {
           lit("eval_holdout").as("stage"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       labeled.unionByName(holdout).localCheckpoint(true)
-    })
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Z-order (Morton) layout clustering (round 8): the multi-dim lake

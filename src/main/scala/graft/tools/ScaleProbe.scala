@@ -519,11 +519,12 @@ object ScaleProbe {
 
     // PowerIteration Gram build (the distributed pass; the iteration
     // itself runs on the fixed d×d aggregate) over f rotated embedding
-    // copies: one in-row explode + a d²-cell partial-aggregable agg.
+    // copies: one typed-Aggregator pass with the flat d×d long-array
+    // buffer (r11 rewrite — fan-out partitions×d², no generated rows).
     for (f <- factors if wanted("power_gram")) {
       val d = scaledEmb(f)
       def run(): Long = graft.operators.PowerIteration
-        .gram(d, "embedding").count()
+        .gramFlat(d, "embedding").length.toLong
       run() // warm
       val (sec, rows) = time(run())
       println(s"""{"op":"power_gram","factor":$f,"sec":${f"$sec%.2f"},"rows":$rows}""")
