@@ -29,17 +29,31 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Per-entity stage-completion times: (entity, t0 … t_{n−1}), one row
-    * per entity that has any event; t_i is NULL where the funnel broke. */
+    * per entity that has any event; t_i is NULL where the funnel broke.
+    *
+    * r11: the per-stage joins read a SLIM stream pre-filtered to the
+    * stage types and materialized once (eager localCheckpoint) — stage
+    * k's join probes only type-s_k rows instead of re-scanning the
+    * whole event log per stage (measured 10×-corpus: most events are
+    * not stage types, so each of the k passes dropped to the stage
+    * slice). The ENTITY UNIVERSE still comes from the full stream
+    * (n_entities counts everyone with any event — unchanged answer). */
   def stageTimes(events: DataFrame, entityCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
     val base = events.select(col(entityCol).as("__e"), col(tsCol).as("__ts"),
       col(typeCol).as("__ty"))
-    stages.zipWithIndex.foldLeft(base.select(col("__e")).distinct()) {
+    val ents = base.select(col("__e")).distinct()
+    val slim = base.filter(col("__ty").isin(stages: _*))
+      .localCheckpoint(true) // consumed once per stage below
+    stages.zipWithIndex.foldLeft(ents) {
       case (acc, (st, i)) =>
         val cond =
           if (i == 0) col("__ty") === st
           else col("__ty") === st && col("__ts") > col(s"t${i - 1}")
-        base.join(acc, Seq("__e"))
+        // left join: an entity with no stage-type events must keep its
+        // row (all-NULL stages), exactly as the full-stream inner join
+        // against `base` used to provide via its non-stage rows
+        acc.join(slim.filter(col("__ty") === st), Seq("__e"), "left")
           .groupBy(col("__e") +: (0 until i).map(k => col(s"t$k")): _*)
           .agg(min(when(cond, col("__ts"))).as(s"t$i"))
     }.withColumnRenamed("__e", entityCol)

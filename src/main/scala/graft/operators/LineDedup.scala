@@ -24,13 +24,13 @@ import org.apache.spark.sql.functions._
   *    A `row_number() over (partition by line)` formulation would put
   *    the hottest line's every occurrence in one task; the min-struct
   *    form is skew-immune by construction.
-  *  - Lines shuffle as 16-byte (hash, doc_id, idx) triples (64-bit FNV
-  *    of the line), never as line text; the winner set joins back to
-  *    the narrow occurrence stream on the hash — an equality join both
-  *    sides partition on.
-  *  - Reconstruction groups by doc_id (the natural partitioning of the
-  *    input) and sorts only WITHIN a document (lines-per-doc sized,
-  *    never global).
+  *  - Lines shuffle as (hash, doc_id, idx) triples (64-bit FNV of the
+  *    line), never as line text — and the winner aggregation's output
+  *    IS the survivor set (no join-back pass at all, r11): surviving
+  *    positions group per doc_id and join the original rows once,
+  *    where the kept lines re-extract IN-ROW from the doc's own split.
+  *  - Reconstruction sorts only WITHIN a document's kept-index list
+  *    (lines-per-doc sized, never global).
   */
 object LineDedup {
 
@@ -77,42 +77,57 @@ object LineDedup {
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .withColumn("h", graft.functions.Fnv1aHash.fnv1a64(col("line")))
 
-  /** Surviving occurrences only: each distinct line kept solely at its
-    * first (doc_id, idx) position corpus-wide. The occurrence stream is
-    * eagerly localCheckpointed: it feeds both the winner aggregation
-    * and the probe side of the join-back, and re-running the
-    * split+hash subtree per consumer would double the corpus scan (the
-    * q32 shared-subtree discipline). */
-  def survivors(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val occ = lineOccurrences(docs, textCol).localCheckpoint(true)
-    // min(struct) — lexicographic on (doc_id, idx): the global
-    // first-occurrence winner per line hash, skew-safe (see scaladoc).
-    val winners = occ.groupBy(col("h"))
+  /** Surviving (doc_id, idx) positions only: each distinct line kept
+    * solely at its first (doc_id, idx) position corpus-wide, computed
+    * directly from the min(struct) winner aggregation — the winner row
+    * IS the surviving occurrence, so no join-back to the occurrence
+    * stream exists (r11 rewrite: the old form joined winners back to a
+    * LINE-TEXT-carrying occurrence stream on the hash, shuffling the
+    * corpus text the scaladoc promised never shuffles; the narrow form
+    * moves only (h, doc_id, idx) triples end to end and drops a whole
+    * join+filter pass — measured 3.54 s → see BASELINE r11 at the 10×
+    * corpus). Text re-attaches per document in [[rebuild]]. */
+  def survivorIdx(docs: DataFrame, textCol: String = "text"): DataFrame =
+    lineOccurrences(docs, textCol)
+      .select(col("doc_id"), col("idx"), col("h"))
+      // min(struct) — lexicographic on (doc_id, idx): the global
+      // first-occurrence winner per line hash, skew-safe (see scaladoc)
+      .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.idx").as("w_idx"))
-    occ.join(winners, "h")
-      .filter(col("doc_id") === col("w_doc") && col("idx") === col("w_idx"))
-      .select(col("doc_id"), col("idx"), col("line"))
-  }
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+
+  /** Surviving occurrences WITH their line text — the narrow winner set
+    * joined to the documents on doc_id (text never shuffles on the
+    * line hash; the line re-extracts in-row from the doc's own split). */
+  def survivors(docs: DataFrame, textCol: String = "text"): DataFrame =
+    survivorIdx(docs, textCol)
+      .join(docs.select(col("doc_id"), col(textCol).as("__t")), Seq("doc_id"))
+      .select(col("doc_id"), col("idx"),
+        element_at(split(col("__t"), "\n"), col("idx") + 1).as("line"))
 
   /** Rebuild each document from its surviving lines (in original order),
     * with kept/dropped accounting. Documents whose every line was
     * deduped away remain present with an empty `cleaned`. Totals come
     * in-row from the split width — no second pass over the corpus. */
   def rebuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val surv = survivors(docs, textCol)
-    val kept = surv.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(
-        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
-          x => x.getField("line")),
-        "\n").as("cleaned"))
-    val totals = docs.select(col("doc_id"),
-      size(split(col(textCol), "\n")).cast("long").as("n_lines"))
-    totals.join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+    // winner idx lists per doc (ints only through both shuffles), then
+    // ONE doc-keyed join against the original rows: cleaned re-extracts
+    // the kept lines in-row from the doc's own split, and totals ride
+    // the same row — no corpus text ever crosses an exchange
+    val kept = survivorIdx(docs, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("__ki"))
+    docs.select(col("doc_id"),
+        split(col(textCol), "\n").as("__ls"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        coalesce(size(col("__ki")), lit(0)).cast("long").as("n_kept"),
+        (size(col("__ls")) - coalesce(size(col("__ki")), lit(0)))
+          .cast("long").as("n_dropped"),
+        when(col("__ki").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("__ki"), i => element_at(col("__ls"), i + 1)),
+            "\n")).as("cleaned"))
   }
 }

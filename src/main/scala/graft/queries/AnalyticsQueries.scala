@@ -216,13 +216,19 @@ object AnalyticsQueries extends QueryGroup {
         .groupBy(col("p")).agg(count(lit(1)).as("c"))
       // pair agg widened explicitly (same shuffle, defaultParallelism
       // reducers): 0.54 s -> 0.28 s at sf0.1 vs inheriting the bench
-      // session's 4 shuffle partitions (BasketProbe r10)
+      // session's 4 shuffle partitions (BasketProbe r10). PACKED pair
+      // keys (r11): ~every pair is unique here, so the aggregation
+      // shuffles the whole pair stream — the 8-byte packed long beats
+      // the struct by ~12% at the 10x corpus (BasketProbe r11), noise
+      // below ~1M pairs (the r10 read; superseded at volume).
       val p = s.sparkContext.defaultParallelism
-      val pairs = CoOccur.pairsFromBaskets(b)
-        .repartition(p, col("a"), col("b"))
-        .groupBy(col("a").as("pa"), col("b").as("pb"))
+      val pairs = CoOccur.packedPairsFromBaskets(b)
+        .repartition(p, col("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3)
+        .select(expr("shiftright(pk, 32)").as("pa"),
+          (col("pk") % 4294967296L).as("pb"), col("c_ab"))
       pairs
         .join(broadcast(ca.select(col("p").as("pa"), col("c").as("c_a"))), Seq("pa"))
         .join(broadcast(ca.select(col("p").as("pb"), col("c").as("c_b"))), Seq("pb"))
