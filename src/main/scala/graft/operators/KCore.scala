@@ -53,28 +53,41 @@ object KCore {
     */
   def peel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int): DataFrame =
-    peelImpl(edges, srcCol, dstCol, k, rounds, bcastMax = 4000000L)
+    peelImpl(canonical(edges, srcCol, dstCol), k, rounds,
+      bcastMax = 4000000L)
+
+  /** [[peel]] over a PREPARED (u, v) frame — both orientations of each
+    * distinct undirected edge, no self-loops (e.g. a bucketed edge
+    * landing): skips the canonicalize+distinct+checkpoint rebuild. */
+  def peelOnPrepared(dir: DataFrame, k: Int, rounds: Int): DataFrame =
+    peelImpl(dir.select(col("u"), col("v")), k, rounds,
+      bcastMax = 4000000L)
 
   /** The r9 recompute-everything form, kept as the spec's ground truth
     * (KCoreSpec pins peel ≡ peelNaive on every fixture) and as the
     * fallback body for oversized rounds. */
   private[operators] def peelNaive(edges: DataFrame, srcCol: String,
       dstCol: String, k: Int, rounds: Int): DataFrame =
-    peelImpl(edges, srcCol, dstCol, k, rounds, bcastMax = -1L)
+    peelImpl(canonical(edges, srcCol, dstCol), k, rounds, bcastMax = -1L)
 
-  private def peelImpl(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int, bcastMax: Long): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
-    require(rounds >= 1 && rounds <= 30, s"rounds=$rounds out of [1, 30]")
-    val spark = edges.sparkSession
+  private def canonical(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    var dir = e0.select(col("a").as("u"), col("b").as("v"))
+    e0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
+  }
+
+  private def peelImpl(dir0: DataFrame,
+      k: Int, rounds: Int, bcastMax: Long): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 30, s"rounds=$rounds out of [1, 30]")
+    val spark = dir0.sparkSession
+    var dir = dir0
     // Cost gate (the BpeTrain driver-finish pattern, r8-mandated): a
     // peel iteration at local/bench scale is JOB-COUNT-bound — ~3
     // scheduler floors per round against ~10 ms of actual 254 k-row

@@ -35,8 +35,6 @@ object LabelProp {
     * @return (v, community) after `rounds` synchronous sweeps */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 20, s"rounds=$rounds out of [1, 20]")
-    val spark = edges.sparkSession
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
@@ -45,6 +43,16 @@ object LabelProp {
     val dir = e0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
+    runOnPrepared(dir, rounds)
+  }
+
+  /** [[run]] over a PREPARED (u, v) frame — both orientations of each
+    * distinct undirected edge, no self-loops (e.g. a bucketed edge
+    * landing): skips the canonicalize+distinct+checkpoint rebuild the
+    * raw path pays per call. */
+  def runOnPrepared(dir: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds=$rounds out of [1, 20]")
+    val spark = dir.sparkSession
     val localMax = spark.conf.getOption("spark.graft.labelprop.localEdgeMax")
       .map(_.toLong).getOrElse(4000000L)
     if (dir.count() <= localMax) {

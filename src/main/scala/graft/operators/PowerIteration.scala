@@ -45,10 +45,18 @@ object PowerIteration {
     * (`buf[i·d+j] += q_i·q_j`, zero rows of fan-out), merged
     * element-wise across partitions. Mixed-dimension inputs remap the
     * smaller buffer into the larger stride, matching the old explode
-    * form's "shorter rows contribute their prefix" semantics. */
+    * form's "shorter rows contribute their prefix" semantics.
+    *
+    * Input is the RAW double vector; the int8 quantization runs INSIDE
+    * reduce with the identical IEEE algebra [[quantized]] spells as
+    * columns (abs-max, floor(x·127/max + 0.5), zero vectors skipped) —
+    * r11 follow-up: the column form paid three interpreted HOF passes
+    * and a long-array encode per row before the aggregator ever saw
+    * the data; fused, the only plan work is one native array<double>
+    * cast (measured 0.51 → see BASELINE r11 tail refresh). */
   private[operators] object GramAgg
       extends org.apache.spark.sql.expressions.Aggregator[
-        Seq[Long], Array[Long], Array[Long]] {
+        Seq[Double], Array[Long], Array[Long]] {
     private def dimOf(len: Int): Int = math.round(math.sqrt(len.toDouble)).toInt
     private def grow(buf: Array[Long], dOld: Int, dNew: Int): Array[Long] = {
       val nb = new Array[Long](dNew * dNew)
@@ -60,13 +68,27 @@ object PowerIteration {
       nb
     }
     override def zero: Array[Long] = Array.emptyLongArray
-    override def reduce(b0: Array[Long], q: Seq[Long]): Array[Long] = {
-      val qa = q.toArray
-      val d = qa.length
+    override def reduce(b0: Array[Long], v: Seq[Double]): Array[Long] = {
+      val va = v.toArray
+      val d = va.length
+      // q64's quantization, bit-equal to the [[quantized]] column form:
+      // amax = max |x| (exact double), q_i = floor(x_i·127/amax + 0.5)
+      var amax = 0.0
+      var i = 0
+      while (i < d) {
+        val a = math.abs(va(i)); if (a > amax) amax = a; i += 1
+      }
+      if (amax <= 0.0) return b0 // zero vector: no direction, dropped
+      val qa = new Array[Long](d)
+      i = 0
+      while (i < d) {
+        qa(i) = math.floor(va(i) * 127.0 / amax + 0.5).toLong
+        i += 1
+      }
       var buf = b0
       var stride = dimOf(buf.length)
       if (d > stride) { buf = grow(buf, stride, d); stride = d }
-      var i = 0
+      i = 0
       while (i < d) {
         val qi = qa(i)
         if (qi != 0L) {
@@ -110,13 +132,16 @@ object PowerIteration {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Flat row-major d×d Gram matrix Σ q·qᵀ — one Aggregator pass,
-    * partitions×d² merge traffic. Empty input → empty array. */
+  /** Flat row-major d×d Gram matrix Σ q·qᵀ — one Aggregator pass over
+    * the raw vectors (quantization fused into reduce, one native cast
+    * in the plan), partitions×d² merge traffic. Empty input → empty
+    * array. */
   def gramFlat(emb: DataFrame, vecCol: String): Array[Long] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    quantized(emb, vecCol).select(col("q"))
-      .as[Seq[Long]]
+    emb.select(col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
+      .as[Seq[Double]]
       .select(GramAgg.toColumn.name("cells"))
       .head()
   }

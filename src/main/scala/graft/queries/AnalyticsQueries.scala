@@ -30,7 +30,7 @@ object AnalyticsQueries extends QueryGroup {
     * q128 ranks by it). The repartition before landing puts each
     * bucket's rows in exactly one task → one file per bucket, so scans
     * also report the per-bucket sort order. */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def coEdges(s: SparkSession, d: String): DataFrame = {
     val sfx = Bucketed.contentSuffix(s, d)
     Bucketed.materializeOnce(
       {
@@ -275,11 +275,9 @@ object AnalyticsQueries extends QueryGroup {
     // vertex-keyed semi-joins over a per-round checkpointed edge list;
     // the DuckDB twin unrolls the identical eight rounds.
     "q130_kcore" -> ((s, d) => {
-      // KCore canonicalizes internally (least/greatest + distinct), so
-      // the both-orientations landed table reduces to the same a<b
-      // edge set the raw pair stream produced
-      val e = coEdges(s, d).select(col("u").as("a"), col("v").as("b"))
-      graft.operators.KCore.peel(e, "a", "b", k = 8, rounds = 8)
+      // the landed table IS KCore's canonical both-orientations form —
+      // the prepared entry skips the re-canonicalize+checkpoint
+      graft.operators.KCore.peelOnPrepared(coEdges(s, d), k = 8, rounds = 8)
         .select(col("v").as("p_partkey"), col("core_deg"))
         .orderBy(col("core_deg").desc, col("p_partkey"))
         .limit(25)

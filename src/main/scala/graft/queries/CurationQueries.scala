@@ -63,9 +63,12 @@ object CurationQueries extends QueryGroup {
     // local gate the sweeps run driver-side, spec-pinned identical
     // (LabelProp scaladoc). Communities reported with size + id range.
     "q139_label_prop" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0)
-      val e = graft.operators.CoOccur.pairs(li, "l_orderkey", "l_partkey")
-      LabelProp.run(e, "a", "b", rounds = 3)
+      // the SAME co-purchase graph as q118/q128/q130/q135/q150 — read
+      // the session's bucketed edge landing instead of re-running the
+      // basket explode + canonicalize (r11, AnalyticsQueries.coEdges)
+      LabelProp.runOnPrepared(
+          AnalyticsQueries.coEdges(s, d).select(col("u"), col("v")),
+          rounds = 3)
         .groupBy(col("community"))
         .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_v"),
           max(col("v")).as("max_v"))
