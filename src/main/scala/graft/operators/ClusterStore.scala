@@ -94,7 +94,16 @@ object ClusterStore {
     val pairs = newPairs
       .select(col(d1).cast("long").as("pa"), col(d2).cast("long").as("pb"))
       .localCheckpoint(true) // consumed 3x below
-    val current = read(spark, path)
+    // bootstrap-safe: a delta against a store with no base yet treats
+    // history as empty (every endpoint is new) — so a stream can
+    // maintain a store from nothing ([[build]] stays the batch-init
+    // fast path; StreamingClusters relies on this)
+    val current =
+      if (exists(spark, activeBase(spark, path))) read(spark, path)
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "component")
+      }
     val endpoints = pairs.select(col("pa").as("id"))
       .union(pairs.select(col("pb").as("id"))).distinct()
       .localCheckpoint(true)
