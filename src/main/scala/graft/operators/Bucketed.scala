@@ -61,11 +61,16 @@ object Bucketed {
   def suffixFor(dir: String): String =
     java.lang.Long.toHexString(fnv(0xcbf29ce484222325L, dir))
 
-  /** Path hash FOLDED WITH the source tree's file statuses (relative
-    * path, length, mtime of every file under `dir`): a source that is
+  /** Path hash FOLDED WITH the source tree's file statuses (FULL path,
+    * length, mtime of every file under `dir`): a source that is
     * rewritten in place fingerprints to a different suffix, so
     * [[materializeOnce]] lands a fresh layout instead of serving the
-    * stale cached table. One recursive listing, no data scan. */
+    * stale cached table. One recursive listing, no data scan.
+    * Order-insensitivity comes from SORTING the per-file hashes before
+    * a sequential FNV fold (r11 review fix: a plain XOR fold lets two
+    * files with swapped (len, mtime) — or an even number of identical
+    * statuses — cancel out, and hashing only the basename missed
+    * same-named files moving between subdirectories). */
   def contentSuffix(spark: SparkSession, dir: String): String = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -73,17 +78,15 @@ object Bucketed {
     var h = fnv(0xcbf29ce484222325L, dir)
     if (fs.exists(root)) {
       val it = fs.listFiles(root, true)
-      // order-insensitive fold (XOR of per-file hashes): listing order
-      // is filesystem-dependent, the fingerprint must not be
-      var acc = 0L
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (it.hasNext) {
         val st = it.next()
-        var fh = fnv(0xcbf29ce484222325L, st.getPath.getName)
+        var fh = fnv(0xcbf29ce484222325L, st.getPath.toString)
         fh = fnvLong(fh, st.getLen)
         fh = fnvLong(fh, st.getModificationTime)
-        acc ^= fh
+        hashes += fh
       }
-      h = fnvLong(h, acc)
+      hashes.sorted.foreach(fh => h = fnvLong(h, fh))
     }
     java.lang.Long.toHexString(h)
   }

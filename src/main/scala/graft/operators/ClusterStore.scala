@@ -67,12 +67,15 @@ object ClusterStore {
     * applied — one broadcast lookup over the base scan. Base holds
     * each id exactly once (build writes CC output; applyDelta appends
     * only ids history has never seen), so no dedup pass is needed. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readWithRemap(spark, path, readRemap(spark, path))
+
+  private def readWithRemap(spark: SparkSession, path: String,
+      remap: Map[Long, Long]): DataFrame = {
     val dir = activeBase(spark, path)
     require(exists(spark, dir),
       s"ClusterStore.read: nothing stored at $path")
     val base = spark.read.parquet(dir)
-    val remap = readRemap(spark, path)
     if (remap.isEmpty) base.select(col("id"), col("component"))
     else {
       import spark.implicits._
@@ -97,9 +100,13 @@ object ClusterStore {
     // bootstrap-safe: a delta against a store with no base yet treats
     // history as empty (every endpoint is new) — so a stream can
     // maintain a store from nothing ([[build]] stays the batch-init
-    // fast path; StreamingClusters relies on this)
+    // fast path; StreamingClusters relies on this). The remap is read
+    // ONCE here and shared with the composition below (review fix:
+    // read() re-parsed it a second time on the maintenance hot path).
+    val oldRemap: Map[Long, Long] = readRemap(spark, path)
     val current =
-      if (exists(spark, activeBase(spark, path))) read(spark, path)
+      if (exists(spark, activeBase(spark, path)))
+        readWithRemap(spark, path, oldRemap)
       else {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("id", "component")
@@ -143,17 +150,36 @@ object ClusterStore {
     // rows. min over labels == min over member ids because every label
     // IS its cluster's min id. The collect is merge-count-sized — the
     // same boundedness that lets the remap live driver-side at all.
-    val newRemap: Map[Long, Long] = GraphDedup
+    val moved = GraphDedup
       .connectedComponents(contracted, "la", "lb")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("old"), col("component").as("new"))
+      .localCheckpoint(true)
+    val newRemap: Map[Long, Long] = moved
+      .collect().iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // PERSIST only entries whose old label actually exists in the base
+    // (review fix: a brand-new vertex's self-label can "move" — e.g. a
+    // fresh pair (7,8) contracts 8→7 — but no base row ever carries
+    // component 8, because new vertices append at their FINAL labels;
+    // keeping such entries would grow the remap with INGEST rather than
+    // with merges and trigger needless full-base compactions). The full
+    // newRemap still labels this batch's appends below. A live old
+    // label is by definition the current label of some existing
+    // (non-new) endpoint — labels of pure-new contracted components
+    // never appear in base.
+    val liveOld = lbl.filter(!col("is_new"))
+      .select(col("lbl").as("old")).distinct()
+    val persistedNew: Map[Long, Long] = moved
+      .join(maybeBcast(liveOld), Seq("old"), "left_semi")
       .collect().iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap
     // compose into the existing (already-closed) remap: forward any
-    // entry whose target just moved, then add the new moves
-    val oldRemap: Map[Long, Long] = readRemap(spark, path)
+    // entry whose target just moved, then add the new moves. Old values
+    // can never be NEW vertices' self-labels (those ids did not exist
+    // before this batch), so composing with the persisted subset loses
+    // nothing.
     val composed = oldRemap.map { case (o, c) =>
-      o -> newRemap.getOrElse(c, c)
-    } ++ newRemap
+      o -> persistedNew.getOrElse(c, c)
+    } ++ persistedNew
     // append the NEW vertices at their FINAL labels (a later merge
     // forwards them through the remap like any other base row)
     import spark.implicits._

@@ -99,14 +99,18 @@ object CoOccur {
     * pairs, BasketProbe r11): 2.24 s vs 2.54 s for the struct form
     * including the unpack — below ~1 M pairs the difference is noise
     * (the r10 measurement), so [[pairsFromBaskets]] remains the default.
-    * Precondition: item ids < 2³¹ (checked once per basket on the sorted
-    * array's max, raise_error in-plan — not per pair). Unpack with
-    * `shiftright(pk, 32)` / `pk & 4294967295L`. */
+    * Precondition: item ids in [0, 2³¹) (checked once per basket on the
+    * sorted array's min AND max, raise_error in-plan — not per pair; a
+    * negative id would pack/unpack to a corrupted key, review fix).
+    * Unpack with `shiftright(pk, 32)` / `pk & 4294967295L`. */
   def packedPairsFromBaskets(b: DataFrame): DataFrame =
-    b.select(explode(when(element_at(col("ps"), -1) >= 2147483648L,
-        raise_error(concat(lit("packedPairsFromBaskets: item id "),
+    b.select(explode(when(
+        element_at(col("ps"), -1) >= 2147483648L ||
+          element_at(col("ps"), 1) < 0L,
+        raise_error(concat(lit("packedPairsFromBaskets: item id range ["),
+          element_at(col("ps"), 1).cast("string"), lit(", "),
           element_at(col("ps"), -1).cast("string"),
-          lit(" >= 2^31 — use pairsFromBaskets"))))
+          lit("] outside [0, 2^31) — use pairsFromBaskets"))))
       .otherwise(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps)), " +

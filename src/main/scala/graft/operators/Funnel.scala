@@ -42,7 +42,11 @@ object Funnel {
       typeCol: String, stages: Seq[String]): DataFrame = {
     val base = events.select(col(entityCol).as("__e"), col(tsCol).as("__ts"),
       col(typeCol).as("__ty"))
-    val ents = base.select(col("__e")).distinct()
+    // NULL entities drop explicitly (review fix): the old full-stream
+    // INNER join dropped them implicitly (NULL keys never match); the
+    // slim-stream LEFT join would carry an all-NULL-stage row through
+    // and inflate n_entities by one
+    val ents = base.select(col("__e")).filter(col("__e").isNotNull).distinct()
     val slim = base.filter(col("__ty").isin(stages: _*))
       .localCheckpoint(true) // consumed once per stage below
     stages.zipWithIndex.foldLeft(ents) {

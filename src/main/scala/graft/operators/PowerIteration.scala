@@ -76,7 +76,14 @@ object PowerIteration {
       var amax = 0.0
       var i = 0
       while (i < d) {
-        val a = math.abs(va(i)); if (a > amax) amax = a; i += 1
+        val a = math.abs(va(i))
+        // NaN parity with the column form (review fix): array_max
+        // treats NaN as greatest, so ONE NaN poisons every division
+        // and the whole vector contributes nothing — replicate that
+        // (the JVM's `a > amax` would silently skip the NaN instead)
+        if (a.isNaN) return b0
+        if (a > amax) amax = a
+        i += 1
       }
       if (amax <= 0.0) return b0 // zero vector: no direction, dropped
       val qa = new Array[Long](d)

@@ -30,10 +30,11 @@ object PipelineQueries extends QueryGroup {
     * the map must not grow with the number of sessions a long-lived
     * JVM creates. */
   private val labeledCache =
-    new java.util.LinkedHashMap[String, DataFrame](
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
         16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 8
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 8
     }
 
   /** Per-doc pipeline labeling — the ONE frame q100 and q103 both
@@ -49,12 +50,14 @@ object PipelineQueries extends QueryGroup {
     * immutability within a session is the same precondition the
     * testdata layout already guarantees (Bucketed.contentSuffix
     * protects the cross-process case; this cache dies with the JVM). */
+  // keyed on the SESSION OBJECT, not its identity hash (review fix:
+  // identityHashCode can collide between live sessions and is reusable
+  // after GC — the DedupQueries store-cache convention)
   private def labeledDocs(s: SparkSession, d: String): DataFrame =
     labeledCache.synchronized {
-      val key = s"${System.identityHashCode(s)}:$d"
-      Option(labeledCache.get(key)).getOrElse {
+      Option(labeledCache.get((s, d))).getOrElse {
         val built = buildLabeledDocs(s, d)
-        labeledCache.put(key, built)
+        labeledCache.put((s, d), built)
         built
       }
     }

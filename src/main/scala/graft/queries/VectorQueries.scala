@@ -29,15 +29,17 @@ object VectorQueries extends QueryGroup {
   @volatile var ivfTrainElapsedSec: Option[Double] = None
 
   private val ivfCache =
-    new java.util.LinkedHashMap[String, DataFrame](
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
         16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 8
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 8
     }
 
+  // session-object key, not identityHashCode (the store-cache convention)
   private def trainedIvfCentroids(s: SparkSession, d: String): DataFrame =
     ivfCache.synchronized {
-      val key = s"${System.identityHashCode(s)}:$d"
+      val key = (s, d)
       Option(ivfCache.get(key)).getOrElse {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").as("v"))

@@ -57,6 +57,48 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(r === ((5L, 4L, 1L, 1L)))
   }
 
+  test("funnel drops NULL entities (slim-stream rewrite keeps the inner-join semantics)") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (java.lang.Long.valueOf(1L), 10L, "view"),
+      (null.asInstanceOf[java.lang.Long], 20L, "view"),
+      (java.lang.Long.valueOf(2L), 30L, "error"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Funnel.report(events, "user_id", "ts", "event_type",
+        Seq("view", "click")).as[(Long, Long, Long)].collect().head
+    // entities = {1, 2}; the NULL row is not an entity (pre-r11 inner
+    // join semantics, pinned after the left-join rewrite)
+    assert(r === ((2L, 1L, 0L)))
+  }
+
+  test("packed pairs equal struct pairs and refuse out-of-range ids") {
+    val s = spark
+    import s.implicits._
+    val b = CoOccur.baskets(
+      Seq((1L, 5L), (1L, 9L), (1L, 7L), (2L, 9L), (2L, 5L))
+        .toDF("g", "item"), "g", "item")
+    val viaStruct = CoOccur.pairsFromBaskets(b)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val viaPacked = CoOccur.packedPairsFromBaskets(b)
+      .select(expr("shiftright(pk, 32)"), expr("pk % 4294967296"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(viaPacked === viaStruct)
+    // negative id: the in-plan guard must fire (review fix — a negative
+    // id would pack to a corrupted key without it)
+    val neg = CoOccur.baskets(
+      Seq((1L, -5L), (1L, 9L)).toDF("g", "item"), "g", "item")
+    val e = intercept[Exception](
+      CoOccur.packedPairsFromBaskets(neg).collect())
+    assert(e.getMessage.contains("outside [0, 2^31)"), e.getMessage)
+    // over 2^31: same
+    val big = CoOccur.baskets(
+      Seq((1L, 5L), (1L, 3000000000L)).toDF("g", "item"), "g", "item")
+    val e2 = intercept[Exception](
+      CoOccur.packedPairsFromBaskets(big).collect())
+    assert(e2.getMessage.contains("outside [0, 2^31)"), e2.getMessage)
+  }
+
   test("funnel stage time must be strictly after the prior stage") {
     val events = ev((1L, 10L, "view"), (1L, 10L, "click"))
     val r = Funnel.report(events, "user_id", "ts", "event_type",

@@ -83,6 +83,27 @@ class ClusterStoreSpec extends SparkTestBase {
     assert(labelsOf(path) === scratch(b0 ++ d1 ++ Seq((10L, 50L))))
   }
 
+  test("remap grows with MERGES, not ingest: new-vertex-only deltas leave it empty") {
+    // review fix: a fresh pair (7,8) contracts 8->7, but no base row
+    // ever carries component 8 (new vertices append at final labels) —
+    // persisting that entry would grow the remap with every ingested
+    // batch and trigger needless full-base compactions
+    val path = freshPath()
+    ClusterStore.build(Seq((1L, 2L)).toDF("d1", "d2"), "d1", "d2", path)
+    ClusterStore.applyDelta(spark, path,
+      Seq((7L, 8L), (20L, 21L), (21L, 22L)).toDF("d1", "d2"), "d1", "d2")
+    // labels correct AND the remap stayed empty (compactIfNeeded with
+    // maxRemap=0 returns false exactly when there is nothing to fold)
+    assert(labelsOf(path) === scratch(Seq((1L, 2L), (7L, 8L), (20L, 21L), (21L, 22L))))
+    assert(!ClusterStore.compactIfNeeded(spark, path, maxRemap = 0),
+      "remap must be empty after a new-vertex-only delta")
+    // a HISTORY-touching merge still persists exactly its entries
+    ClusterStore.applyDelta(spark, path,
+      Seq((2L, 7L)).toDF("d1", "d2"), "d1", "d2")
+    assert(labelsOf(path) ===
+      scratch(Seq((1L, 2L), (7L, 8L), (20L, 21L), (21L, 22L), (2L, 7L))))
+  }
+
   test("delta with no merges (disjoint new clusters) and duplicate replayed pairs") {
     val b0 = Seq((1L, 2L))
     val path = freshPath()

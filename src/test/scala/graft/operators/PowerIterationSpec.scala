@@ -30,6 +30,18 @@ class PowerIterationSpec extends SparkTestBase {
     assert(math.abs(v(2)._2) < 200000L, s"dim 2 must stay minor: $v")
   }
 
+  test("a NaN component drops the WHOLE vector (column-form parity)") {
+    // the quantized() column algebra: array_max treats NaN as greatest,
+    // so one NaN poisons every division and the vector contributes
+    // nothing — the fused JVM quantization must match (review fix: a
+    // plain `a > amax` comparison would silently skip the NaN and let
+    // the finite components contribute)
+    val g = PowerIteration.gram(
+        emb((1L, Seq(1f, 0f)), (2L, Seq(Float.NaN, 1f))), "embedding")
+      .orderBy($"i", $"j").as[(Int, Int, Long)].collect().toSeq
+    assert(g === Seq((0, 0, 127L * 127L), (0, 1, 0L), (1, 0, 0L), (1, 1, 0L)))
+  }
+
   test("zero vectors are dropped, all-zero input is refused") {
     val g = PowerIteration.gram(
         emb((1L, Seq(1f, 0f)), (2L, Seq(0f, 0f))), "embedding")
