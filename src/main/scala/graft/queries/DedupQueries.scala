@@ -485,6 +485,31 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT repeated-span detection by prefix doubling (round 11 — the
+    // collision-FREE completion of the dedup ladder; ExactSpans
+    // scaladoc): positions whose verbatim 12-token window repeats
+    // corpus-wide, computed through exact equivalence classes (vocab
+    // ids + log L dense-pair-id doubling rounds + the two-anchor
+    // overlap for ragged L) with no hash anywhere in the decision —
+    // the rolling-hash kernel's 30-bit span space saturates at corpus
+    // scale, this does not. The ORACLE compares the verbatim window
+    // STRINGS in DuckDB, so the hash gate certifies exactness end to
+    // end, not hash-identity.
+    "q153_exact_repeats" -> ((s, d) => {
+      val cls = graft.operators.ExactSpans.windowClasses(
+          Tables.spread(Tables.documents(s, d)), "text", 12)
+        .localCheckpoint(true) // feeds the dup agg AND the per-doc stats
+      val dup = cls.groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2)
+      val perDoc = cls.join(dup, Seq("cls"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("n_occ")).as("n_dup_pos"),
+          coalesce(max(col("n_occ")), lit(0L)).as("max_occ"))
+      perDoc.orderBy(col("doc_id"))
+    }),
+
     // INCREMENTAL near-dup cluster maintenance (round 11 operator —
     // the operational gap between q101's profile store and q69's
     // batch-recomputed components): history's clusters persist in a
@@ -806,6 +831,25 @@ object DedupQueries extends QueryGroup {
          |       FROM sc)
          |SELECT doc_id, component, score_1e4, rn = 1 AS keep
          |FROM rr ORDER BY doc_id""".stripMargin,
+
+    // q153: VERBATIM window strings (chr(31)-joined so token boundaries
+    // can't alias), grouped and counted — certifies the prefix-doubling
+    // classes against real string equality, not hashes.
+    "q153_exact_repeats" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                      x -> x <> '') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos,
+        |        array_to_string(toks[i:i+11], chr(31)) AS win
+        |      FROM t, unnest(range(1, greatest(len(toks) - 10, 1))) u(i)),
+        |g AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY win),
+        |j AS (SELECT w.doc_id, g.n FROM w JOIN g USING (win))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN 1 END), 0) AS BIGINT)
+        |         AS n_dup_pos,
+        |       CAST(COALESCE(MAX(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+        |         AS max_occ
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q151 ≡ q69's from-scratch answer by the store+delta law — the
     // oracle is intentionally the SAME full-corpus closure, so any
