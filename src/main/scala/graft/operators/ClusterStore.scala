@@ -96,6 +96,11 @@ object ClusterStore {
       d1: String, d2: String): Unit = {
     val pairs = newPairs
       .select(col(d1).cast("long").as("pa"), col(d2).cast("long").as("pb"))
+      // NULL endpoints drop (review fix): a pair with an unknown member
+      // is meaningless, and a NULL id would otherwise append a
+      // (NULL, NULL) base row on EVERY batch carrying one (NULL keys
+      // never match the semi-probe, so it looks "new" forever)
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
       .localCheckpoint(true) // consumed 3x below
     // bootstrap-safe: a delta against a store with no base yet treats
     // history as empty (every endpoint is new) — so a stream can
@@ -181,16 +186,27 @@ object ClusterStore {
       o -> persistedNew.getOrElse(c, c)
     } ++ persistedNew
     // append the NEW vertices at their FINAL labels (a later merge
-    // forwards them through the remap like any other base row)
+    // forwards them through the remap like any other base row).
+    // Review fixes: (a) a batch with NO new vertices (pure replay /
+    // merge-only) writes nothing — previously it appended
+    // defaultParallelism EMPTY part files per micro-batch; (b) the
+    // file-count per append is delta-proportional, not a fixed
+    // parallelism fan-out (a 10-row delta lands as one file).
     import spark.implicits._
     val fwd = newRemap.toSeq.toDF("old", "new")
     val finalLbl = lbl.filter(col("is_new"))
       .join(broadcast(fwd), col("lbl") === col("old"), "left")
       .select(col("id"), coalesce(col("new"), col("lbl")).as("component"))
-    finalLbl
-      .repartition(spark.sparkContext.defaultParallelism, col("id"))
-      .write.mode("append").parquet(activeBase(spark, path))
-    writeRemap(spark, path, composed)
+      .localCheckpoint(true)
+    val nNew = finalLbl.count()
+    if (nNew > 0) {
+      val p = spark.sparkContext.defaultParallelism
+      val nParts = math.max(1L, math.min(p.toLong, nNew / 500000L + 1L)).toInt
+      finalLbl
+        .repartition(nParts, col("id"))
+        .write.mode("append").parquet(activeBase(spark, path))
+    }
+    if (composed != oldRemap) writeRemap(spark, path, composed)
   }
 
   /** Fold the remap into a fresh distinct base generation when it
@@ -198,8 +214,19 @@ object ClusterStore {
     * the remap is collected driver-side at applyDelta time, so its
     * size must stay bounded). Returns true if compacted. */
   def compactIfNeeded(spark: SparkSession, path: String,
-      maxRemap: Int = 100000): Boolean = {
-    if (readRemap(spark, path).size <= maxRemap) return false
+      maxRemap: Int = 100000, maxBaseFiles: Int = 512): Boolean = {
+    // two triggers (review fix: the merge-sized remap no longer grows
+    // with ingest, so it alone would never fire on a merge-light
+    // stream while per-batch appends accumulate small files): fold
+    // when the remap is big OR the base dir has fragmented
+    val fileCount = {
+      val p = new Path(activeBase(spark, path))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    if (readRemap(spark, path).size <= maxRemap && fileCount <= maxBaseFiles)
+      return false
     val gen = baseGen(spark, path)
     val next = s"$path/base-${"%03d".format(gen + 1)}"
     // resolved labels into the NEXT generation (overwrite handles an

@@ -45,22 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object ExactSpans {
 
-  /** (doc_id, pos, cls): the exact equivalence class of the L-token
-    * window starting at `pos` (0-based), for every position with a
-    * full window (pos + L ≤ doc length). Two rows share `cls` iff
-    * their windows are VERBATIM equal.
-    *
-    * Round structure: instead of doubling all the way to L (⌈log₂ L⌉
-    * join rounds), stop at the smallest k with ≤ 8 covering anchors
-    * and combine the anchor classes in ONE multi-way co-partitioned
-    * join — window_L(i) = window_L(j) iff all k-anchors at offsets
-    * {0, k, 2k, …} ∪ {L−k} agree (they tile [0, L) with overlap, the
-    * standard suffix-ranking anchor argument). For L=12 that is ONE
-    * doubling round (k=2, six anchors) instead of three; every join in
-    * the chain is co-partitioned on doc_id (the stream repartitions
-    * once), so rounds add no exchanges — just per-doc sort-merge work. */
-  /** Anchor-count cap: windows up to this many anchors combine in one
-    * multi-way join; longer windows first double up to the k that fits. */
+  /** Anchor-count cap for the doubling path: doubling stops at the
+    * smallest k with ⌈L/k⌉ ≤ this many covering anchors; the anchors
+    * then combine in one multi-way co-partitioned join. */
   private val AnchorCap = 4
 
   /** Direct-materialization bound: windows of up to this many tokens
@@ -72,6 +59,22 @@ object ExactSpans {
     * fixed-width rows — the crossover is why both paths exist. */
   private val DirectMaxL = 32
 
+  /** (doc_id, pos, cls): the exact equivalence class of the L-token
+    * window starting at `pos` (0-based), for every position with a
+    * full window (pos + L ≤ doc length). Two rows share `cls` iff
+    * their windows are VERBATIM equal. `cls` is a STRING on the direct
+    * path (L ≤ [[DirectMaxL]]: the window text itself) and a LONG on
+    * the doubling path — callers group/join on it either way.
+    *
+    * Doubling-path round structure: vocabulary classes, then doubling
+    * k = 1→2→4→… until ⌈L/k⌉ ≤ [[AnchorCap]] anchors remain, then one
+    * multi-way co-partitioned join combines the anchor classes —
+    * window_L(i) = window_L(j) iff all k-anchors at offsets
+    * {0, k, 2k, …} ∪ {L−k} agree (they tile [0, L) with overlap, the
+    * standard suffix-ranking anchor argument). Example L=50:
+    * k=16 after three doublings, four anchors (0, 16, 32, 34). Every
+    * join is co-partitioned on doc_id (the stream repartitions once),
+    * so rounds add no exchanges — just per-doc sort-merge work. */
   def windowClasses(docs: DataFrame, textCol: String, L: Int): DataFrame = {
     require(L >= 1 && L <= 4096, s"L=$L out of [1, 4096]")
     val spark = docs.sparkSession
@@ -97,11 +100,10 @@ object ExactSpans {
       .repartition(p, col("doc_id"))
     // (no checkpoint here: assignClasses materializes its input — a
     // second one would just write the string stream twice)
-    // smallest power-of-two k whose anchor count ⌈L/k⌉ fits the cap:
-    // for L ≤ AnchorCap that is k=1 — NO vocab pass, NO doubling, the
-    // anchors are the token strings themselves and the whole
-    // computation is one co-partitioned multi-way join + one verified
-    // class assignment (job count is what dominates at the floor)
+    // smallest power-of-two k whose anchor count ⌈L/k⌉ fits the cap
+    // (k < L always on this path: L > DirectMaxL ≥ AnchorCap, so the
+    // while loop stops at the first k with ⌈L/k⌉ ≤ AnchorCap, which
+    // has k ≤ L/2)
     var k = 1
     while (math.ceil(L.toDouble / k) > AnchorCap) k *= 2
     // vocabulary classes FIRST, always: strings are touched exactly
@@ -116,22 +118,20 @@ object ExactSpans {
       ranks = doubled(ranks, kk)
       kk *= 2
     }
-    if (k >= L) ranks
-    else {
-      // anchor offsets tile [0, L): 0, k, 2k, … plus the final L−k
-      val offsets = ((0 until (L / k)).map(_ * k) :+ (L - k))
-        .distinct.sorted
-      val base = ranks.select(col("doc_id"), col("pos"),
-        col("cls").as("a0"))
-      val joined = offsets.zipWithIndex.drop(1).foldLeft(base) {
-        case (acc, (off, i)) =>
-          acc.join(ranks.select(col("doc_id"),
-              (col("pos") - off).as("pos"), col("cls").as(s"a$i")),
-            Seq("doc_id", "pos"))
-      }
-      assignClasses(joined, offsets.indices.map(i => s"a$i"))
-        .select(col("doc_id"), col("pos"), col("cls"))
+    // anchor offsets tile [0, L): 0, k, 2k, … plus the final L−k
+    // (k < L here — see the loop comment — so offsets is non-trivial)
+    val offsets = ((0 until (L / k)).map(_ * k) :+ (L - k))
+      .distinct.sorted
+    val base = ranks.select(col("doc_id"), col("pos"),
+      col("cls").as("a0"))
+    val joined = offsets.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (off, i)) =>
+        acc.join(ranks.select(col("doc_id"),
+            (col("pos") - off).as("pos"), col("cls").as(s"a$i")),
+          Seq("doc_id", "pos"))
     }
+    assignClasses(joined, offsets.indices.map(i => s"a$i"))
+      .select(col("doc_id"), col("pos"), col("cls"))
   }
 
   /** Positions whose exact L-token window occurs >= 2 times corpus-wide
