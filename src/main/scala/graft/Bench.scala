@@ -172,7 +172,12 @@ object Bench {
     // Global untimed warmup: exercise scan/shuffle/broadcast/window/regex
     // infra once so the first timed queries don't pay whole-JVM JIT
     // (every query still gets its own cold pass before its timed runs).
-    for (w <- Seq("q11_agg_pricing_summary", "q16_window_rank", "q48_pii_scan"))
+    // q25 is included for the STREAMING stack (r11 verdict item 9: a
+    // contended first micro-batch polluted a driver capture) — one
+    // untimed streaming-twin pass warms the SS machinery before any
+    // timed run can absorb its cold start.
+    for (w <- Seq("q11_agg_pricing_summary", "q16_window_rank", "q48_pii_scan",
+        "q25_tumbling_window"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 

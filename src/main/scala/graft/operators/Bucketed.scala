@@ -40,11 +40,20 @@ object Bucketed {
 
   /** Write `df` as a `buckets`-bucket parquet table clustered+sorted on
     * `key` (first call in the session only), and return the catalog
-    * read — the side that joins exchange-free. */
+    * read — the side that joins exchange-free.
+    *
+    * Stale-generation GC (r12 ADVICE): suffix-named tables fingerprint
+    * the SOURCE, so every in-place source rewrite lands a NEW table name
+    * while the previous generation's data dir would otherwise live in
+    * the warehouse forever. Before landing a fresh layout, prior
+    * `<family>_<hex>` generations of the same family (the name up to its
+    * last `_`) are dropped from the catalog and deleted from disk — the
+    * warehouse holds one generation per (family, source state). */
   def materializeOnce(df: DataFrame, table: String, key: String,
       buckets: Int): DataFrame = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
+      dropStaleGenerations(spark, table)
       df.write.format("parquet")
         .mode(SaveMode.Overwrite)
         .bucketBy(buckets, key)
@@ -53,6 +62,28 @@ object Bucketed {
         .saveAsTable(table)
     }
     spark.table(table)
+  }
+
+  /** Delete prior generations of `table`'s family (same name up to the
+    * last `_`, different hex suffix) — catalog entry and data dir both.
+    * No-op for names without a hex suffix. */
+  private def dropStaleGenerations(spark: SparkSession, table: String): Unit = {
+    val cut = table.lastIndexOf('_')
+    if (cut <= 0 || !table.substring(cut + 1).matches("[0-9a-f]{1,16}")) return
+    val family = table.substring(0, cut)
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(family) + "_[0-9a-f]{1,16}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(warehouseDir(spark))
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name != table && pat.matcher(name).matches()) {
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Deterministic identifier-safe suffix for a source directory, so
@@ -70,7 +101,14 @@ object Bucketed {
     * a sequential FNV fold (r11 review fix: a plain XOR fold lets two
     * files with swapped (len, mtime) — or an even number of identical
     * statuses — cancel out, and hashing only the basename missed
-    * same-named files moving between subdirectories). */
+    * same-named files moving between subdirectories).
+    *
+    * Granularity caveat (r12 ADVICE): mtime resolution is the
+    * filesystem's — on a coarse-granularity FS a rewrite that preserves
+    * every file's length AND lands inside the same mtime tick
+    * fingerprints identically and serves the stale layout. Sources that
+    * rewrite in place sub-second should version their PATH (new dir per
+    * generation), which this fingerprint always catches. */
   def contentSuffix(spark: SparkSession, dir: String): String = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)

@@ -57,6 +57,13 @@ object ClusterStore {
     * min-reachable id — the GraphDedup contract). */
   def build(pairs: DataFrame, d1: String, d2: String, path: String): Unit = {
     val spark = pairs.sparkSession
+    // r12 ADVICE: build is INIT-ONLY — a second build on the same path
+    // (or a build after a bootstrap applyDelta) would append duplicate
+    // base rows, breaking the one-row-per-id invariant read()/applyDelta
+    // rely on. Fail loudly instead of corrupting labels.
+    require(!exists(spark, activeBase(spark, path)),
+      s"ClusterStore.build: store already initialized at $path — " +
+        "use applyDelta to merge new pairs, or point build at a fresh path")
     val labels = GraphDedup.connectedComponents(pairs, d1, d2)
     labels.select(col("id"), col("component"))
       .repartition(spark.sparkContext.defaultParallelism, col("id"))

@@ -47,12 +47,22 @@ private[operators] object Csr {
     * boxing), land as one flat chunk per partition, and concatenate
     * driver-side. Peak driver heap ≈ 2× the 16 bytes/edge result
     * (chunks + concatenated arrays), vs ~100 bytes/edge for a boxed
-    * tuple collect. Columns must be non-null integral types. */
+    * tuple collect. Columns must be non-null integral types — ENFORCED
+    * (r12 ADVICE): `InternalRow.getLong` silently reads 0 for a NULL
+    * slot, which would intern a phantom vertex 0 instead of failing;
+    * the loop throws on a NULL endpoint, matching the loud behavior of
+    * the encoder-based collect this replaced. */
   def collectEdges(df: DataFrame, c1: String, c2: String): Edges = {
     val plan = df.select(col(c1).cast("long"), col(c2).cast("long"))
     val chunks = plan.queryExecution.toRdd.mapPartitions { it =>
       val b = new scala.collection.mutable.ArrayBuilder.ofLong
-      it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+      it.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1))
+          throw new IllegalArgumentException(
+            "Csr.collectEdges: NULL edge endpoint (documented non-null " +
+              "precondition) — filter nulls before the kernel")
+        b += r.getLong(0); b += r.getLong(1)
+      }
       Iterator.single(b.result())
     }.collect()
     var total = 0

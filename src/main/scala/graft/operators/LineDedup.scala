@@ -50,15 +50,20 @@ object LineDedup {
       tokensPerLine: Int): org.apache.spark.sql.Column =
     chunkOf(split(textCol, " "), tokensPerLine)
 
+  /** The w-token lines as an ARRAY column (no "\n" string round-trip):
+    * the shared kernel of [[chunkOf]] (which joins it with \n) and
+    * [[rebuildChunked]] (which consumes the array directly). */
+  private def linesOf(toks: org.apache.spark.sql.Column,
+      tokensPerLine: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0),
+        ((size(toks) - 1) / tokensPerLine).cast("int")),
+      i => array_join(
+        slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " "))
+
   private def chunkOf(toks: org.apache.spark.sql.Column,
       tokensPerLine: Int): org.apache.spark.sql.Column =
-    array_join(
-      transform(
-        sequence(lit(0),
-          ((size(toks) - 1) / tokensPerLine).cast("int")),
-        i => array_join(
-          slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " ")),
-      "\n")
+    array_join(linesOf(toks, tokensPerLine), "\n")
 
   /** Linear-cost chunking: rewrites `textCol` in place to its w-token
     * lined form, splitting each document exactly once (see
@@ -120,6 +125,53 @@ object LineDedup {
     docs.select(col("doc_id"),
         split(col(textCol), "\n").as("__ls"))
       .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        coalesce(size(col("__ki")), lit(0)).cast("long").as("n_kept"),
+        (size(col("__ls")) - coalesce(size(col("__ki")), lit(0)))
+          .cast("long").as("n_dropped"),
+        when(col("__ki").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("__ki"), i => element_at(col("__ls"), i + 1)),
+            "\n")).as("cleaned"))
+  }
+
+  /** FUSED w-token-chunked rebuild (r12, verdict item 3): answer-equal
+    * to `rebuild(withChunkedLines(docs, textCol, w), textCol)` but the
+    * corpus is read and tokenized exactly ONCE — the un-fused chain
+    * scanned the text twice (occurrence stream + rebuild join) and
+    * split each document three times (chunk, occurrence split, rebuild
+    * split), which was q137's residual at the 10× corpus (2.7×).
+    *
+    * Mechanics: the per-doc LINE ARRAY (no "\n" round-trip — the chunk
+    * join and re-split cancel algebraically) materializes once via an
+    * eager doc_id-partitioned localCheckpoint; the occurrence stream
+    * explodes from the checkpointed blocks and the final kept-index
+    * join reads THE SAME blocks on THE SAME HashPartitioning(doc_id),
+    * so the winner agg's output exchange (repartition(p, doc_id) feeds
+    * the collect_list directly) is the last exchange in the plan — the
+    * line text never crosses one. LineDedupSpec pins fused ≡ un-fused
+    * on the fixture corpus. */
+  def rebuildChunked(docs: DataFrame, textCol: String,
+      tokensPerLine: Int): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val lined = docs.select(col("doc_id"),
+        linesOf(split(col(textCol), " "), tokensPerLine).as("__ls"))
+      .repartition(p, col("doc_id"))
+      .localCheckpoint(eager = true)
+    val occ = lined
+      .select(col("doc_id"), posexplode(col("__ls")).as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx"),
+        graft.functions.Fnv1aHash.fnv1a64(col("line")).as("h"))
+    val kept = occ
+      .repartition(p, col("h"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+      .repartition(p, col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("__ki"))
+    lined.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("__ls")).cast("long").as("n_lines"),
         coalesce(size(col("__ki")), lit(0)).cast("long").as("n_kept"),

@@ -157,29 +157,50 @@ object StatQueries extends QueryGroup {
     }),
 
     // Referential-integrity audit (the FK health check before any join
-    // pipeline trusts its keys): per relationship, child rows and
-    // orphans (children whose parent key does not exist) via left-anti
-    // joins — each an equality join Catalyst can broadcast or
-    // sketch-prefilter (SketchFilter.bloomSemiAuto is the 100 TB form
-    // when the parent side is huge). All-zero orphans is the healthy
-    // TPC-H answer; the audit exists to go red when ingestion breaks.
+    // pipeline trusts its keys). r12 rewrite (verdict item 4): the old
+    // form ran a count + left-anti pair PER relationship — THREE full
+    // lineitem scans (8 passes total, 8.1× DuckDB at the 10× corpus).
+    // Now each child table is scanned ONCE: all its parent keysets join
+    // as broadcast exists-flags (parent keys deduped first so the left
+    // joins are cardinality-preserving even on a corrupted parent), and
+    // one conditional aggregation emits every relationship's orphan
+    // count; the 1-row aggregate explodes into per-relationship rows
+    // in-plan. Only the orders→customer leg is a second (orders) scan.
+    // At 100 TB a parent keyset outgrows broadcast — swap the flag
+    // joins for SketchFilter probes + an exact residual check on the
+    // bloom-pass rows; the single-child-scan shape is the invariant.
     "q124_fk_orphans" -> ((s, d) => {
-      def audit(rel: String, child: DataFrame, ck: String,
-          parent: DataFrame, pk: String): DataFrame = {
-        val n = child.agg(count(lit(1)).as("n_child"))
-        val o = child.join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        n.crossJoin(o)
-          .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"))
+      def keyset(df: DataFrame, k: String, as: String): DataFrame =
+        df.select(col(k).as(as)).distinct()
+      def flags(child: DataFrame, rels: Seq[(String, String, DataFrame, String)])
+          : DataFrame = {
+        val joined = rels.foldLeft(child) { case (acc, (_, ck, pks, pk)) =>
+          acc.join(broadcast(pks), col(ck) === col(pk), "left")
+        }
+        val agg = joined.agg(
+          count(lit(1)).as("n_child"),
+          rels.map { case (rel, _, _, pk) =>
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as(s"o_$rel")
+          }: _*)
+        agg.select(explode(array(rels.map { case (rel, _, _, _) =>
+            struct(lit(rel).as("rel"), col("n_child"),
+              col(s"o_$rel").as("n_orphans"))
+          }: _*)).as("r"))
+          .select(col("r.rel").as("rel"), col("r.n_child").as("n_child"),
+            col("r.n_orphans").as("n_orphans"))
       }
-      val li = Tables.lineitem(s, d)
-      audit("lineitem->orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
-        .unionByName(audit("lineitem->part", li, "l_partkey",
-          Tables.part(s, d), "p_partkey"))
-        .unionByName(audit("lineitem->supplier", li, "l_suppkey",
-          Tables.supplier(s, d), "s_suppkey"))
-        .unionByName(audit("orders->customer", Tables.orders(s, d), "o_custkey",
-          Tables.customer(s, d), "c_custkey"))
+      flags(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        Seq(
+          ("lineitem->orders", "l_orderkey",
+            keyset(Tables.orders(s, d), "o_orderkey", "__ok"), "__ok"),
+          ("lineitem->part", "l_partkey",
+            keyset(Tables.part(s, d), "p_partkey", "__pk"), "__pk"),
+          ("lineitem->supplier", "l_suppkey",
+            keyset(Tables.supplier(s, d), "s_suppkey", "__sk"), "__sk")))
+        .unionByName(flags(Tables.orders(s, d).select(col("o_custkey")),
+          Seq(("orders->customer", "o_custkey",
+            keyset(Tables.customer(s, d), "c_custkey", "__ck"), "__ck"))))
         .orderBy(col("rel"))
     }),
 

@@ -39,6 +39,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(r(1) === (2L, 5L, 3L, 2L, "c\na\nb"))
   }
 
+  test("fused chunked rebuild ≡ rebuild ∘ withChunkedLines (r12 fusion pin)") {
+    // fixture-corpus slice: real text, ragged token counts, empty docs
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"doc_id" < 120)
+      .select($"doc_id", $"text")
+      .unionByName(docs((9001L, ""), (9002L, "one two three four")))
+    for (w <- Seq(3, 8)) {
+      val unfused = LineDedup.rebuild(
+          LineDedup.withChunkedLines(d, "text", w))
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      val fused = LineDedup.rebuildChunked(d, "text", w)
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      assert(fused === unfused, s"w=$w")
+    }
+  }
+
   // ---- TableDiff ----
 
   test("table diff classifies added, deleted, changed, unchanged") {

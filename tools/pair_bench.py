@@ -77,12 +77,23 @@ def main(engine_path, duckdb_path, out_path, sf_dir=None):
               and dq[q] is not None]
     e_tot = round(sum(eq[q] for q in common), 3)
     d_tot = round(sum(dq[q] for q in common), 3)
+    # r12 (ADVICE): reconciliation only ever replaces SLOW outliers, so
+    # report the unreconciled (raw in-run) total alongside — both
+    # per-query values are recorded per reconciled row, and the raw
+    # total bounds any substitution bias from above.
+    raw = dict(eq)
+    for q, r in reconciled.items():
+        raw[q] = r["in_run"]
+    e_tot_raw = round(sum(raw[q] for q in common), 3)
     doc = {
         "sf": e.get("sf"),
         "n_queries_paired": len(common),
         "engine_total": e_tot,
+        "engine_total_unreconciled": e_tot_raw,
         "duckdb_total": d_tot,
         "ratio_total": round(e_tot / d_tot, 3) if d_tot else None,
+        "ratio_total_unreconciled":
+            round(e_tot_raw / d_tot, 3) if d_tot else None,
         "engine_load_avg_before": e.get("load_avg_before"),
         "engine_contended": e.get("contended"),
         "elapsed_landing_sec": e.get("elapsed_landing_sec"),
