@@ -229,6 +229,7 @@ object Bench {
       s""""elapsed_span_store_sec":${opt(graft.queries.DedupQueries.spanStoreElapsedSec)},""" +
       s""""elapsed_cluster_store_sec":${opt(graft.queries.DedupQueries.clusterStoreElapsedSec)},""" +
       s""""elapsed_ivf_train_sec":${opt(graft.queries.VectorQueries.ivfTrainElapsedSec)},""" +
+      s""""elapsed_ivf_fine_train_sec":${opt(graft.queries.VectorQueries.ivfFineTrainElapsedSec)},""" +
       s""""span_store_shrink":${graft.queries.DedupQueries.spanStoreCompactShrink
         .map { case (b, a) => s"[$b,$a]" }.getOrElse("null")},""" +
       f""""host_calib_sec":$hostCalibSec%.3f,"host_calib_mem_sec":$hostCalibMemSec%.3f,"host_calib_par_sec":$hostCalibParSec%.3f,"host_calib_wake_sec":$hostCalibWakeSec%.3f,""" +

@@ -136,6 +136,54 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** MULTI-PROBE batch LSH ANN (r12, verdict item 5 — the oracled
+    * operating point a user would actually run): each probe examines
+    * its own hyperplane bucket PLUS every Hamming-1 neighbor (one sign
+    * bit flipped) — the buckets a true neighbor most likely fell into
+    * when it straddled exactly one hyperplane. This is the standard
+    * multi-probe recall lever (Lv et al., VLDB 2007): recall rises
+    * ~3-4× over single-bucket at (nBits+1)/2^nBits scanned fraction,
+    * with NO extra tables and no extra corpus passes.
+    *
+    * Scale shape: identical to [[lshTopKBatch]] — the PROBE side
+    * explodes to nBits+1 bucket rows (tiny), the corpus side still
+    * carries exactly one bucket id per vector, and candidates come from
+    * the same bucket-EQUALITY join (co-shuffled, never a scan). The
+    * probed buckets are pairwise distinct by construction (distinct
+    * XOR masks), so no candidate duplicates exist and no dedup pass is
+    * needed. `hamming` widens the probe ring: all buckets within that
+    * Hamming distance of the probe's own — C(nBits,0..hamming) buckets,
+    * the recall-vs-scan dial. */
+  def lshTopKMultiProbe(base: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nBits: Int, dim: Int, seedOffset: Int = 0,
+      hamming: Int = 1,
+      scoreT: Column => Column = identity): DataFrame = {
+    val cb = base.select(col(idCol), col(vecCol).as("__bv"),
+      hyperplaneBucket(col(vecCol), nBits, dim, seedOffset).as("__bkt"))
+    val pbkt = hyperplaneBucket(col(probeVecCol), nBits, dim, seedOffset)
+    val probed = array(probeMasks(nBits, hamming).map(m =>
+      pbkt.bitwiseXOR(lit(m))): _*)
+    val pb = probes.select(col(probeIdCol), col(probeVecCol).as("__pv"),
+      explode(probed).as("__pbkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(probeIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    cb.join(pb, col("__bkt") === col("__pbkt") && col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol), col(idCol),
+        scoreT(cosine(col("__bv"), col("__pv"))).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** All XOR masks of popcount ≤ hamming over nBits bits, ascending —
+    * the probe ring of [[lshTopKMultiProbe]], exposed so the oracle
+    * twin can inline the identical mask list. */
+  def probeMasks(nBits: Int, hamming: Int): Seq[Long] =
+    (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= hamming)
+
   /** Nearest-centroid assignment carrying the vector through: one
     * map-side-combining `max_by` over the broadcast n×C expansion — the
     * shared kernel of [[ivfTopK]] and [[kmeansStep]]. Partial

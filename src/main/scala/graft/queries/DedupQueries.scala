@@ -26,6 +26,45 @@ object DedupQueries extends QueryGroup {
   import graft.operators.TextDedup
   import TextDedup.{HashParams, tokenHashes}
 
+  /** Scale-adaptive corpus bound for the pairwise dedup family
+    * (q32/q33/q56/q69/q75/q90/q96/q101/q151): `max(2000, (max_id+1)/5)`
+    * — at the shipped SFs (max doc_id ≤ 4999) this is exactly the
+    * historical literal 2000, so sf0.01/sf0.1 hashes are unchanged;
+    * on a scaled corpus (tools/scale_gen.py id-offset copies, 1M apart)
+    * it grows to the first ~20% of doc ids, so the family the project
+    * is named for is finally measurable in the 10×/20× pairs instead of
+    * being pinned to copy 0 (r11 verdict item 2). The oracle twin is
+    * [[dedupBoundSql]] — the same arithmetic as a scalar subquery, so
+    * both engines cut the identical corpus at any scale. Computed once
+    * per (session, dataset) from the doc_id column only (columnar
+    * scan, ~ms) and memoized so warm bench runs don't re-pay the job;
+    * the resulting literal keeps the parquet filter pushdown a join- or
+    * subquery-shaped bound would lose. */
+  private val dedupBounds =
+    new java.util.LinkedHashMap[(SparkSession, String), java.lang.Long](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), java.lang.Long]): Boolean =
+        size() > 8
+    }
+
+  private def dedupBound(s: SparkSession, d: String): Long =
+    dedupBounds.synchronized {
+      Option(dedupBounds.get((s, d))).map(_.longValue()).getOrElse {
+        val row = Tables.documents(s, d).agg(max(col("doc_id"))).head()
+        val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val b = math.max(2000L, (mx + 1L) / 5L)
+        dedupBounds.put((s, d), b)
+        b
+      }
+    }
+
+  /** DuckDB twin of [[dedupBound]] — identical arithmetic, scalar
+    * subquery form (`//` floor-division equals Spark's truncating `/`
+    * for the non-negative ids here). */
+  private val dedupBoundSql =
+    "greatest(2000, (SELECT (MAX(doc_id) + 1) // 5 FROM documents))"
+
   /** q101's persisted profile store, built ONCE per (session, dataset)
     * with TWO appends (base corpus, then a later-ingested batch) so the
     * query genuinely reads base+delta from disk — the StreamTwins
@@ -102,7 +141,7 @@ object DedupQueries extends QueryGroup {
   private def storedClusters(s: SparkSession, d: String): String =
     spanStores.synchronized { Option(spanStores.get((s, d + "#clusters"))).getOrElse {
       val path = java.nio.file.Files.createTempDirectory("graft-q151").toString
-      val docs = Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+      val docs = Tables.spread(Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d)))
       val hist = docs.filter(col("doc_id") % 5 =!= 0)
       val delta = docs.filter(col("doc_id") % 5 === 0)
       val t0 = System.nanoTime()
@@ -126,7 +165,7 @@ object DedupQueries extends QueryGroup {
     profileStores.synchronized { Option(profileStores.get((s, d))).getOrElse {
       val path = java.nio.file.Files.createTempDirectory("graft-q101").toString
       val ref = Tables.spread(Tables.documents(s, d)
-        .filter(col("doc_id") < 2000 && col("doc_id") % 5 =!= 0))
+        .filter(col("doc_id") < dedupBound(s, d) && col("doc_id") % 5 =!= 0))
       // base corpus first, then a "later crawl" batch MERGEd in — the
       // split is arbitrary (any partition of ref works; the store is
       // append-only over doc_id-disjoint batches)
@@ -163,7 +202,7 @@ object DedupQueries extends QueryGroup {
     // probe runs on every core with no further exchange.
     "q32_dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.spread(
-        Tables.documents(s, d).filter(col("doc_id") < 2000))
+        Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d)))
       // (Measured dead end, round 4: computing `n` in-row as size(hs)
       // before the explode re-evaluates the interpreted HOF shingle
       // array 2-3× per row via filter pushdown + project collapsing —
@@ -218,7 +257,7 @@ object DedupQueries extends QueryGroup {
     // this oracle query hash-verifies the library path each round.
     "q33_dedup_minhash_lsh" -> ((s, d) =>
       TextDedup.nearDupPairs(
-          Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
+          Tables.spread(Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d))), 3000L)
         .orderBy(col("d1"), col("d2"))),
 
     // Stream-static dedup-on-ingest, batch twin (r7 verdict item 8):
@@ -235,7 +274,7 @@ object DedupQueries extends QueryGroup {
     // distinct(), matching the oracle's DISTINCT candidates.
     "q90_neardup_ingest" -> ((s, d) => {
       val docs = Tables.spread(
-        Tables.documents(s, d).filter(col("doc_id") < 2000))
+        Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d)))
       TextDedup.nearDupAgainst(
           docs.filter(col("doc_id") % 5 === 0),
           docs.filter(col("doc_id") % 5 =!= 0), 3000L)
@@ -252,7 +291,7 @@ object DedupQueries extends QueryGroup {
     // q90's from-scratch algebra — same oracle twin.
     "q101_neardup_profile_store" -> ((s, d) => {
       val stream = Tables.spread(Tables.documents(s, d)
-        .filter(col("doc_id") < 2000 && col("doc_id") % 5 === 0))
+        .filter(col("doc_id") < dedupBound(s, d) && col("doc_id") % 5 === 0))
       val prof = graft.operators.ProfileStore.read(s, storedRefProfile(s, d))
       graft.operators.ProfileStore.nearDupAgainstProfile(stream, prof, 3000L)
         .distinct()
@@ -312,7 +351,7 @@ object DedupQueries extends QueryGroup {
     // join+groupBy shuffle per round, O(diameter) rounds.
     "q56_dedup_components" -> ((s, d) => {
       val pairs = TextDedup.nearDupPairs(
-        Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
+        Tables.spread(Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d))), 3000L)
       graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("component"))
@@ -351,7 +390,7 @@ object DedupQueries extends QueryGroup {
     // against the narrow per-doc quality pass and a per-component
     // top-1 window (component-partitioned — never global).
     "q96_dedup_keep_best" -> ((s, d) => {
-      val docs = Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+      val docs = Tables.spread(Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d)))
       val pairs = TextDedup.nearDupPairs(docs, 3000L)
       val comp = graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
       // q38's score algebra (hash-verified there), reduced to the score
@@ -478,7 +517,7 @@ object DedupQueries extends QueryGroup {
     // implicitly kept and never shuffle.
     "q69_dedup_resolution" -> ((s, d) => {
       val pairs = TextDedup.nearDupPairs(
-        Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 3000L)
+        Tables.spread(Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d))), 3000L)
       graft.operators.GraphDedup.connectedComponents(pairs, "d1", "d2")
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("keep"))
@@ -535,7 +574,7 @@ object DedupQueries extends QueryGroup {
     // q33 — only the scoring algebra differs.
     "q75_dedup_containment" -> ((s, d) =>
       TextDedup.containmentPairs(
-          Tables.spread(Tables.documents(s, d).filter(col("doc_id") < 2000)), 5000L)
+          Tables.spread(Tables.documents(s, d).filter(col("doc_id") < dedupBound(s, d))), 5000L)
         .orderBy(col("d1"), col("d2"))),
 
     // SimHash: 62-bit fingerprint from two 31-bit LCGs over the token's
@@ -581,7 +620,7 @@ object DedupQueries extends QueryGroup {
   private val shingleHashSql: String =
     s"""t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
        |                                 x -> x <> '') AS toks
-       |      FROM documents WHERE doc_id < 2000),
+       |      FROM documents WHERE doc_id < $dedupBoundSql),
        |hh AS (SELECT doc_id, list_transform(toks, w -> $strHashSql) AS th
        |       FROM t),
        |sh AS (SELECT DISTINCT doc_id, (th[i] * 8191 + th[i + 1]) % 1000000007 AS h
@@ -808,7 +847,7 @@ object DedupQueries extends QueryGroup {
          |base AS (
          |  SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
-         |  FROM documents WHERE doc_id < 2000),
+         |  FROM documents WHERE doc_id < $dedupBoundSql),
          |m AS (
          |  SELECT doc_id,
          |    CAST(len(t) AS BIGINT) AS n_tokens,

@@ -55,6 +55,31 @@ object VectorQueries extends QueryGroup {
       }
     }
 
+  /** q154's FINE trained index (r12, verdict item 5): ~2× the
+    * granularity (seed vec_id % 47) trained over the FULL embeddings
+    * table — the committed usable operating point (recall@5 0.58 at
+    * 18.6% scan with nprobe=8, AnnRecall r12 ledger; q106's nprobe=1
+    * demo point sits at 0.205). Same train-once/search-many memoization
+    * as [[trainedIvfCentroids]]. */
+  @volatile var ivfFineTrainElapsedSec: Option[Double] = None
+
+  private def trainedFineIvfCentroids(s: SparkSession, d: String): DataFrame =
+    ivfCache.synchronized {
+      val key = (s, d + "#fine")
+      Option(ivfCache.get(key)).getOrElse {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"))
+        val cent0 = e.filter(col("vec_id") % 47 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val t0 = System.nanoTime()
+        val trained = graft.operators.Similarity.kmeansTrain(
+          e, "vec_id", "v", cent0, iters = 1).localCheckpoint(true)
+        ivfFineTrainElapsedSec = Some((System.nanoTime() - t0) / 1e9)
+        ivfCache.put(key, trained)
+        trained
+      }
+    }
+
   // Native codegen kernels (graft.functions.VectorOps): same fold order
   // as the aggregate(zip_with(...)) HOF formulation but a primitive
   // tight loop directly over the parquet float arrays — no interpreted
@@ -245,6 +270,23 @@ object VectorQueries extends QueryGroup {
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
       graft.operators.Similarity.ivfTopK(
         base.filter(col("vec_id") =!= 1), "vec_id", "v", trained, q, 5, 2, decD)
+    }),
+
+    // IVF search at a USABLE operating point (r12, verdict item 5 —
+    // the configuration a user doing similarity search would actually
+    // run, not a demo knob): ~2×-granularity centroids (seed
+    // vec_id % 47) trained one Lloyd round over the FULL table,
+    // nprobe=8 → measured recall@5 = 0.58 at 18.6% scanned fraction
+    // (AnnRecall r12 ledger row ivf_trained_fine_i1 — the committed
+    // quality claim; q36/q106 keep the nprobe-sweep demo points).
+    // Same hash-gated algebra as q106: the oracle unrolls the training
+    // round and the probe in one CTE chain over the full table.
+    "q154_ivf_usable_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val trained = trainedFineIvfCentroids(s, d)
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") =!= 1), "vec_id", "v", trained, q, 5, 8, decD)
     }),
 
     // SemDeDup-style semantic dedup (Similarity.semanticDedup): nearest-
@@ -508,7 +550,12 @@ object VectorQueries extends QueryGroup {
     // q108: q107's embedding CTE (integer sums / 1000.0) feeding q67's
     // assignment + fixed-point update algebra. xi = floor(v·1e6 + 0.5)
     // over v = S/1000 is S·1000 exactly (S integer), so the sums stay
-    // bit-exact.
+    // bit-exact. The embedding-stage CTEs are MATERIALIZED (r12,
+    // verdict item 7): DuckDB inlines plain CTEs, so `emb` — used by
+    // both the centroid slice and the n×C assignment cross join — was
+    // re-derived inside the cross product at the 10× corpus and the
+    // oracle hung >6 min, forcing the 10× pair onto a 23-query subset;
+    // materializing pins the token pass to once.
     "q108_text_cluster_assign" -> {
       val strHashW =
         """list_reduce(list_transform(range(1, length(w) + 1),
@@ -523,12 +570,12 @@ object VectorQueries extends QueryGroup {
          |             unnest(list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'),
          |                                               x -> x <> ''), w -> $strHashW)) AS th
          |           FROM documents),
-         |s AS (SELECT doc_id,
+         |s AS MATERIALIZED (SELECT doc_id,
          |       $dimSums
          |      FROM t GROUP BY doc_id),
-         |emb AS (SELECT doc_id, [$vList] AS v FROM s
+         |emb AS MATERIALIZED (SELECT doc_id, [$vList] AS v FROM s
          |        WHERE e0*e0 + e1*e1 + e2*e2 + e3*e3 + e4*e4 + e5*e5 + e6*e6 + e7*e7 > 0),
-         |cent AS (SELECT doc_id AS cid, v AS cv FROM emb WHERE doc_id % 100 = 0),
+         |cent AS MATERIALIZED (SELECT doc_id AS cid, v AS cv FROM emb WHERE doc_id % 100 = 0),
          |asg AS (SELECT doc_id, cid, v FROM (
          |  SELECT emb.doc_id, cent.cid, emb.v,
          |         ROW_NUMBER() OVER (PARTITION BY emb.doc_id
@@ -560,6 +607,44 @@ object VectorQueries extends QueryGroup {
          |       $dimSums
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // q154 = q106's unrolled chain over the FULL table: fine seeds
+    // (vec_id % 47), one Lloyd round, nprobe=8 — the usable operating
+    // point (recall ledger row ivf_trained_fine_i1). `e` MATERIALIZED
+    // (the q108 lesson: it feeds cent/base/q and would otherwise
+    // re-derive inside the assignment cross joins at scaled corpora).
+    "q154_ivf_usable_search" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 47 = 0),
+         |asg1 AS (SELECT vec_id, cid, v FROM (
+         |  SELECT e.vec_id, cent.cid, e.v,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM e, cent) t WHERE rn = 1),
+         |px1 AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |               CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |        FROM asg1, unnest(range(1, len(v) + 1)) u(i)),
+         |upd1 AS (SELECT cid, list(CAST(sx AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS ncv
+         |         FROM (SELECT cid, pos, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx
+         |               FROM px1 GROUP BY 1, 2)
+         |         GROUP BY cid),
+         |cent2 AS MATERIALIZED (SELECT cent.cid, COALESCE(upd1.ncv, cent.cv) AS cv
+         |          FROM cent LEFT JOIN upd1 USING (cid)),
+         |asg AS (SELECT vec_id AS bid, cid AS acid FROM (
+         |  SELECT e.vec_id, cent2.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.v", "cent2.cv")} DESC, cent2.cid) AS rn
+         |  FROM e, cent2) t WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+         |probe AS (SELECT cid AS pcid FROM cent2, q
+         |          ORDER BY ${duckCos("cent2.cv", "q.qv")} DESC, cid LIMIT 8)
+         |SELECT e.vec_id, CAST(CAST(${duckCos("e.v", "q.qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |FROM e JOIN asg ON e.vec_id = asg.bid
+         |       JOIN probe ON asg.acid = probe.pcid, q
+         |WHERE e.vec_id <> 1
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
 
     // q106 = q78's unrolled training round feeding q36's probe shape.
     "q106_ivf_trained_search" ->

@@ -78,13 +78,43 @@ object AnnRecall {
       report("lsh_hyperplane", s"bits=$bits", got, 1.0 / (1L << bits))
     }
 
+    // MULTI-PROBE LSH (r12, verdict item 5): all buckets within
+    // Hamming distance h — scanned fraction ~= |masks| / 2^bits
+    for ((bits, h) <- Seq((4, 1), (5, 1), (6, 1), (8, 1), (8, 2), (10, 2))) {
+      val got = Similarity.lshTopKMultiProbe(base, "vec_id", "embedding",
+          probes, "pid", "pv", k, bits, 64, hamming = h)
+        .filter(col("vec_id") =!= col("pid"))
+      report("lsh_multiprobe", s"bits=$bits,h=$h", got,
+        Similarity.probeMasks(bits, h).size.toDouble / (1L << bits))
+    }
+
+    // TWO-TABLE multi-probe (the union recall lever): Hamming-1 rings
+    // in two independent hyperplane tables, candidates unioned before
+    // the rerank — scan ~2×(bits+1)/2^bits, recall ~1-(1-r)^2
+    for (bits <- Seq(6, 8)) {
+      val g0 = Similarity.lshTopKMultiProbe(base, "vec_id", "embedding",
+        probes, "pid", "pv", k, bits, 64, seedOffset = 0)
+      val g1 = Similarity.lshTopKMultiProbe(base, "vec_id", "embedding",
+        probes, "pid", "pv", k, bits, 64, seedOffset = bits)
+      val got = g0.unionByName(g1)
+        .select(col("pid"), col("vec_id"), col("score")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+        .filter(col("vec_id") =!= col("pid"))
+      report("lsh_multiprobe_2t", s"bits=$bits,h=1", got,
+        2.0 * (bits + 1).toDouble / (1L << bits))
+    }
+
     // IVF: recall vs nprobe (scanned fraction ~= nprobe / nCentroids).
     // ivfTopK takes ONE query vector; run it per probe via the batch
     // bucket path instead: assign base once, then per-probe top-k
     // among the nprobe nearest centroids' members.
-    def ivfSweep(method: String, cent: DataFrame): Unit = {
+    def ivfSweep(method: String, cent: DataFrame,
+        nprobes: Seq[Int] = Seq(1, 4, 8)): Unit = {
       val nCent = cent.count().toDouble
-      for (nprobe <- Seq(1, 4, 8)) {
+      for (nprobe <- nprobes) {
         val asg = base.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"),
             col("cid"), Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
@@ -124,6 +154,21 @@ object AnnRecall {
     // recall gain is pure index quality.
     ivfSweep("ivf_trained",
       Similarity.kmeansTrain(base, "vec_id", "embedding", cent, iters = 3))
+
+    // FINER trained index (r12): ~2× the centroids — granularity is the
+    // recall-per-scan dial (same scan fraction splits into smaller,
+    // better-targeted cells)
+    val centFine = base.filter(col("vec_id") % 47 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    ivfSweep("ivf_trained_fine",
+      Similarity.kmeansTrain(base, "vec_id", "embedding", centFine, iters = 3),
+      Seq(4, 6, 8))
+    // the EXACT q154 configuration (iters=1 keeps the oracle one
+    // unrolled Lloyd round, the q106 shape) — this row is the committed
+    // quality claim behind the oracled query
+    ivfSweep("ivf_trained_fine_i1",
+      Similarity.kmeansTrain(base, "vec_id", "embedding", centFine, iters = 1),
+      Seq(8))
 
     println(s"""{"method":"brute_force","param":"exact","k":$k,""" +
       s""""n_probes":$nProbes,"recall":1.0,"scanned_frac":1.0,"n_base":$nBase}""")

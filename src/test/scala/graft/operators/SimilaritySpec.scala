@@ -37,6 +37,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(0) == rows(1), "same vector, same buckets")
   }
 
+  test("lshTopKMultiProbe: candidate set ⊇ single-bucket, masks correct (r12)") {
+    // probeMasks law: C(n,0..h) masks, pairwise distinct, popcount ≤ h
+    val m1 = Similarity.probeMasks(6, 1)
+    assert(m1.size == 7 && m1.distinct.size == 7)
+    assert(m1.forall(m => java.lang.Long.bitCount(m) <= 1))
+    val m2 = Similarity.probeMasks(8, 2)
+    assert(m2.size == 1 + 8 + 28)
+    // a corpus spread over buckets: multiprobe at k=corpus-size returns
+    // a SUPERSET of the single-bucket batch result for every probe
+    val base = vecDf((1 to 40).map(i =>
+      (i.toLong, (0 until 64).map(t => (math.sin(i * 3 + t) * 5).toFloat))): _*)
+    val probes = base.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("pid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = got(Similarity.lshTopKBatch(
+      base, "vec_id", "v", probes, "pid", "pv", 40, 6, 64))
+    val multi = got(Similarity.lshTopKMultiProbe(
+      base, "vec_id", "v", probes, "pid", "pv", 40, 6, 64))
+    assert(single.subsetOf(multi),
+      s"single-bucket candidates must survive multiprobe: ${single -- multi}")
+    // h=2 widens further
+    val multi2 = got(Similarity.lshTopKMultiProbe(
+      base, "vec_id", "v", probes, "pid", "pv", 40, 6, 64, hamming = 2))
+    assert(multi.subsetOf(multi2))
+  }
+
   test("nearDupPairs refuses inputs above the all-pairs bound") {
     val df = vecDf((1 to 20).map(i =>
       (i.toLong, (0 until 8).map(t => (i + t).toFloat))): _*)
