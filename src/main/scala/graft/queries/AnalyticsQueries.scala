@@ -222,7 +222,31 @@ object AnalyticsQueries extends QueryGroup {
       // the struct by ~12% at the 10x corpus (BasketProbe r11), noise
       // below ~1M pairs (the r10 read; superseded at volume).
       val p = s.sparkContext.defaultParallelism
-      val pairs = CoOccur.packedPairsFromBaskets(b)
+      val rawPairs = CoOccur.packedPairsFromBaskets(b)
+      // COST-GATED count-floor pre-kill (r12, verdict item 1): ~every
+      // pair here is unique, so the aggregation shuffles the full pair
+      // stream just to count-1-and-drop it. Above the gate, one extra
+      // narrow pass builds a saturating count sketch (CountFloor) and
+      // kills pairs that CANNOT reach the c_ab >= 3 floor BEFORE the
+      // exchange — answer-identical (the sketch only over-estimates;
+      // CoOccurSpec pins prekilled ≡ plain). The gate is the EXACT
+      // pair total (one tiny agg over the checkpointed baskets):
+      // below it the extra pass costs more than the small shuffle it
+      // saves (BasketProbe r12 A/B), so the sf0.1 bench path is
+      // untouched; the default engages around the 10× corpus volume.
+      val nPairs = {
+        val r = b.agg(sum(size(col("ps")).cast("long") *
+          (size(col("ps")).cast("long") - 1L))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0)) / 2L
+      }
+      val minPairs = s.conf.getOption("spark.graft.basket.prekillMinPairs")
+        .map(_.toLong).getOrElse(8000000L)
+      val prePairs =
+        if (nPairs >= minPairs) {
+          val sk = graft.operators.CountFloor.sketch(rawPairs, "pk", nPairs)
+          rawPairs.filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3))
+        } else rawPairs
+      val pairs = prePairs
         .repartition(p, col("pk"))
         .groupBy(col("pk"))
         .agg(count(lit(1)).as("c_ab"))

@@ -187,7 +187,43 @@ object BasketProbe {
     report("q121 algebra via self-join, e2e",
       warmBest(runs)(noop(q121SelfJoin())))
 
-    // (c) the declared query, end to end
+    // (i) r12 count-floor pre-kill A/B: sketch build + prekilled
+    // agg vs the plain packed agg, at the declared widths
+    val rawPk = graft.operators.CoOccur.packedPairsFromBaskets(bWide)
+    val nPk = rawPk.count()
+    println(s"[basket] packed pair rows for prekill A/B: $nPk")
+    report("prekill: sketch build only",
+      warmBest(runs)({
+        val sk = graft.operators.CountFloor.sketch(rawPk, "pk", nPk)
+        sk.destroy()
+      }))
+    report("prekill: sketch+filter+agg+floor e2e",
+      warmBest(runs)({
+        val sk = graft.operators.CountFloor.sketch(rawPk, "pk", nPk)
+        noop(rawPk
+          .filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3))
+          .repartition(p, col("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3))
+        sk.destroy()
+      }))
+    locally {
+      val sk = graft.operators.CountFloor.sketch(rawPk, "pk", nPk)
+      val kept = rawPk
+        .filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3)).count()
+      println(f"[basket] prekill keep rate: $kept of $nPk " +
+        f"(${kept.toDouble / nPk}%.4f)")
+      report("prekill: filter+agg+floor (sketch prebuilt)",
+        warmBest(runs)(noop(rawPk
+          .filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3))
+          .repartition(p, col("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3))))
+      sk.destroy()
+    }
+
+    // (c) the declared query, end to end (gate decides; force with
+    // spark.graft.basket.prekillMinPairs=0 via SPARK_GRAFT_CONF)
     report("query: q121 as declared",
       warmBest(runs)(noop(
         graft.SparkEntry.queries("q121_basket_lift")(spark, sfDir))))
