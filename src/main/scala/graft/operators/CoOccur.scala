@@ -99,22 +99,16 @@ object CoOccur {
     * pairs, BasketProbe r11): 2.24 s vs 2.54 s for the struct form
     * including the unpack — below ~1 M pairs the difference is noise
     * (the r10 measurement), so [[pairsFromBaskets]] remains the default.
-    * Precondition: item ids in [0, 2³¹) (checked once per basket on the
-    * sorted array's min AND max, raise_error in-plan — not per pair; a
-    * negative id would pack/unpack to a corrupted key, review fix).
+    * r12: the pair array now materializes through the NATIVE codegen
+    * kernel [[graft.functions.PackedPairs]] (tight primitive double
+    * loop, one flat long[] per basket) instead of the
+    * flatten∘transform∘slice HOF chain — ~3× on the explode pass at the
+    * 10× corpus; same id-range contract, enforced in the kernel
+    * (thrown loudly per basket, never a corrupted key).
     * Unpack with `shiftright(pk, 32)` / `pk & 4294967295L`. */
   def packedPairsFromBaskets(b: DataFrame): DataFrame =
-    b.select(explode(when(
-        element_at(col("ps"), -1) >= 2147483648L ||
-          element_at(col("ps"), 1) < 0L,
-        raise_error(concat(lit("packedPairsFromBaskets: item id range ["),
-          element_at(col("ps"), 1).cast("string"), lit(", "),
-          element_at(col("ps"), -1).cast("string"),
-          lit("] outside [0, 2^31) — use pairsFromBaskets"))))
-      .otherwise(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), " +
-          "y -> x * 4294967296L + y)))"))).as("pk"))
+    b.select(explode(
+      graft.functions.PackedPairs.packedPairs(col("ps"))).as("pk"))
 
   /** Convenience: pairs straight from the fact table. The basket stage
     * is NOT checkpointed here — this form has exactly one consumer by

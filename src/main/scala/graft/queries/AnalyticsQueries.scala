@@ -243,7 +243,11 @@ object AnalyticsQueries extends QueryGroup {
         .map(_.toLong).getOrElse(8000000L)
       val prePairs =
         if (nPairs >= minPairs) {
-          val sk = graft.operators.CountFloor.sketch(rawPairs, "pk", nPairs)
+          // basket-loop builder: the sketch pass reads the checkpointed
+          // basket blocks at array speed instead of re-running the HOF
+          // pair explode (which cost more than the saved shuffle,
+          // BasketProbe r12)
+          val sk = graft.operators.CountFloor.sketchPackedPairs(b, "ps", nPairs)
           rawPairs.filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3))
         } else rawPairs
       val pairs = prePairs

@@ -207,8 +207,23 @@ object BasketProbe {
           .filter(col("c_ab") >= 3))
         sk.destroy()
       }))
+    report("prekill: basket-loop sketch build only",
+      warmBest(runs)({
+        val sk = graft.operators.CountFloor.sketchPackedPairs(bWide, "ps", nPk)
+        sk.destroy()
+      }))
+    report("prekill: basket-loop sketch+filter+agg e2e",
+      warmBest(runs)({
+        val sk = graft.operators.CountFloor.sketchPackedPairs(bWide, "ps", nPk)
+        noop(rawPk
+          .filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3))
+          .repartition(p, col("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3))
+        sk.destroy()
+      }))
     locally {
-      val sk = graft.operators.CountFloor.sketch(rawPk, "pk", nPk)
+      val sk = graft.operators.CountFloor.sketchPackedPairs(bWide, "ps", nPk)
       val kept = rawPk
         .filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3)).count()
       println(f"[basket] prekill keep rate: $kept of $nPk " +
@@ -222,9 +237,18 @@ object BasketProbe {
       sk.destroy()
     }
 
-    // (c) the declared query, end to end (gate decides; force with
-    // spark.graft.basket.prekillMinPairs=0 via SPARK_GRAFT_CONF)
-    report("query: q121 as declared",
+    // (c) the declared query, end to end — gate-off vs gate-on A/B in
+    // the SAME session (the q121 decision row)
+    spark.conf.set("spark.graft.basket.prekillMinPairs", Long.MaxValue.toString)
+    report("query: q121 prekill OFF",
+      warmBest(runs)(noop(
+        graft.SparkEntry.queries("q121_basket_lift")(spark, sfDir))))
+    spark.conf.set("spark.graft.basket.prekillMinPairs", "0")
+    report("query: q121 prekill ON",
+      warmBest(runs)(noop(
+        graft.SparkEntry.queries("q121_basket_lift")(spark, sfDir))))
+    spark.conf.unset("spark.graft.basket.prekillMinPairs")
+    report("query: q121 as declared (default gate)",
       warmBest(runs)(noop(
         graft.SparkEntry.queries("q121_basket_lift")(spark, sfDir))))
 

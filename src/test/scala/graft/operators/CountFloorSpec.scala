@@ -76,6 +76,26 @@ class CountFloorSpec extends SparkTestBase {
     val sk = CountFloor.sketch(raw, "pk", nPairs)
     val prekilled = aggOf(raw.filter(CountFloor.atLeast(sk, col("pk"), 3)))
     assert(prekilled === plain)
-    sk.destroy()
+    // the basket-loop builder (q121's actual path) must behave
+    // identically: same add-stream, and saturating counts are order-
+    // and partitioning-independent, so the SURVIVOR SET matches the
+    // explode-built sketch exactly
+    val skB = CountFloor.sketchPackedPairs(b, "ps", nPairs)
+    val prekilledB = aggOf(raw.filter(CountFloor.atLeast(skB, col("pk"), 3)))
+    assert(prekilledB === plain)
+    val survA = raw.filter(CountFloor.atLeast(sk, col("pk"), 3))
+      .orderBy(col("pk")).as[Long].collect().toSeq
+    val survB = raw.filter(CountFloor.atLeast(skB, col("pk"), 3))
+      .orderBy(col("pk")).as[Long].collect().toSeq
+    assert(survA === survB, "builders must produce identical sketches")
+    sk.destroy(); skB.destroy()
+  }
+
+  test("sketchPackedPairs enforces the packed id-range contract") {
+    val b = Seq((1L, Seq(5L, 2147483648L))).toDF("g", "ps")
+    val e = intercept[Exception] {
+      CountFloor.sketchPackedPairs(b, "ps", 4)
+    }
+    assert(e.getMessage != null)
   }
 }
