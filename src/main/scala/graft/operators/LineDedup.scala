@@ -136,50 +136,48 @@ object LineDedup {
             "\n")).as("cleaned"))
   }
 
-  /** FUSED w-token-chunked rebuild (r12, verdict item 3): answer-equal
-    * to `rebuild(withChunkedLines(docs, textCol, w), textCol)` but the
-    * corpus is read and tokenized exactly ONCE — the un-fused chain
-    * scanned the text twice (occurrence stream + rebuild join) and
-    * split each document three times (chunk, occurrence split, rebuild
-    * split), which was q137's residual at the 10× corpus (2.7×).
+  /** Chunked rebuild with a BROADCAST kept-index join (r12, verdict
+    * item 3): answer-equal to `rebuild(withChunkedLines(docs, textCol,
+    * w), textCol)` — LineDedupSpec pins it. The one plan change that
+    * measured as a win: the kept-index lists (ints per doc — thousands
+    * of times smaller than the text) BROADCAST into the rebuild join
+    * when the corpus is under `spark.graft.linededup.broadcastMaxDocs`
+    * (default 1M docs), so the document text NEVER crosses an exchange
+    * (the un-fused rebuild sort-merge-joins, shuffling the split
+    * arrays); above the gate it falls back to the shuffled join — the
+    * 100 TB shape, where kept is itself corpus-sized.
     *
-    * Mechanics: the per-doc LINE ARRAY (no "\n" round-trip — the chunk
-    * join and re-split cancel algebraically) materializes once via an
-    * eager doc_id-partitioned localCheckpoint; the occurrence stream
-    * explodes from the checkpointed blocks and the final kept-index
-    * join reads THE SAME blocks on THE SAME HashPartitioning(doc_id),
-    * so the winner agg's output exchange (repartition(p, doc_id) feeds
-    * the collect_list directly) is the last exchange in the plan — the
-    * line text never crosses one. LineDedupSpec pins fused ≡ un-fused
-    * on the fixture corpus. */
+    * Measured dead ends at the 10× corpus (CurationProbe r12), kept
+    * out deliberately:
+    *  - eager doc_id-partitioned localCheckpoint of the line arrays
+    *    (read once, share blocks): materializing fat string arrays
+    *    cost MORE than the second parquet scan it saves (2.4 → 2.7 s);
+    *  - exploding a line ARRAY (`transform(sequence, slice…)`) instead
+    *    of the "\n" chunk-string round-trip: the interpreted HOF
+    *    inside Generate ran the occurrence pass 0.9 → 2.4 s — the
+    *    string split is the fast form, counter-intuitively. */
   def rebuildChunked(docs: DataFrame, textCol: String,
       tokensPerLine: Int): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val lined = docs.select(col("doc_id"),
-        linesOf(split(col(textCol), " "), tokensPerLine).as("__ls"))
-      .repartition(p, col("doc_id"))
-      .localCheckpoint(eager = true)
-    val occ = lined
-      .select(col("doc_id"), posexplode(col("__ls")).as(Seq("idx", "line")))
-      .select(col("doc_id"), col("idx"),
-        graft.functions.Fnv1aHash.fnv1a64(col("line")).as("h"))
-    val kept = occ
-      .repartition(p, col("h"))
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
-      .repartition(p, col("doc_id"))
+    val s = docs.sparkSession
+    val chunked = withChunkedLines(
+      docs.select(col("doc_id"), col(textCol)), textCol, tokensPerLine)
+    val kept = survivorIdx(chunked, textCol)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("__ki"))
-    lined.join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(col("__ls")).cast("long").as("n_lines"),
-        coalesce(size(col("__ki")), lit(0)).cast("long").as("n_kept"),
-        (size(col("__ls")) - coalesce(size(col("__ki")), lit(0)))
-          .cast("long").as("n_dropped"),
-        when(col("__ki").isNull, lit(""))
-          .otherwise(array_join(
-            transform(col("__ki"), i => element_at(col("__ls"), i + 1)),
-            "\n")).as("cleaned"))
+    val maxDocs = s.conf.getOption("spark.graft.linededup.broadcastMaxDocs")
+      .map(_.toLong).getOrElse(1000000L)
+    val lined = chunked.select(col("doc_id"), split(col(textCol), "\n").as("__ls"))
+    val joined =
+      if (docs.count() <= maxDocs) lined.join(broadcast(kept), Seq("doc_id"), "left")
+      else lined.join(kept, Seq("doc_id"), "left")
+    joined.select(col("doc_id"),
+      size(col("__ls")).cast("long").as("n_lines"),
+      coalesce(size(col("__ki")), lit(0)).cast("long").as("n_kept"),
+      (size(col("__ls")) - coalesce(size(col("__ki")), lit(0)))
+        .cast("long").as("n_dropped"),
+      when(col("__ki").isNull, lit(""))
+        .otherwise(array_join(
+          transform(col("__ki"), i => element_at(col("__ls"), i + 1)),
+          "\n")).as("cleaned"))
   }
 }

@@ -50,6 +50,45 @@ object CurationProbe {
     report("q137_c_survivors", warmBest(runs) {
       noop(LineDedup.survivors(lined)) })
     report("q137_d_e2e", warmBest(runs) { noop(LineDedup.rebuild(lined)) })
+    // r12 fusion A/B in ONE session: the un-fused chain (chunk string
+    // round-trip + second corpus scan in the rebuild join) vs
+    // rebuildChunked (one scan, one tokenize, checkpointed line arrays)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    report("q137_e_unfused_e2e", warmBest(runs) {
+      noop(LineDedup.rebuild(LineDedup.withChunkedLines(docs, "text", 8))) })
+    report("q137_f_fused_e2e", warmBest(runs) {
+      noop(LineDedup.rebuildChunked(docs, "text", 8)) })
+    // fused-path sub-stages
+    locally {
+      val p = spark.sparkContext.defaultParallelism
+      def linedOf(d: DataFrame) = d
+        .withColumn("__toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("transform(sequence(0, cast((size(__toks) - 1) / 8 as int)), " +
+            "i -> array_join(slice(__toks, i * 8 + 1, 8), ' '))").as("__ls"))
+      report("q137_g_lined_scan_only", warmBest(runs) { noop(linedOf(docs)) })
+      val occ = linedOf(docs)
+        .select(col("doc_id"), posexplode(col("__ls")).as(Seq("idx", "line")))
+        .select(col("doc_id"), col("idx"),
+          graft.functions.Fnv1aHash.fnv1a64(col("line")).as("h"))
+      report("q137_h_occ_only", warmBest(runs) { noop(occ) })
+      val kept = occ.repartition(p, col("h")).groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+        .repartition(p, col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("idx"))).as("__ki"))
+      report("q137_i_kept_only", warmBest(runs) { noop(kept) })
+      val keptCp = kept.localCheckpoint(true)
+      report("q137_j_bcast_join_only", warmBest(runs) {
+        noop(linedOf(docs).join(broadcast(keptCp), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("__ls")).cast("long").as("n_lines"),
+            when(col("__ki").isNull, lit(""))
+              .otherwise(array_join(
+                transform(col("__ki"), i => element_at(col("__ls"), i + 1)),
+                "\n")).as("cleaned"))) })
+    }
 
     // ---- q149 stages ----
     val o = Tables.orders(spark, sfDir)
