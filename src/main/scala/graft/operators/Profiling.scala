@@ -71,11 +71,16 @@ object Profiling {
   }
 
   /** Cost-gated entry: per-column scans below the threshold, the
-    * one-pass Expand above it. */
+    * one-pass Expand above it. The default threshold is overridable
+    * via `spark.graft.profile.onePassMinBytes` (r12: A/B-able from a
+    * bench run without a rebuild). */
   def profile(df: DataFrame, cols: Seq[String],
       onePassThresholdBytes: Long = 256L << 20): DataFrame = {
+    val thr = df.sparkSession.conf
+      .getOption("spark.graft.profile.onePassMinBytes")
+      .map(_.toLong).getOrElse(onePassThresholdBytes)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(onePassThresholdBytes)) profilePerColumn(df, cols)
+    if (est < BigInt(thr)) profilePerColumn(df, cols)
     else profileOnePass(df, cols)
   }
 }

@@ -33,10 +33,20 @@ object TableDiff {
   }
 
   /** @return (k, status) with status ∈ added | deleted | changed |
-    *         unchanged — `added` means present only in `newer`. */
+    *         unchanged — `added` means present only in `newer`.
+    *
+    * The two fingerprint sides repartition to defaultParallelism on the
+    * key before the full-outer join (r12): the join is this operator's
+    * only real exchange and must not inherit a session's small-query
+    * shuffle width — same exchange count (HashPartitioning(k, p)
+    * satisfies the join's distribution), 4-8× the reduce width at
+    * volume (measured: q138 at the 10× corpus 1.14 s → see BASELINE). */
   def diff(older: DataFrame, newer: DataFrame, keyCol: String): DataFrame = {
+    val p = older.sparkSession.sparkContext.defaultParallelism
     val a = fingerprint(older, keyCol).withColumnRenamed("fp", "fp_old")
+      .repartition(p, col("k"))
     val b = fingerprint(newer, keyCol).withColumnRenamed("fp", "fp_new")
+      .repartition(p, col("k"))
     a.join(b, Seq("k"), "full_outer")
       .select(col("k"),
         when(col("fp_old").isNull, lit("added"))
