@@ -173,6 +173,26 @@ object VectorQueries extends QueryGroup {
         .orderBy(col("probe_id"), col("score").desc, col("vec_id"))
     }),
 
+    // MULTI-PROBE batch LSH ANN (r12 — the oracle pin for
+    // Similarity.lshTopKMultiProbe, q73's shape at the Hamming-1 probe
+    // ring): 50 probes each examine their own 5-bit hyperplane bucket
+    // PLUS the 5 one-bit-flip neighbors (6 of 32 buckets ≈ 18.8% scan;
+    // measured recall@5 0.415 vs 0.21 single-bucket at the same bits —
+    // the AnnRecall r12 ledger). Candidates remain a bucket-EQUALITY
+    // join (probe side explodes to 6 rows each, corpus carries one
+    // bucket id); exact-cosine rerank keeps top-3 per probe. The
+    // oracle inlines the IDENTICAL XOR mask list via
+    // Similarity.probeMasks, so engine and twin can't desync.
+    "q155_ann_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val probes = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      graft.operators.Similarity.lshTopKMultiProbe(
+          e, "vec_id", "v", probes, "probe_id", "pv",
+          k = 3, nBits = 5, dim = 64, seedOffset = 0, hamming = 1, scoreT = decD)
+        .orderBy(col("probe_id"), col("score").desc, col("vec_id"))
+    }),
+
     // IVF-pruned ANN: deterministic "trained" centroids (vec_id % 100 = 0),
     // assign every base vector to its nearest centroid, probe the top-2
     // centroids for the query, brute-force only inside those clusters.
@@ -488,6 +508,29 @@ object VectorQueries extends QueryGroup {
          |FROM b, q
          |WHERE b.vec_id <> 1 AND (b.b0 = q.qb0 OR b.b1 = q.qb1)
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    // q155: q73's candidate/rerank algebra with the Hamming-1 probe
+    // ring — the mask list is GENERATED from Similarity.probeMasks, one
+    // definition for both engines.
+    "q155_ann_multiprobe" -> {
+      val masks = graft.operators.Similarity.probeMasks(5, 1).mkString(", ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, ${duckBucket("v", 5, 0)} AS bkt FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, bkt AS pbkt FROM b WHERE vec_id < 50),
+         |pp AS (SELECT probe_id, pv, xor(pbkt, u.m) AS qb
+         |       FROM p, unnest([$masks]) u(m)),
+         |cand AS (SELECT pp.probe_id, b.vec_id,
+         |                CAST(CAST(${duckCos("b.v", "pp.pv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |         FROM b JOIN pp ON b.bkt = pp.qb AND b.vec_id <> pp.probe_id),
+         |rk AS (SELECT probe_id, vec_id, score,
+         |              ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                ORDER BY score DESC, vec_id) AS rn
+         |       FROM cand)
+         |SELECT probe_id, vec_id, score FROM rk WHERE rn <= 3
+         |ORDER BY probe_id, score DESC, vec_id""".stripMargin
+    },
+
     "q73_ann_batch_probe" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
