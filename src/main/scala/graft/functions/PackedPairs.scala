@@ -55,7 +55,9 @@ object PackedPairs {
     require(n <= 65535,
       s"packed_pairs: group of $n items explodes to ${n.toLong * (n - 1) / 2} " +
         "pairs — bound or prune the group (CoOccur.pruneInfrequentItems)")
-    val m = n * (n - 1) / 2
+    // long math: n in (46340, 65535] overflows Int in n*(n-1); C(65535,2)
+    // itself still fits an Int, so the toInt after the long divide is safe
+    val m = (n.toLong * (n - 1) / 2).toInt
     val out = new Array[Long](m)
     var o = 0
     var i = 0

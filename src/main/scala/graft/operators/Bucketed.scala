@@ -42,13 +42,19 @@ object Bucketed {
     * `key` (first call in the session only), and return the catalog
     * read — the side that joins exchange-free.
     *
-    * Stale-generation GC (r12 ADVICE): suffix-named tables fingerprint
-    * the SOURCE, so every in-place source rewrite lands a NEW table name
-    * while the previous generation's data dir would otherwise live in
-    * the warehouse forever. Before landing a fresh layout, prior
-    * `<family>_<hex>` generations of the same family (the name up to its
-    * last `_`) are dropped from the catalog and deleted from disk — the
-    * warehouse holds one generation per (family, source state). */
+    * Stale-generation GC (r12 ADVICE, narrowed r13): suffix-named tables
+    * fingerprint the SOURCE, so every in-place source rewrite lands a
+    * NEW table name while the previous generation's data dir would
+    * otherwise live in the warehouse forever. Before landing a fresh
+    * layout, prior `<family>_<pathHex>_<contentHex>` generations sharing
+    * BOTH the family and the source-path hash are dropped from the
+    * catalog and deleted from disk — the warehouse holds one generation
+    * per (family, source path). The path hash is part of the match key
+    * (r13 ADVICE fix): [[contentSuffix]] emits `<pathHex>_<contentHex>`,
+    * so per-SF tables of the same family live in DIFFERENT GC scopes and
+    * landing one SF's table can never delete another SF's. Names with a
+    * single hex segment (e.g. [[suffixFor]]) are never GC'd — a pure
+    * path hash never goes stale, so there is nothing to collect. */
   def materializeOnce(df: DataFrame, table: String, key: String,
       buckets: Int): DataFrame = {
     val spark = df.sparkSession
@@ -64,13 +70,20 @@ object Bucketed {
     spark.table(table)
   }
 
-  /** Delete prior generations of `table`'s family (same name up to the
-    * last `_`, different hex suffix) — catalog entry and data dir both.
-    * No-op for names without a hex suffix. */
+  /** Delete prior generations of `table`'s (family, source path) — same
+    * name up to the last `_`, INCLUDING the path-hash segment, different
+    * content-hash suffix — catalog entry and data dir both. Matches only
+    * the two-hex-segment `<family>_<pathHex>_<contentHex>` shape that
+    * [[contentSuffix]] produces; single-hex-suffix names ([[suffixFor]])
+    * and arbitrary names are never collected, so tables fingerprinting a
+    * DIFFERENT source directory are structurally out of scope. */
   private def dropStaleGenerations(spark: SparkSession, table: String): Unit = {
     val cut = table.lastIndexOf('_')
     if (cut <= 0 || !table.substring(cut + 1).matches("[0-9a-f]{1,16}")) return
-    val family = table.substring(0, cut)
+    val cut2 = table.lastIndexOf('_', cut - 1)
+    if (cut2 <= 0 || !table.substring(cut2 + 1, cut).matches("[0-9a-f]{1,16}"))
+      return
+    val family = table.substring(0, cut) // includes the path-hash segment
     val pat = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(family) + "_[0-9a-f]{1,16}")
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -92,11 +105,15 @@ object Bucketed {
   def suffixFor(dir: String): String =
     java.lang.Long.toHexString(fnv(0xcbf29ce484222325L, dir))
 
-  /** Path hash FOLDED WITH the source tree's file statuses (FULL path,
-    * length, mtime of every file under `dir`): a source that is
-    * rewritten in place fingerprints to a different suffix, so
-    * [[materializeOnce]] lands a fresh layout instead of serving the
-    * stale cached table. One recursive listing, no data scan.
+  /** TWO-SEGMENT suffix `<pathHex>_<contentHex>`: the pure path hash
+    * ([[suffixFor]]) followed by a hash of the source tree's file
+    * statuses (FULL path, length, mtime of every file under `dir`). A
+    * source that is rewritten in place fingerprints to a different
+    * content segment — so [[materializeOnce]] lands a fresh layout
+    * instead of serving the stale cached table — while the path segment
+    * scopes stale-generation GC to THIS source directory (two SFs of the
+    * same family can coexist in one warehouse; r13 ADVICE fix). One
+    * recursive listing, no data scan.
     * Order-insensitivity comes from SORTING the per-file hashes before
     * a sequential FNV fold (r11 review fix: a plain XOR fold lets two
     * files with swapped (len, mtime) — or an even number of identical
@@ -126,7 +143,7 @@ object Bucketed {
       }
       hashes.sorted.foreach(fh => h = fnvLong(h, fh))
     }
-    java.lang.Long.toHexString(h)
+    s"${suffixFor(dir)}_${java.lang.Long.toHexString(h)}"
   }
 
   private def fnv(seed: Long, s: String): Long = {

@@ -68,10 +68,27 @@ object CountFloor {
     df.sparkSession.sparkContext.broadcast(merged)
   }
 
+  /** Largest `expectedKeys` whose sketch fits `maxBytes` at
+    * `loadFactor` — the call-site CAP for unbounded key streams (r13
+    * ADVICE): pass `min(actualKeys, maxKeysFor(...))` so a corpus whose
+    * key count outgrows the byte budget degrades to a higher effective
+    * load factor (more false keeps, never wrong answers) instead of
+    * hard-failing the [[sketch]] size require at exactly the volumes
+    * the pre-kill exists for. */
+  def maxKeysFor(loadFactor: Double = 0.5, maxBytes: Long = 256L << 20): Long = {
+    val cellsCap = java.lang.Long.highestOneBit(math.max(16L, maxBytes * 2))
+    math.max(1L, (cellsCap * loadFactor).toLong)
+  }
+
   /** Codegen predicate: true iff the sketch cannot rule out
     * `count(key) >= floor`. `floor` must be ≤ the sketch's cap. */
-  def atLeast(bc: Broadcast[SatCountSketch], key: Column, floor: Int): Column =
+  def atLeast(bc: Broadcast[SatCountSketch], key: Column, floor: Int): Column = {
+    require(floor <= bc.value.cap,
+      s"CountFloor.atLeast: floor=$floor exceeds the sketch cap " +
+        s"${bc.value.cap} — saturated cells can never reach it and every " +
+        "row would be dropped; build the sketch with cap >= floor")
     Bridge.column(SatCountAtLeast(bc, floor, Bridge.expression(key)))
+  }
 
   /** [[sketch]] specialized to the PACKED-PAIR stream of
     * [[CoOccur.packedPairsFromBaskets]], built straight from the basket
@@ -100,8 +117,10 @@ object CountFloor {
           val a = r.getArray(0)
           val n = a.numElements()
           // range check once per basket on the sorted array's ends —
-          // the packedPairsFromBaskets contract, enforced eagerly here
-          if (n > 0 && (a.getLong(0) < 0L || a.getLong(n - 1) >= 2147483648L))
+          // the packedPairsFromBaskets contract; n >= 2 matches
+          // PackedPairs.pack exactly (singletons produce no pairs there
+          // and must not throw here either)
+          if (n >= 2 && (a.getLong(0) < 0L || a.getLong(n - 1) >= 2147483648L))
             throw new IllegalArgumentException(
               s"sketchPackedPairs: item id range [${a.getLong(0)}, " +
                 s"${a.getLong(n - 1)}] outside [0, 2^31) — " +
@@ -164,8 +183,14 @@ final class SatCountSketch(val cells: Int, val cap: Int) extends Serializable {
     if (((d(li) >>> sh) & 0xFL) < cap) d(li) += (1L << sh)
   }
 
-  /** True iff the (over-estimating) cell count is ≥ floor. */
+  /** True iff the (over-estimating) cell count is ≥ floor. A floor
+    * above `cap` is unreachable by saturated cells — refuse it loudly
+    * rather than silently dropping every key. */
   def atLeast(key: Long, floor: Int): Boolean = {
+    if (floor > cap)
+      throw new IllegalArgumentException(
+        s"SatCountSketch.atLeast: floor=$floor > cap=$cap — every cell " +
+          "saturates below the floor; rebuild with cap >= floor")
     if (data == null) return floor <= 0
     val idx = (mix(key) & (cells - 1)).toInt
     ((data(idx >>> 4) >>> ((idx & 15) << 2)) & 0xFL) >= floor

@@ -247,7 +247,12 @@ object AnalyticsQueries extends QueryGroup {
           // basket blocks at array speed instead of re-running the HOF
           // pair explode (which cost more than the saved shuffle,
           // BasketProbe r12)
-          val sk = graft.operators.CountFloor.sketchPackedPairs(b, "ps", nPairs)
+          // expectedKeys capped to the sketch's byte budget (r13
+          // ADVICE): past ~2^28 pairs the sketch runs at a higher load
+          // factor (more false keeps, same answer) instead of throwing
+          // at exactly the corpus sizes the pre-kill exists for
+          val sk = graft.operators.CountFloor.sketchPackedPairs(b, "ps",
+            math.min(nPairs, graft.operators.CountFloor.maxKeysFor()))
           rawPairs.filter(graft.operators.CountFloor.atLeast(sk, col("pk"), 3))
         } else rawPairs
       val pairs = prePairs

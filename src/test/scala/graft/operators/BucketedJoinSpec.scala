@@ -50,4 +50,45 @@ class BucketedJoinSpec extends SparkTestBase {
     val t2 = Bucketed.materializeOnce(other, "graft_bkt_spec_once", "k", 4)
     assert(t2.count() === n1)
   }
+
+  test("stale-generation GC is scoped to the source path (r13 ADVICE)") {
+    // two "SFs" of the same family = same family prefix, DIFFERENT path
+    // hash; a stale generation = same (family, path hash), different
+    // content hash. Landing a fresh generation must collect ONLY the
+    // stale sibling, never the other SF's table.
+    val df = (1L to 10L).map(i => (i, i)).toDF("k", "v")
+    val pathA = "deadbeef01"
+    val pathB = "deadbeef02"
+    val otherSf = Bucketed.materializeOnce(df,
+      s"graft_bkt_gcspec_${pathB}_cccc0001", "k", 2)
+    Bucketed.materializeOnce(df, s"graft_bkt_gcspec_${pathA}_aaaa0001", "k", 2)
+    // fresh content generation for path A: collects aaaa0001 only
+    Bucketed.materializeOnce(df, s"graft_bkt_gcspec_${pathA}_aaaa0002", "k", 2)
+    assert(!spark.catalog.tableExists(s"graft_bkt_gcspec_${pathA}_aaaa0001"),
+      "stale generation of the SAME source must be collected")
+    assert(spark.catalog.tableExists(s"graft_bkt_gcspec_${pathB}_cccc0001"),
+      "a different source path's table must survive the GC")
+    assert(otherSf.count() === 10L, "the surviving table must still read")
+    // single-hex-suffix names are out of GC scope entirely
+    Bucketed.materializeOnce(df, "graft_bkt_gcspec2_aaaa0001", "k", 2)
+    Bucketed.materializeOnce(df, "graft_bkt_gcspec2_aaaa0002", "k", 2)
+    assert(spark.catalog.tableExists("graft_bkt_gcspec2_aaaa0001"),
+      "single-hex-suffix names must never be collected")
+  }
+
+  test("contentSuffix carries the path segment and tracks content (r13)") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cs_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cs_b").toString
+    val sA = Bucketed.contentSuffix(spark, dirA)
+    val sB = Bucketed.contentSuffix(spark, dirB)
+    assert(sA.startsWith(Bucketed.suffixFor(dirA) + "_"))
+    assert(sA.split("_").head != sB.split("_").head,
+      "different dirs must have different path segments")
+    // content change flips only the content segment
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dirA, "f.bin"), Array[Byte](1, 2, 3))
+    val sA2 = Bucketed.contentSuffix(spark, dirA)
+    assert(sA2.split("_").head === sA.split("_").head)
+    assert(sA2 != sA)
+  }
 }

@@ -98,4 +98,40 @@ class CountFloorSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("singleton baskets with out-of-range ids match PackedPairs.pack: no throw (r13)") {
+    // n=1 produces zero pairs in PackedPairs.pack, so the sketch builder
+    // must not throw on the same input — the two paths the prekill gate
+    // switches between have to accept identical inputs
+    val b = Seq((1L, Seq(5000000000L)), (2L, Seq(3L, 7L))).toDF("g", "ps")
+    val sk = CountFloor.sketchPackedPairs(b, "ps", 4)
+    assert(sk.value.atLeast((3L << 32) + 7L, 1))
+    sk.destroy()
+  }
+
+  test("atLeast refuses floor above the sketch cap loudly (r13)") {
+    val s = new SatCountSketch(64, 3)
+    s.add(1L)
+    val e = intercept[IllegalArgumentException] { s.atLeast(1L, 4) }
+    assert(e.getMessage.contains("cap"))
+    val df = Seq(1L).toDF("k")
+    val bc = CountFloor.sketch(df, "k", expectedKeys = 16, cap = 3)
+    val e2 = intercept[IllegalArgumentException] {
+      CountFloor.atLeast(bc, col("k"), 5)
+    }
+    assert(e2.getMessage.contains("cap"))
+    bc.destroy()
+  }
+
+  test("maxKeysFor caps at the byte budget and the capped sketch builds (r13)") {
+    val cap = CountFloor.maxKeysFor(loadFactor = 0.5, maxBytes = 1L << 20)
+    // cells = 2^21, keys = 2^20 at lf 0.5
+    assert(cap == (1L << 20))
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    // an over-budget stream, capped at the call site, must build fine
+    val bc = CountFloor.sketch(df, "k",
+      expectedKeys = math.min(1L << 40, cap), maxBytes = 1L << 20)
+    assert(bc.value.atLeast(1L, 2))
+    bc.destroy()
+  }
 }
