@@ -9,27 +9,33 @@ import org.apache.spark.sql.functions._
   * unchanged, with per-class accounting), and the batch analog of a CDC
   * feed (the classes ARE insert/delete/update events).
   *
-  * Shape: ONE full outer join on the key, with each side pre-reduced to
-  * (key, fingerprint) — a 64-bit FNV-1a of the canonically rendered
-  * non-key columns, concatenated with a field separator so column
-  * boundaries can't alias (`"a","bc"` vs `"ab","c"`). Only 16-byte rows
-  * ever shuffle, never payloads; the join key is the table's primary
-  * key, so both sides hash-partition evenly (no skew by construction)
-  * and at 100 TB the diff is exactly two scans + one co-partitioned
-  * join. NULL columns render as a sentinel distinct from any value and
-  * from the empty string.
+  * Shape: ONE full outer join on the key, with each side pre-reduced
+  * to (key, fingerprint). The fingerprint (r13) is a NATIVE xxhash64
+  * chain over the sorted non-key columns, each prefixed by its
+  * null-flag — no string materialization at all. The flag stream makes
+  * the hash's contribution sequence uniquely decodable: xxhash64 skips
+  * NULL inputs (leaving the accumulator unchanged), so without flags
+  * (x, NULL) and (NULL, x) would alias; with a flag before every value
+  * the decoder always knows whether a value follows, so no two distinct
+  * null-pattern/value combinations feed the same input stream. This
+  * replaced the r12 rendered-string FNV form (cast-to-string + length
+  * prefix + concat) after the DiffProbe A/B showed the render WAS the
+  * cost: at the 10× corpus the fingerprint pass dropped 0.62 → 0.21 s
+  * and the whole diff 1.10 → 0.53 s (BASELINE.md r13 ledger; the
+  * union+single-exchange pivot variant was also measured and lost to
+  * the join shape, 0.63 vs 0.53 s). Only 16-byte rows ever shuffle,
+  * never payloads; the join key is the table's primary key, so both
+  * sides hash-partition evenly (no skew by construction) and at 100 TB
+  * the diff is exactly two scans + one co-partitioned join.
   */
 object TableDiff {
 
   private def fingerprint(df: DataFrame, keyCol: String): DataFrame = {
-    val payload = df.columns.filter(_ != keyCol).sorted.map { c =>
-      // NULL != '' and NULL != 'null-literal': sentinel + prefix length
-      coalesce(concat(length(col(c).cast("string")).cast("string"),
-        lit(":"), col(c).cast("string")), lit("\u0000"))
+    val payload = df.columns.filter(_ != keyCol).sorted.flatMap { c =>
+      Seq(col(c).isNull.cast("int"), col(c))
     }
     df.select(col(keyCol).as("k"),
-      graft.functions.Fnv1aHash.fnv1a64(
-        concat_ws("\u0001", payload.toIndexedSeq: _*)).as("fp"))
+      xxhash64(payload.toIndexedSeq: _*).as("fp"))
   }
 
   /** @return (k, status) with status ∈ added | deleted | changed |
@@ -40,7 +46,7 @@ object TableDiff {
     * only real exchange and must not inherit a session's small-query
     * shuffle width — same exchange count (HashPartitioning(k, p)
     * satisfies the join's distribution), 4-8× the reduce width at
-    * volume (measured: q138 at the 10× corpus 1.14 s → see BASELINE). */
+    * volume. */
   def diff(older: DataFrame, newer: DataFrame, keyCol: String): DataFrame = {
     val p = older.sparkSession.sparkContext.defaultParallelism
     val a = fingerprint(older, keyCol).withColumnRenamed("fp", "fp_old")

@@ -82,6 +82,17 @@ class CurationOpsSpec extends SparkTestBase {
     assert(r === Seq((1L, "changed"), (2L, "changed")))
   }
 
+  test("diff fingerprint: (x, NULL) never aliases (NULL, x) (r13)") {
+    // xxhash64 skips NULL inputs, so without the per-column null-flag
+    // prefix these two rows would hash identically and misclassify as
+    // `unchanged`
+    val a = Seq((1L, Some("x"), None: Option[String])).toDF("k0", "c1", "c2")
+    val b = Seq((1L, None: Option[String], Some("x"))).toDF("k0", "c1", "c2")
+    val r = TableDiff.diff(a, b, "k0")
+      .as[(Long, String)].collect().toSeq
+    assert(r === Seq((1L, "changed")))
+  }
+
   test("diff -> apply round-trips to the new snapshot exactly") {
     // adds, deletes, changes, NULL payloads — the reconstruction must
     // equal `newer` as a row multiset
