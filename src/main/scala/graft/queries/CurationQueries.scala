@@ -184,27 +184,80 @@ object CurationQueries extends QueryGroup {
     // discipline — ln of identical exact-integer ratios is the same
     // IEEE double in both engines). No smoothing needed: the sum runs
     // over tokens PRESENT in the source, where c_gt >= c_st > 0.
+    //
+    // Fused (r13, verdict item 2 — the q93 one-pass discipline): the
+    // source dimension is tiny (20 here; gated ≤ 256), so BOTH count
+    // dims come from ONE groupBy(token) pass with a conditional count
+    // per source — c_gt is count(*) of the same row group. That kills
+    // the r12 plan's second vocabulary-sized shuffle (cst → cgt) AND
+    // the vocabulary join cst ⋈ cgt: everything after the single token
+    // exchange is a shuffle-free aggregate over the narrow checkpointed
+    // per-token dim (vocab × (K+1) longs), and the K output rows unpivot
+    // from one driver-sized row via stack. Term doubles are bit-identical
+    // to the unfused form: same exact-integer ratios, same IEEE ops,
+    // same floor — only the plan shape changed. 10× A/B in BASELINE r13.
     "q143_kl_mixture" -> ((s, d) => {
-      val toks = Tables.documents(s, d).select(col("source"),
-        explode(filter(split(lower(col("text")), "[^a-z]+"),
-          x => x =!= "")).as("t"))
-      val cst = toks.groupBy(col("source"), col("t"))
-        .agg(count(lit(1)).as("c_st"))
-      val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"),
-        count(lit(1)).as("n_types"))
-      val cgt = cst.groupBy(col("t")).agg(sum(col("c_st")).as("c_gt"))
-      val ng = cgt.agg(sum(col("c_gt")).as("n_g"))
-      val term = cst.join(cgt, "t").join(broadcast(ns), "source")
-        .crossJoin(broadcast(ng))
-        .select(col("source"),
-          floor((col("c_st").cast("double") / col("n_s").cast("double")) *
-            log((col("c_st") * col("n_g")).cast("double") /
-              (col("n_s") * col("c_gt")).cast("double")) *
-            1000000.0).cast("long").as("term_1e6"))
-      term.groupBy(col("source")).agg(sum(col("term_1e6")).as("kl_1e6"))
-        .join(broadcast(ns), "source")
-        .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
-          col("kl_1e6"))
+      val srcs = Tables.documents(s, d).select(col("source")).distinct()
+        .orderBy(col("source"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      require(srcs.nonEmpty && srcs.size <= 256,
+        s"q143 conditional-count fusion expects a small source dim, " +
+          s"got ${srcs.size} — fall back to the two-dim join form")
+      val k = srcs.size
+      // source index resolved ONCE per document row, BEFORE the token
+      // explode — the conditional counts then compare a small int per
+      // token instead of running k string equalities per token (the
+      // string form measured 2.7 s vs 1.0 s at the 10× corpus)
+      val siCol = srcs.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (src, i)) => when(col("source") === src, lit(i)).otherwise(acc)
+      }
+      // explode first, drop empties with a codegen ROW filter — the
+      // interpreted filter() array-HOF allocated a second array per doc
+      // and ran its lambda per element (token-count pass 1.11 s HOF vs
+      // 0.66 s row-filter at the 10× corpus, KlProbe r13)
+      val toks = Tables.documents(s, d).withColumn("si", siCol)
+        .select(col("si"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+        .where(col("t") =!= "")
+      // two-stage pivot: the token stream aggregates ONCE on (t, si)
+      // with a single narrow count buffer (map-side combine does the
+      // heavy lifting), and the k-wide conditional pivot then runs on
+      // the vocab×k count rows — not on every token (the one-stage
+      // k-wide agg measured 1.99 s vs 1.29 s at the 10× corpus)
+      val cst = toks.groupBy(col("t"), col("si")).agg(count(lit(1)).as("c"))
+      val dim = cst.groupBy(col("t")).agg(
+        sum(when(col("si") === 0, col("c")).otherwise(0L)).as("c_0"),
+        (1 until k).map(i =>
+          sum(when(col("si") === i, col("c")).otherwise(0L)).as(s"c_$i")) :+
+          sum(col("c")).as("c_gt"): _*)
+        .localCheckpoint() // narrow vocab-sized frame, two consumers
+      val tot = dim.agg(
+        sum(col("c_0")).as("n_0"),
+        ((1 until k).map(i => sum(col(s"c_$i")).as(s"n_$i")) ++
+          (0 until k).map(i =>
+            count(when(col(s"c_$i") > 0, 1)).as(s"v_$i")) :+
+          sum(col("c_gt")).as("n_g")): _*)
+      val withTot = dim.crossJoin(broadcast(tot))
+      val sums = withTot.agg(
+        sum(when(col("c_0") > 0,
+          floor((col("c_0").cast("double") / col("n_0").cast("double")) *
+            log((col("c_0") * col("n_g")).cast("double") /
+              (col("n_0") * col("c_gt")).cast("double")) *
+            1000000.0).cast("long")).otherwise(0L)).as("kl_0"),
+        (1 until k).map(i =>
+          sum(when(col(s"c_$i") > 0,
+            floor((col(s"c_$i").cast("double") / col(s"n_$i").cast("double")) *
+              log((col(s"c_$i") * col("n_g")).cast("double") /
+                (col(s"n_$i") * col(s"c_gt")).cast("double")) *
+              1000000.0).cast("long")).otherwise(0L)).as(s"kl_$i")): _*)
+        .crossJoin(broadcast(tot))
+      // unpivot the 1×3K row into (source, n_tokens, n_types, kl_1e6)
+      val stackArgs = (0 until k).map { i =>
+        val q = srcs(i).replace("'", "''")
+        s"'$q', n_$i, v_$i, kl_$i"
+      }.mkString(", ")
+      sums.select(expr(
+          s"stack($k, $stackArgs) AS (source, n_tokens, n_types, kl_1e6)"))
         .orderBy(col("source"))
     }),
 
