@@ -80,6 +80,30 @@ object VectorQueries extends QueryGroup {
       }
     }
 
+  /** q156's TUNED trained index (r13, verdict item 3): the finest
+    * granularity the recall hunt measured (seed vec_id % 17 — ~6% of
+    * the corpus as centroids), one Lloyd round over the full table.
+    * Committed operating point: recall@5 0.745 at 21.2% scanned
+    * fraction with nprobe=25 (AnnRecall r13 ledger row
+    * ivf_trained_f17_i1) — past the ≥0.70 @ ≤25% bar; the 3-iter
+    * variant reaches 0.79 at 24.6% (nprobe=29). Granularity, not
+    * training depth, is the recall-per-scan dial on this corpus:
+    * i1 ≈ i3 at every index this table has measured. */
+  private def trainedF17IvfCentroids(s: SparkSession, d: String): DataFrame =
+    ivfCache.synchronized {
+      val key = (s, d + "#f17")
+      Option(ivfCache.get(key)).getOrElse {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"))
+        val cent0 = e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val trained = graft.operators.Similarity.kmeansTrain(
+          e, "vec_id", "v", cent0, iters = 1).localCheckpoint(true)
+        ivfCache.put(key, trained)
+        trained
+      }
+    }
+
   // Native codegen kernels (graft.functions.VectorOps): same fold order
   // as the aggregate(zip_with(...)) HOF formulation but a primitive
   // tight loop directly over the parquet float arrays — no interpreted
@@ -307,6 +331,22 @@ object VectorQueries extends QueryGroup {
       val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
       graft.operators.Similarity.ivfTopK(
         e.filter(col("vec_id") =!= 1), "vec_id", "v", trained, q, 5, 8, decD)
+    }),
+
+    // IVF search at the TUNED operating point (r13, verdict item 3 —
+    // the ≥0.70-recall configuration): finest measured index (seed
+    // vec_id % 17, one Lloyd round over the full table), nprobe=25 →
+    // recall@5 0.745 at 21.2% scanned fraction (AnnRecall r13 ledger
+    // row ivf_trained_f17_i1; the 3-iter index reaches 0.79 @ 24.6%).
+    // Same hash-gated algebra as q154/q106: the oracle unrolls the
+    // training round and the probe in one CTE chain over the full
+    // table; only the index granularity and probe width moved.
+    "q156_ann_tuned_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val trained = trainedF17IvfCentroids(s, d)
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") =!= 1), "vec_id", "v", trained, q, 5, 25, decD)
     }),
 
     // SemDeDup-style semantic dedup (Similarity.semanticDedup): nearest-
@@ -683,6 +723,40 @@ object VectorQueries extends QueryGroup {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
          |probe AS (SELECT cid AS pcid FROM cent2, q
          |          ORDER BY ${duckCos("cent2.cv", "q.qv")} DESC, cid LIMIT 8)
+         |SELECT e.vec_id, CAST(CAST(${duckCos("e.v", "q.qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
+         |FROM e JOIN asg ON e.vec_id = asg.bid
+         |       JOIN probe ON asg.acid = probe.pcid, q
+         |WHERE e.vec_id <> 1
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    // q156 = q154's oracle chain at the tuned index: seed % 17, nprobe 25.
+    "q156_ann_tuned_search" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 17 = 0),
+         |asg1 AS (SELECT vec_id, cid, v FROM (
+         |  SELECT e.vec_id, cent.cid, e.v,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM e, cent) t WHERE rn = 1),
+         |px1 AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |               CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |        FROM asg1, unnest(range(1, len(v) + 1)) u(i)),
+         |upd1 AS (SELECT cid, list(CAST(sx AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS ncv
+         |         FROM (SELECT cid, pos, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx
+         |               FROM px1 GROUP BY 1, 2)
+         |         GROUP BY cid),
+         |cent2 AS MATERIALIZED (SELECT cent.cid, COALESCE(upd1.ncv, cent.cv) AS cv
+         |          FROM cent LEFT JOIN upd1 USING (cid)),
+         |asg AS (SELECT vec_id AS bid, cid AS acid FROM (
+         |  SELECT e.vec_id, cent2.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${duckCos("e.v", "cent2.cv")} DESC, cent2.cid) AS rn
+         |  FROM e, cent2) t WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+         |probe AS (SELECT cid AS pcid FROM cent2, q
+         |          ORDER BY ${duckCos("cent2.cv", "q.qv")} DESC, cid LIMIT 25)
          |SELECT e.vec_id, CAST(CAST(${duckCos("e.v", "q.qv")} AS DECIMAL(18,4)) AS DOUBLE) AS score
          |FROM e JOIN asg ON e.vec_id = asg.bid
          |       JOIN probe ON asg.acid = probe.pcid, q
