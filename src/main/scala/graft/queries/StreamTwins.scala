@@ -182,22 +182,28 @@ object StreamTwins extends QueryGroup {
     // Stream-stream interval join, batch twin (the streaming form — two
     // watermarked streams joined on key + time range — is
     // StreamingSpec's interval-join test): per purchase, clicks of the
-    // same user in the preceding 30 minutes. One shuffle on user_id;
-    // the range predicate evaluates inside the sort-merge join, so the
-    // per-user merge never materializes the cross product. At 100 TB
-    // both sides partition by user_id and the join stays co-located.
+    // same user in the preceding 30 minutes.
+    //
+    // r13 shape: both join sides came from the SAME events table, so
+    // the range join IS a per-user range-frame count — ONE scan and ONE
+    // exchange (partitionBy user, sort ts) with a conditional count
+    // over RANGE [-GapNs, -1], instead of two filtered scans + a
+    // left SMJ range join + a re-aggregation. CostProbe r13: 0.357 s
+    // window vs 0.435 s join at the 10× corpus, answers row-identical
+    // (the [pts-Gap, pts) predicate maps exactly to the inclusive
+    // integer-ns frame bounds [-GapNs, -1]). At 100 TB the shape is the
+    // same co-located per-user sort the SMJ needed, minus one exchange
+    // and one scan. The oracle keeps the textbook two-sided join SQL.
     "q61_interval_join" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("event_id").as("p_event"), col("ts").as("pts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("cts"))
-      p.join(c, col("pu") === col("cu") &&
-          col("cts") >= col("pts") - lit(GapNs) && col("cts") < col("pts"), "left")
-        .groupBy(col("pu"), col("p_event"), col("pts"))
-        .agg(count(col("cts")).as("n_clicks"))
-        .select(col("pu").as("user_id"), col("p_event").as("event_id"),
-          nsToStr(col("pts")).as("ts_s"), col("n_clicks"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-GapNs, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("n_clicks",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          nsToStr(col("ts")).as("ts_s"), col("n_clicks"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
