@@ -76,7 +76,16 @@ object Bucketed {
     * the two-hex-segment `<family>_<pathHex>_<contentHex>` shape that
     * [[contentSuffix]] produces; single-hex-suffix names ([[suffixFor]])
     * and arbitrary names are never collected, so tables fingerprinting a
-    * DIFFERENT source directory are structurally out of scope. */
+    * DIFFERENT source directory are structurally out of scope.
+    *
+    * Non-migration note (ADVICE r13): generations landed by the r12-era
+    * single-segment content-suffix scheme (`<family>_<contentHex>`) are
+    * NOT matched by this two-segment sweep, deliberately — a one-hex
+    * name is indistinguishable from a [[suffixFor]] path-hash table, and
+    * deleting those would break live per-SF tables. A warehouse that
+    * predates the two-segment scheme keeps any stale r12 generations
+    * until `DROP TABLE` by hand; fresh warehouses (every test/bench run
+    * here uses a per-session warehouse dir) never contain them. */
   private def dropStaleGenerations(spark: SparkSession, table: String): Unit = {
     val cut = table.lastIndexOf('_')
     if (cut <= 0 || !table.substring(cut + 1).matches("[0-9a-f]{1,16}")) return

@@ -200,65 +200,11 @@ object CurationQueries extends QueryGroup {
       val srcs = Tables.documents(s, d).select(col("source")).distinct()
         .orderBy(col("source"))
         .collect().map(_.getString(0)).toIndexedSeq
-      require(srcs.nonEmpty && srcs.size <= 256,
-        s"q143 conditional-count fusion expects a small source dim, " +
-          s"got ${srcs.size} — fall back to the two-dim join form")
-      val k = srcs.size
-      // source index resolved ONCE per document row, BEFORE the token
-      // explode — the conditional counts then compare a small int per
-      // token instead of running k string equalities per token (the
-      // string form measured 2.7 s vs 1.0 s at the 10× corpus)
-      val siCol = srcs.zipWithIndex.foldLeft(lit(-1)) {
-        case (acc, (src, i)) => when(col("source") === src, lit(i)).otherwise(acc)
-      }
-      // explode first, drop empties with a codegen ROW filter — the
-      // interpreted filter() array-HOF allocated a second array per doc
-      // and ran its lambda per element (token-count pass 1.11 s HOF vs
-      // 0.66 s row-filter at the 10× corpus, KlProbe r13)
-      val toks = Tables.documents(s, d).withColumn("si", siCol)
-        .select(col("si"),
-          explode(split(lower(col("text")), "[^a-z]+")).as("t"))
-        .where(col("t") =!= "")
-      // two-stage pivot: the token stream aggregates ONCE on (t, si)
-      // with a single narrow count buffer (map-side combine does the
-      // heavy lifting), and the k-wide conditional pivot then runs on
-      // the vocab×k count rows — not on every token (the one-stage
-      // k-wide agg measured 1.99 s vs 1.29 s at the 10× corpus)
-      val cst = toks.groupBy(col("t"), col("si")).agg(count(lit(1)).as("c"))
-      val dim = cst.groupBy(col("t")).agg(
-        sum(when(col("si") === 0, col("c")).otherwise(0L)).as("c_0"),
-        (1 until k).map(i =>
-          sum(when(col("si") === i, col("c")).otherwise(0L)).as(s"c_$i")) :+
-          sum(col("c")).as("c_gt"): _*)
-        .localCheckpoint() // narrow vocab-sized frame, two consumers
-      val tot = dim.agg(
-        sum(col("c_0")).as("n_0"),
-        ((1 until k).map(i => sum(col(s"c_$i")).as(s"n_$i")) ++
-          (0 until k).map(i =>
-            count(when(col(s"c_$i") > 0, 1)).as(s"v_$i")) :+
-          sum(col("c_gt")).as("n_g")): _*)
-      val withTot = dim.crossJoin(broadcast(tot))
-      val sums = withTot.agg(
-        sum(when(col("c_0") > 0,
-          floor((col("c_0").cast("double") / col("n_0").cast("double")) *
-            log((col("c_0") * col("n_g")).cast("double") /
-              (col("n_0") * col("c_gt")).cast("double")) *
-            1000000.0).cast("long")).otherwise(0L)).as("kl_0"),
-        (1 until k).map(i =>
-          sum(when(col(s"c_$i") > 0,
-            floor((col(s"c_$i").cast("double") / col(s"n_$i").cast("double")) *
-              log((col(s"c_$i") * col("n_g")).cast("double") /
-                (col(s"n_$i") * col(s"c_gt")).cast("double")) *
-              1000000.0).cast("long")).otherwise(0L)).as(s"kl_$i")): _*)
-        .crossJoin(broadcast(tot))
-      // unpivot the 1×3K row into (source, n_tokens, n_types, kl_1e6)
-      val stackArgs = (0 until k).map { i =>
-        val q = srcs(i).replace("'", "''")
-        s"'$q', n_$i, v_$i, kl_$i"
-      }.mkString(", ")
-      sums.select(expr(
-          s"stack($k, $stackArgs) AS (source, n_tokens, n_types, kl_1e6)"))
-        .orderBy(col("source"))
+      // The conditional-count fusion needs a small source dim (its
+      // pivot is k-wide); outside that envelope the unfused two-dim
+      // join form below carries the query instead of a hard failure.
+      if (srcs.nonEmpty && srcs.size <= 256) klMixtureFused(s, d, srcs)
+      else klMixtureJoined(s, d)
     }),
 
     // Exchange-free bucketed join (the warehouse co-location lever:
@@ -515,4 +461,110 @@ object CurationQueries extends QueryGroup {
         |                  1000000.0 + 0.5) AS BIGINT) AS slope_1e6
         |FROM m ORDER BY 1""".stripMargin
   )
+
+  /** q143 fused form — the r13 one-token-pass conditional-count pivot,
+    * valid when the source dim fits a k-wide aggregate (0 < k <= 256).
+    * Sources whose documents tokenize to zero tokens are dropped (the
+    * oracle derives its source dim from the tokenized stream, so they
+    * never appear there); the unpivot builds its rows from typed lit()
+    * structs, so no source string ever round-trips through SQL-literal
+    * escaping.
+    */
+  private[graft] def klMixtureFused(
+      s: SparkSession, d: String, srcs: IndexedSeq[String]): DataFrame = {
+    val k = srcs.size
+    // source index resolved ONCE per document row, BEFORE the token
+    // explode — the conditional counts then compare a small int per
+    // token instead of running k string equalities per token (the
+    // string form measured 2.7 s vs 1.0 s at the 10× corpus)
+    val siCol = srcs.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (src, i)) => when(col("source") === src, lit(i)).otherwise(acc)
+    }
+    // explode first, drop empties with a codegen ROW filter — the
+    // interpreted filter() array-HOF allocated a second array per doc
+    // and ran its lambda per element (token-count pass 1.11 s HOF vs
+    // 0.66 s row-filter at the 10× corpus, KlProbe r13)
+    val toks = Tables.documents(s, d).withColumn("si", siCol)
+      .select(col("si"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+      .where(col("t") =!= "")
+    // two-stage pivot: the token stream aggregates ONCE on (t, si)
+    // with a single narrow count buffer (map-side combine does the
+    // heavy lifting), and the k-wide conditional pivot then runs on
+    // the vocab×k count rows — not on every token (the one-stage
+    // k-wide agg measured 1.99 s vs 1.29 s at the 10× corpus)
+    val cst = toks.groupBy(col("t"), col("si")).agg(count(lit(1)).as("c"))
+    val dim = cst.groupBy(col("t")).agg(
+      sum(when(col("si") === 0, col("c")).otherwise(0L)).as("c_0"),
+      (1 until k).map(i =>
+        sum(when(col("si") === i, col("c")).otherwise(0L)).as(s"c_$i")) :+
+        sum(col("c")).as("c_gt"): _*)
+      .localCheckpoint() // narrow vocab-sized frame, two consumers
+    val tot = dim.agg(
+      sum(col("c_0")).as("n_0"),
+      ((1 until k).map(i => sum(col(s"c_$i")).as(s"n_$i")) ++
+        (0 until k).map(i =>
+          count(when(col(s"c_$i") > 0, 1)).as(s"v_$i")) :+
+        sum(col("c_gt")).as("n_g")): _*)
+    val withTot = dim.crossJoin(broadcast(tot))
+    val sums = withTot.agg(
+      sum(when(col("c_0") > 0,
+        floor((col("c_0").cast("double") / col("n_0").cast("double")) *
+          log((col("c_0") * col("n_g")).cast("double") /
+            (col("n_0") * col("c_gt")).cast("double")) *
+          1000000.0).cast("long")).otherwise(0L)).as("kl_0"),
+      (1 until k).map(i =>
+        sum(when(col(s"c_$i") > 0,
+          floor((col(s"c_$i").cast("double") / col(s"n_$i").cast("double")) *
+            log((col(s"c_$i") * col("n_g")).cast("double") /
+              (col(s"n_$i") * col(s"c_gt")).cast("double")) *
+            1000000.0).cast("long")).otherwise(0L)).as(s"kl_$i")): _*)
+      .crossJoin(broadcast(tot))
+    // unpivot the 1×3K row into (source, n_tokens, n_types, kl_1e6)
+    val outRows = (0 until k).map { i =>
+      struct(lit(srcs(i)).as("source"), col(s"n_$i").as("n_tokens"),
+        col(s"v_$i").as("n_types"), col(s"kl_$i").as("kl_1e6"))
+    }
+    sums.select(explode(array(outRows: _*)).as("r"))
+      .select(col("r.source").as("source"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_types").as("n_types"), col("r.kl_1e6").as("kl_1e6"))
+      .where(col("n_tokens") > 0L)
+      .orderBy(col("source"))
+  }
+
+  /** q143 unfused two-dim join form — the fallback when the source dim
+    * is empty or too wide (> 256) for the k-wide pivot: c_st and c_gt
+    * come from two aggregations over one shared token-count frame,
+    * joined back on token. Same exact-integer ratios and quantization
+    * as the fused plan, so the two forms are bit-identical where both
+    * apply; the price of unbounded K is one extra vocabulary-sized
+    * shuffle + join. Handles an empty documents table by construction
+    * (every frame is empty → empty result, matching the oracle).
+    */
+  private[graft] def klMixtureJoined(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+      .where(col("t") =!= "")
+    val cst = toks.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // narrow (source, token, long) frame, 3 consumers
+    val ns = cst.groupBy(col("source")).agg(
+      sum(col("c_st")).as("n_s"), count(lit(1)).as("n_types"))
+    val cgt = cst.groupBy(col("t")).agg(sum(col("c_st")).as("c_gt"))
+    val ng = cgt.agg(sum(col("c_gt")).as("n_g"))
+    cst.join(cgt, "t")
+      .join(ns, "source")
+      .crossJoin(broadcast(ng))
+      .select(col("source"), col("n_s"), col("n_types"),
+        floor((col("c_st").cast("double") / col("n_s").cast("double")) *
+          log((col("c_st") * col("n_g")).cast("double") /
+            (col("n_s") * col("c_gt")).cast("double")) *
+          1000000.0).cast("long").as("term_1e6"))
+      .groupBy(col("source"), col("n_s"), col("n_types"))
+      .agg(sum(col("term_1e6")).as("kl_1e6"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
+        col("kl_1e6"))
+      .orderBy(col("source"))
+  }
 }

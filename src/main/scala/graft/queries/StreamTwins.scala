@@ -194,11 +194,21 @@ object StreamTwins extends QueryGroup {
     // integer-ns frame bounds [-GapNs, -1]). At 100 TB the shape is the
     // same co-located per-user sort the SMJ needed, minus one exchange
     // and one scan. The oracle keeps the textbook two-sided join SQL.
+    //
+    // Join-parity edge cases (ADVICE r13): a NULL user_id would form
+    // its own window partition (the join's === matches nothing), so
+    // NULL users are filtered up front — a free codegen row filter
+    // that restores the join semantics exactly. Duplicate purchase
+    // rows with identical (user_id, event_id, ts) would emit one row
+    // each where the old groupBy collapsed them; event_id is unique
+    // per event row in this table (and in any sane event log), so no
+    // dedup exchange is spent on it — assumption documented here.
     "q61_interval_join" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rangeBetween(-GapNs, -1)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .where(col("user_id").isNotNull)
         .withColumn("n_clicks",
           count(when(col("event_type") === "click", 1)).over(w))
         .filter(col("event_type") === "purchase")
