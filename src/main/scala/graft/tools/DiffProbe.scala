@@ -125,6 +125,16 @@ object DiffProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // both input scans alone (filter + key projection, no fingerprint):
+    // the floor under ANY diff plan that must read both snapshots
+    def scanOnly(): DataFrame = {
+      val (older, newer) = inputs()
+      older.select(col("o_orderkey").as("k"))
+        .unionByName(newer.select(col("o_orderkey").as("k")))
+        .select(xxhash64(col("k")).as("h"))
+        .agg(expr("bit_xor(h)").as("s"))
+    }
+
     def fpScanFast(): DataFrame = {
       val (older, newer) = inputs()
       fingerprintFast(older, "o_orderkey").withColumn("side", lit(0))
@@ -159,6 +169,7 @@ object DiffProbe {
     println("[diff-probe] fast-fingerprint answers identical")
 
     val shapes = Seq(
+      "scan_only" -> (() => noop(scanOnly())),
       "fp_scan" -> (() => noop(fpScan())),
       "join" -> (() => noop(joinShape())),
       "fused" -> (() => noop(fusedShape())),
