@@ -147,6 +147,27 @@ object AnnRecall {
       }
     }
 
+    // r14 (verdict item 4): "committed" mode re-measures ONLY the q156
+    // operating-point family at another corpus scale — the %17-seeded
+    // one-Lloyd-round index — with a caller-chosen nprobe list (the
+    // scan fraction is nprobe/nCent, and nCent grows with the corpus
+    // under a modulo seed, so the 10× frontier needs its own sweep).
+    //   runMain graft.tools.AnnRecall /tmp/sf1 5 50 committed 60,120,180,250
+    val mode = args.lift(3).getOrElse("full")
+    if (mode == "committed") {
+      val nprobes = args.lift(4)
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(20, 25))
+      val cent17 = base.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      ivfSweep("ivf_trained_f17_i1",
+        Similarity.kmeansTrain(base, "vec_id", "embedding", cent17, iters = 1),
+        nprobes)
+      println(s"""{"method":"brute_force","param":"exact","k":$k,""" +
+        s""""n_probes":$nProbes,"recall":1.0,"scanned_frac":1.0,"n_base":$nBase}""")
+      spark.stop()
+      return
+    }
+
     // fixed seed centroids: vec_id%101 sample (~1% of corpus)
     val cent = base.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
