@@ -189,6 +189,25 @@ object ScaleProbe {
     // for context (it scans the accumulated base — the read side, not
     // the maintenance side). Synthetic disjoint 2-cliques isolate the
     // store mechanics; pair GENERATION scaling is neardup_ingest's row.
+    // SpanStore maintenance (q110/q111's operator): like the profile
+    // store, append is blind (profiles only the delta batch) so its
+    // wall-clock must stay FLAT as the accumulated store grows f×; the
+    // read row is the store-scan side and may grow with f.
+    if (wanted("span_store_append")) {
+      import graft.operators.SpanStore
+      val delta = base.filter(col("doc_id") % 20 === 0)
+      for (f <- factors) {
+        val corpus = scaled(base.filter(col("doc_id") % 20 =!= 0), f)
+        val path = java.nio.file.Files
+          .createTempDirectory(s"sstore-scale-$f").toString
+        SpanStore.append(corpus, 5, path) // setup: f× store
+        val (sec, _) = time { SpanStore.append(delta, 5, path); 0L }
+        val (rsec, rows) = time(SpanStore.read(spark, path).count())
+        println(s"""{"op":"span_store_append","factor":$f,"sec":${f"$sec%.2f"},""" +
+          s""""read_sec":${f"$rsec%.2f"},"rows":$rows}""")
+      }
+    }
+
     if (wanted("cluster_store_delta")) {
       import graft.operators.ClusterStore
       for (f <- factors) {
