@@ -341,6 +341,58 @@ object VectorQueries extends QueryGroup {
     // Same hash-gated algebra as q154/q106: the oracle unrolls the
     // training round and the probe in one CTE chain over the full
     // table; only the index granularity and probe width moved.
+    // Incremental ANN index maintenance (r14): the operation between
+    // full retrains at 100 TB — a delta batch of new vectors arrives,
+    // gets assigned to the EXISTING trained cells (one broadcast
+    // centroid join, never delta × corpus), and each cell reports
+    // growth + assignment-quality drift and an exact-integer rebuild
+    // verdict. The index here is the q156 family trained on the BASE
+    // corpus only (the index predates the delta, so the delta must not
+    // influence training). Per-row cosines quantize to 1e-4 BEFORE the
+    // per-cell sums (the q72 fixed-point discipline), and the rebuild
+    // predicate is pure integer arithmetic — mean_delta < 0.95 ×
+    // mean_base as 100·Σd·n_b < 95·Σb·n_d — so both engines decide
+    // identically. Growth trigger: delta ≥ 10% of the cell's base.
+    "q157_ann_index_maintain" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+      val base = e.filter(col("vec_id") % 20 =!= 0)
+      val delta = e.filter(col("vec_id") % 20 === 0)
+      val cent0 = base.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val trained = graft.operators.Similarity.kmeansTrain(
+        base, "vec_id", "v", cent0, iters = 1).localCheckpoint(true)
+      def assign(side: DataFrame): DataFrame = side
+        .crossJoin(broadcast(trained))
+        .select(col("vec_id"), col("cid"), cosine(col("v"), col("cv")).as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cid"),
+          floor(col("cs") * 10000.0 + 0.5).cast("long").as("c4"))
+      val gb = assign(base).groupBy(col("cid")).agg(
+        count(lit(1)).as("n_base"), sum(col("c4")).as("cos_base_1e4"))
+      val gd = assign(delta).groupBy(col("cid")).agg(
+        count(lit(1)).as("n_delta"), sum(col("c4")).as("cos_delta_1e4"))
+      trained.select(col("cid"))
+        .join(gb, Seq("cid"), "left_outer")
+        .join(gd, Seq("cid"), "left_outer")
+        .select(col("cid"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          coalesce(col("cos_base_1e4"), lit(0L)).as("cos_base_1e4"),
+          coalesce(col("cos_delta_1e4"), lit(0L)).as("cos_delta_1e4"))
+        .withColumn("rebuild",
+          when(col("n_delta") === 0, lit(0L))
+            .when(col("n_base") === 0, lit(1L))
+            .when(col("n_delta") * 10 >= col("n_base"), lit(1L))
+            .when(lit(100L) * col("cos_delta_1e4") * col("n_base") <
+              lit(95L) * col("cos_base_1e4") * col("n_delta"), lit(1L))
+            .otherwise(lit(0L)))
+        .orderBy(col("cid"))
+    }),
+
     "q156_ann_tuned_search" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val trained = trainedF17IvfCentroids(s, d)
@@ -728,6 +780,63 @@ object VectorQueries extends QueryGroup {
          |       JOIN probe ON asg.acid = probe.pcid, q
          |WHERE e.vec_id <> 1
          |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    // q157 = the q154/q156 unrolled training chain over BASE ONLY
+    // (vec_id % 20 <> 0), then both sides assigned to the trained
+    // cells; per-cell 1e-4 cosine sums + the exact-integer rebuild
+    // predicate. Every cell of the index appears (LEFT joins from
+    // cent2), so the report covers the whole index.
+    "q157_ann_index_maintain" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |base AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+         |delta AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 17 = 0),
+         |asg1 AS (SELECT vec_id, cid, v FROM (
+         |  SELECT base.vec_id, cent.cid, base.v,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent.cv")} DESC, cent.cid) AS rn
+         |  FROM base, cent) t WHERE rn = 1),
+         |px1 AS (SELECT cid, CAST(u.i - 1 AS INT) AS pos,
+         |               CAST(floor(v[CAST(u.i AS INT)] * 1000000 + 0.5) AS BIGINT) AS xi
+         |        FROM asg1, unnest(range(1, len(v) + 1)) u(i)),
+         |upd1 AS (SELECT cid, list(CAST(sx AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS ncv
+         |         FROM (SELECT cid, pos, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx
+         |               FROM px1 GROUP BY 1, 2)
+         |         GROUP BY cid),
+         |cent2 AS MATERIALIZED (SELECT cent.cid, COALESCE(upd1.ncv, cent.cv) AS cv
+         |          FROM cent LEFT JOIN upd1 USING (cid)),
+         |ab AS (SELECT cid, c4 FROM (
+         |  SELECT base.vec_id, cent2.cid,
+         |         CAST(floor(${duckCos("base.v", "cent2.cv")} * 10000 + 0.5) AS BIGINT) AS c4,
+         |         ROW_NUMBER() OVER (PARTITION BY base.vec_id
+         |           ORDER BY ${duckCos("base.v", "cent2.cv")} DESC, cent2.cid) AS rn
+         |  FROM base, cent2) t WHERE rn = 1),
+         |ad AS (SELECT cid, c4 FROM (
+         |  SELECT delta.vec_id, cent2.cid,
+         |         CAST(floor(${duckCos("delta.v", "cent2.cv")} * 10000 + 0.5) AS BIGINT) AS c4,
+         |         ROW_NUMBER() OVER (PARTITION BY delta.vec_id
+         |           ORDER BY ${duckCos("delta.v", "cent2.cv")} DESC, cent2.cid) AS rn
+         |  FROM delta, cent2) t WHERE rn = 1),
+         |gb AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_base,
+         |              CAST(SUM(c4) AS BIGINT) AS cos_base_1e4 FROM ab GROUP BY 1),
+         |gd AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_delta,
+         |              CAST(SUM(c4) AS BIGINT) AS cos_delta_1e4 FROM ad GROUP BY 1)
+         |SELECT cent2.cid AS cid,
+         |       COALESCE(n_base, 0) AS n_base,
+         |       COALESCE(n_delta, 0) AS n_delta,
+         |       COALESCE(cos_base_1e4, 0) AS cos_base_1e4,
+         |       COALESCE(cos_delta_1e4, 0) AS cos_delta_1e4,
+         |       CAST(CASE WHEN COALESCE(n_delta, 0) = 0 THEN 0
+         |            WHEN COALESCE(n_base, 0) = 0 THEN 1
+         |            WHEN n_delta * 10 >= n_base THEN 1
+         |            WHEN 100 * cos_delta_1e4 * n_base <
+         |                 95 * cos_base_1e4 * n_delta THEN 1
+         |            ELSE 0 END AS BIGINT) AS rebuild
+         |FROM cent2 LEFT JOIN gb ON cent2.cid = gb.cid
+         |           LEFT JOIN gd ON cent2.cid = gd.cid
+         |ORDER BY cid""".stripMargin,
 
     // q156 = q154's oracle chain at the tuned index: seed % 17, nprobe 25.
     "q156_ann_tuned_search" ->
