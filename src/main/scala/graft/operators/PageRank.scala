@@ -92,20 +92,24 @@ object PageRank {
     // wtot derives exchange-free from a u-bucketed landing (groupBy on
     // the bucket key) and is |V|-sized — checkpointed once, it joins
     // co-partitioned in every round
+    // r14 loop shape: the rank vector carries its vertex's total
+    // incident weight, so each round is ONE contribution join + one
+    // completion join (see [[foldRanks]]) — algebra unchanged.
     val wtot = dir.groupBy(col("u")).agg(sum(col("w")).as("wt"))
       .localCheckpoint(true)
-    val init = wtot.select(col("u").as("v"), lit(Scale).as("pr"))
-    (1 to iters).foldLeft(init) { (pr, _) =>
+    val wtotV = wtot.select(col("u").as("v"), col("wt"))
+    val init = wtotV.select(col("v"), lit(Scale).as("pr"), col("wt"))
+    val last = (1 to iters).foldLeft(init) { (rank, _) =>
       val sums = dir
-        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
-        .join(wtot, Seq("u"))
+        .join(rank.select(col("v").as("u"), col("pr"), col("wt")), Seq("u"))
         .select(col("v"), expr("(pr * w) div wt").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("m"))
-      wtot.select(col("u").as("v"))
-        .join(sums, Seq("v"), "left")
+      wtotV.join(sums, Seq("v"), "left")
         .select(col("v"),
-          (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"))
+          (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"),
+          col("wt"))
     }
+    last.select(col("v"), col("pr"))
   }
 
   /** PERSONALIZED integer PageRank (Page et al. 1999 §6; the
@@ -129,28 +133,30 @@ object PageRank {
   def ranksPersonalizedOnPrepared(dir: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    // r14 loop shape (see [[foldRanks]]): the per-vertex statics —
+    // out-degree AND the seed restart indicator — ride the rank vector
+    // (seedV below is the one checkpointed (v, d, s) frame), so each
+    // round is ONE contribution join + ONE completion join instead of
+    // the old deg + seed + sums triple. Algebra unchanged.
     val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
+    val seedV = deg
+      .join(seeds.toDF("u").distinct().withColumn("__s", lit(1L)),
+        Seq("u"), "left")
+      .select(col("u").as("v"), col("d"), coalesce(col("__s"), lit(0L)).as("s"))
       .localCheckpoint(true)
-    val seed = deg.select(col("u"))
-      .join(seeds.toDF("u").distinct(), Seq("u"), "left_semi")
-      .withColumn("s", lit(1L))
-      .localCheckpoint(true)
-    val init = deg.select(col("u").as("v"))
-      .join(seed.select(col("u").as("v"), col("s")), Seq("v"), "left")
-      .select(col("v"), (coalesce(col("s"), lit(0L)) * Scale).as("pr"))
-    (1 to iters).foldLeft(init) { (pr, _) =>
+    val init = seedV.select(col("v"), (col("s") * Scale).as("pr"), col("d"))
+    val last = (1 to iters).foldLeft(init) { (rank, _) =>
       val sums = dir
-        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
-        .join(deg, Seq("u"))
+        .join(rank.select(col("v").as("u"), col("pr"), col("d")), Seq("u"))
         .select(col("v"), expr("pr div d").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("m"))
-      deg.select(col("u").as("v"))
-        .join(seed.select(col("u").as("v"), col("s")), Seq("v"), "left")
-        .join(sums, Seq("v"), "left")
+      seedV.join(sums, Seq("v"), "left")
         .select(col("v"),
-          (coalesce(col("s"), lit(0L)) * 150000L +
-            expr("(17 * coalesce(m, 0L)) div 20")).as("pr"))
+          (col("s") * 150000L +
+            expr("(17 * coalesce(m, 0L)) div 20")).as("pr"),
+          col("d"))
     }
+    last.select(col("v"), col("pr"))
   }
 
   /** (v, pr) after `iters` rounds, over the undirected graph's
@@ -171,17 +177,34 @@ object PageRank {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
     val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
       .localCheckpoint(true)
-    val init = deg.select(col("u").as("v"), lit(Scale).as("pr"))
-    (1 to iters).foldLeft(init) { (pr, _) =>
+    foldRanks(dir, deg, iters)
+  }
+
+  /** One-join-per-iteration variant (r14): the rank vector CARRIES its
+    * vertex's out-degree, so the loop's contribution join needs no
+    * second deg lookup, and the round-close completion join re-attaches
+    * d from the checkpointed degree frame while it fills the damping
+    * default — 2 joins per round instead of 3 (the per-round broadcast
+    * build of deg was pure stage latency at bench scale, and at cluster
+    * scale one fewer |V|-row hash relation per round). Algebra is
+    * UNCHANGED — same BIGINT floor-division recursion, same vertex
+    * completion — so results are bit-identical to [[ranksOnPrepared]]
+    * (PageRankBucketedSpec parity test + the q118 oracle hash pin
+    * both cover it). */
+  private[operators] def foldRanks(dir: DataFrame, deg: DataFrame,
+      iters: Int): DataFrame = {
+    val degV = deg.select(col("u").as("v"), col("d"))
+    val init = degV.select(col("v"), lit(Scale).as("pr"), col("d"))
+    val last = (1 to iters).foldLeft(init) { (rank, _) =>
       val sums = dir
-        .join(pr.select(col("v").as("u"), col("pr")), Seq("u"))
-        .join(deg, Seq("u"))
+        .join(rank.select(col("v").as("u"), col("pr"), col("d")), Seq("u"))
         .select(col("v"), expr("pr div d").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("m"))
-      deg.select(col("u").as("v"))
-        .join(sums, Seq("v"), "left")
+      degV.join(sums, Seq("v"), "left")
         .select(col("v"),
-          (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"))
+          (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"),
+          col("d"))
     }
+    last.select(col("v"), col("pr"))
   }
 }
