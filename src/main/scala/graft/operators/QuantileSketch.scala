@@ -60,6 +60,25 @@ object QuantileSketch {
         prio.as("prio"), col(keyCol).as("key"))
   }
 
+  /** [[bottomK]] over a PRE-COMPUTED priority column (r14): callers
+    * that reuse one hashed pass for several consumers (q142 shares the
+    * scan between the sketch and its exact twin) pass prio directly and
+    * drop the key payload. Ties order by (prio, value) only — without
+    * the key tiebreak the kept ROWS may differ under a 64-bit prio
+    * collision at equal value, but the kept (group, value, prio)
+    * MULTISET is identical (tied rows are indistinguishable in it), so
+    * every downstream estimate is unchanged. */
+  def bottomKPre(df: DataFrame, groupCol: String, valueCol: String,
+      prioCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(prioCol), col(valueCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(valueCol).as("value"),
+        col(prioCol).as("prio"))
+  }
+
   /** Quantile estimates from the sketch rows: per group, quantile p ≈
     * the ⌈p·n_kept⌉-th smallest kept value. */
   def estimates(sketch: DataFrame, groupCol: String,

@@ -149,11 +149,26 @@ object CurationQueries extends QueryGroup {
       // cost; whole dollars (104 k distinct) keep the resolution
       // meaningful and the exact side histogram-sized (measured 4.4 s
       // -> ~1 s at sf0.1)
-      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
-        floor(col("l_extendedprice")).cast("long").as("usd"),
-        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("kstr"))
-      val sk = graft.operators.QuantileSketch.bottomK(
-        li, "g", "usd", "kstr", k = 128)
+      // r14 SketchProbe ledger: the 600 k-row scan+concat+fnv1a input
+      // pass WAS the query (0.65 s of 1.58 isolated) and both branches
+      // paid it. Now: spread (the fixture file is one row group — scan
+      // is one task without it; no-op at scale), hash ONCE into a
+      // narrow (g, usd, prio) frame, eager-checkpoint it (q32 pattern,
+      // inside the timed run), and feed the sketch AND the exact twin
+      // from the same pass. bottomKPre's (prio, value) tie-order keeps
+      // the kept multiset identical (operator scaladoc), so the answer
+      // is unchanged — oracle re-pinned both SFs.
+      val li = Tables.spread(Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_returnflag").as("g"),
+          floor(col("l_extendedprice")).cast("long").as("usd"),
+          graft.operators.QuantileSketch.priority(
+            concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+            .as("prio"))
+        .localCheckpoint(eager = true)
+      val sk = graft.operators.QuantileSketch.bottomKPre(
+        li, "g", "usd", "prio", k = 128)
       val est = graft.operators.QuantileSketch.estimates(sk, "g",
         Seq("est_p50" -> 0.5, "est_p95" -> 0.95))
       val cw = Window.partitionBy(col("g")).orderBy(col("usd"))

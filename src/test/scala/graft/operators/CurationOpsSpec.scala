@@ -172,6 +172,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(whole === merged)
   }
 
+  test("bottomKPre over a precomputed priority equals bottomK's multiset") {
+    // r14: q142 shares one hashed pass between sketch and exact twin —
+    // the pre-hashed form must keep the (g, value, prio) multiset of
+    // the key-hashing form (ties order by (prio, value) only, which is
+    // multiset-invariant because tied rows carry equal value).
+    val rows = (1 to 500).map(i => ("g" + i % 3, i.toLong * 7 % 100, s"key-$i"))
+    val df = rows.toDF("g", "v", "kid")
+    val viaKey = QuantileSketch.bottomK(df, "g", "v", "kid", 16)
+      .select($"g", $"value", $"prio")
+      .orderBy($"g", $"prio", $"value")
+      .as[(String, Long, Long)].collect().toSeq
+    val pre = df.withColumn("p", QuantileSketch.priority($"kid"))
+    val viaPre = QuantileSketch.bottomKPre(pre, "g", "v", "p", 16)
+      .orderBy($"g", $"prio", $"value")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(viaKey === viaPre)
+  }
+
   test("quantile sketch estimates are the sample's order statistics") {
     // values 1..100 under one group with k >= n: estimates are exact
     val df = (1 to 100).map(i => ("g", i.toLong, s"u$i")).toDF("g", "v", "kid")
