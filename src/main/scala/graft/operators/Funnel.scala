@@ -45,15 +45,20 @@ object Funnel {
     // NULL entities drop explicitly (review fix): the old full-stream
     // INNER join dropped them implicitly (NULL keys never match); the
     // slim-stream LEFT join would carry an all-NULL-stage row through
-    // and inflate n_entities by one
-    val ents = base.select(col("__e")).filter(col("__e").isNotNull).distinct()
-    val slim = base.filter(col("__ty").isin(stages: _*))
+    // and inflate n_entities by one.
+    // r14: stage 0 folds into the entity-universe aggregation — one
+    // groupBy(__e) over the full stream yields every entity AND its
+    // min stage-0 time (stage 0 has no prior-stage threshold, so no
+    // join is needed for it); the old shape paid a distinct + a join +
+    // an aggregation for the same rows. Stages 1..k chain as before.
+    val acc0 = base.filter(col("__e").isNotNull)
+      .groupBy(col("__e"))
+      .agg(min(when(col("__ty") === stages.head, col("__ts"))).as("t0"))
+    val slim = base.filter(col("__ty").isin(stages.drop(1): _*))
       .localCheckpoint(true) // consumed once per stage below
-    stages.zipWithIndex.foldLeft(ents) {
+    stages.zipWithIndex.drop(1).foldLeft(acc0) {
       case (acc, (st, i)) =>
-        val cond =
-          if (i == 0) col("__ty") === st
-          else col("__ty") === st && col("__ts") > col(s"t${i - 1}")
+        val cond = col("__ty") === st && col("__ts") > col(s"t${i - 1}")
         // left join: an entity with no stage-type events must keep its
         // row (all-NULL stages), exactly as the full-stream inner join
         // against `base` used to provide via its non-stage rows

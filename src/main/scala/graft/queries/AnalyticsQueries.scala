@@ -86,17 +86,25 @@ object AnalyticsQueries extends QueryGroup {
     // epoch-days of the week start (never a rendered date), and the
     // offset division is exact (week starts differ by multiples of 7).
     "q116_retention_cohorts" -> ((s, d) => {
+      // r14 fusion (guide §2.4): the old shape scanned events twice and
+      // exchanged three times (signup agg by user, activity distinct by
+      // (user, week), then a join back on user). Both per-user facts —
+      // first signup ts and the distinct activity weeks — now come from
+      // ONE groupBy(user_id) pass (collect_set is bounded by the corpus
+      // week span, never the event count), the explode replays the old
+      // join rows exactly, and the rest of the algebra is untouched.
       val ev = Tables.events(s, d)
-      val cohort = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts_t")).as("t0"))
-        .select(col("user_id"),
-          unix_date(date_trunc("week", col("t0")).cast("date"))
-            .cast("long").as("cw"))
-      val activity = ev.select(col("user_id"),
+      val perUser = ev.select(col("user_id"), col("event_type"), col("ts_t"),
           unix_date(date_trunc("week", col("ts_t")).cast("date"))
             .cast("long").as("aw"))
-        .distinct()
-      cohort.join(activity, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts_t"))).as("t0"),
+          collect_set(col("aw")).as("aws"))
+        .filter(col("t0").isNotNull)
+        .select(unix_date(date_trunc("week", col("t0")).cast("date"))
+            .cast("long").as("cw"),
+          col("aws"))
+      perUser.select(col("cw"), explode(col("aws")).as("aw"))
         .filter(col("aw") >= col("cw"))
         .groupBy(col("cw").as("cohort_week"),
           ((col("aw") - col("cw")) / 7).cast("long").as("week_offset"))

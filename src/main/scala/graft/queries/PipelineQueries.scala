@@ -295,8 +295,12 @@ object PipelineQueries extends QueryGroup {
     // per-group rate dim is |langs|-sized and broadcast; everything
     // else is per-row integer algebra.
     "q104_mixture_sample" -> ((s, d) => {
-      val base = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), col("lang"))
+      // No spread here (r14): the per-row work is ONE integer LCG hash —
+      // not the compute-bound shape spread exists for — and base feeds
+      // two consumers, so the blind repartition cost TWO exchanges of
+      // the corpus per run (guide §2.4: remove shuffles outright). The
+      // |langs|-sized kept agg broadcasts into the rates dim.
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       val rates = graft.operators.Sampling.balancedRates(base, "lang")
       val kept = graft.operators.Sampling
         .balancedByGroup(base, "lang", "doc_id", rates)
@@ -304,7 +308,7 @@ object PipelineQueries extends QueryGroup {
         .agg(count(lit(1)).as("__k"), sum(col("doc_id")).cast("long").as("__s"))
       // left join from the rates dim: a group whose sample came up empty
       // still reports (n_kept = 0), matching the oracle's LEFT JOIN
-      rates.join(kept, Seq("lang"), "left")
+      rates.join(broadcast(kept), Seq("lang"), "left")
         .select(col("lang"), col("n").as("n_before"), col("rate_1e6"),
           coalesce(col("__k"), lit(0L)).as("n_kept"),
           coalesce(col("__s"), lit(0L)).as("sum_kept_ids"))
