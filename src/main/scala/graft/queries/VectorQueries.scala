@@ -357,27 +357,32 @@ object VectorQueries extends QueryGroup {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("v"))
       val base = e.filter(col("vec_id") % 20 =!= 0)
-      val delta = e.filter(col("vec_id") % 20 === 0)
       val cent0 = base.filter(col("vec_id") % 17 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val trained = graft.operators.Similarity.kmeansTrain(
         base, "vec_id", "v", cent0, iters = 1).localCheckpoint(true)
-      def assign(side: DataFrame): DataFrame = side
-        .crossJoin(broadcast(trained))
+      // r14: base and delta partition the corpus, so ONE fused
+      // assignment pass covers both — map-side-combining max(struct)
+      // (the Similarity.assignToCentroids kernel shape: partial agg
+      // collapses the n×C expansion before the exchange, no window
+      // sort) — and ONE per-cell conditional aggregation replaces the
+      // two aggs + two joins. Tie-break max (cs, −cid) ≡ the old
+      // ORDER BY cs DESC, cid (unique per pair, so deterministic);
+      // answer unchanged, oracle re-pinned at both SFs.
+      val best = e.crossJoin(broadcast(trained))
         .select(col("vec_id"), col("cid"), cosine(col("v"), col("cv")).as("cs"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cs").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("cid"),
-          floor(col("cs") * 10000.0 + 0.5).cast("long").as("c4"))
-      val gb = assign(base).groupBy(col("cid")).agg(
-        count(lit(1)).as("n_base"), sum(col("c4")).as("cos_base_1e4"))
-      val gd = assign(delta).groupBy(col("cid")).agg(
-        count(lit(1)).as("n_delta"), sum(col("c4")).as("cos_delta_1e4"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cid"),
+          floor(col("m.cs") * 10000.0 + 0.5).cast("long").as("c4"))
+      val isDelta = col("vec_id") % 20 === 0
+      val g = best.groupBy(col("cid")).agg(
+        count(when(!isDelta, lit(1))).as("n_base"),
+        count(when(isDelta, lit(1))).as("n_delta"),
+        sum(when(!isDelta, col("c4"))).as("cos_base_1e4"),
+        sum(when(isDelta, col("c4"))).as("cos_delta_1e4"))
       trained.select(col("cid"))
-        .join(gb, Seq("cid"), "left_outer")
-        .join(gd, Seq("cid"), "left_outer")
+        .join(g, Seq("cid"), "left_outer")
         .select(col("cid"),
           coalesce(col("n_base"), lit(0L)).as("n_base"),
           coalesce(col("n_delta"), lit(0L)).as("n_delta"),
