@@ -29,7 +29,7 @@ done
 # tax that inflates the heavy tail (q56 +30%, q96 +47%).
 SPARK_GRAFT_BENCH_OUT="$OUT" java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-16g}" \
+  -Xms"${SPARK_DRIVER_MEM:-16g}" -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench > "$OUT".raw 2> "$OUT".log
 # fallback for older classes that don't write SPARK_GRAFT_BENCH_OUT: the
