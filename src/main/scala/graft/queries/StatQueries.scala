@@ -116,9 +116,20 @@ object StatQueries extends QueryGroup {
     // broadcast left join in CountMin.estimate.
     "q112_countmin_heavy" -> ((s, d) => {
       import graft.operators.CountMin
-      val li = Tables.lineitem(s, d)
-      val sketch = CountMin.build(li, col("l_suppkey"), lit(1L))
-      val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+      // r14 shared pass (guide §2.3 "aggregate before you shuffle"):
+      // the sketch is LINEAR in its weights, so build(raw, w=1) ≡
+      // build(perKeyCounts, w=cnt) cell-for-cell — one corpus scan +
+      // one map-side-combined groupBy(key) feeds BOTH the grid build
+      // and the exact top-10, and the ×depth explode runs over |keys|
+      // rows instead of every corpus row (CountMinSpec pins the
+      // equivalence; isolated A/B in OPTIMIZATION_r14.md). The eager
+      // localCheckpoint is the multi-consumer convention (q32): both
+      // consumers read the computed pass, not the lineage.
+      val perKey = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint(true)
+      val sketch = CountMin.build(perKey, col("l_suppkey"), col("exact_cnt"))
+      val top = perKey
         .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
       CountMin.estimate(sketch, top, "l_suppkey")
         .select(col("l_suppkey"), col("exact_cnt"), col("cm_est"))
@@ -288,12 +299,22 @@ object StatQueries extends QueryGroup {
     "q127_countmin_incremental" -> ((s, d) => {
       import graft.operators.CountMin
       val hist = s.read.parquet(storedCmSketch(s, d))
-      val delta = CountMin.build(
-        Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0),
-        col("l_suppkey"), lit(1L))
+      // r14 shared pass (the q112 linearity rewrite): ONE corpus scan +
+      // one groupBy(key) yields both the exact top-10 counts and the
+      // delta slice's per-key counts; the delta grid builds from the
+      // per-key weights (cell-identical by sketch linearity — the
+      // delta_cnt>0 filter drops keys with no delta rows, exactly the
+      // keys the raw build never saw).
+      val perKey = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("exact_cnt"),
+          sum(when(col("l_orderkey") % 5 === 0, 1L).otherwise(0L))
+            .as("delta_cnt"))
+        .localCheckpoint(true)
+      val delta = CountMin.build(perKey.filter(col("delta_cnt") > 0),
+        col("l_suppkey"), col("delta_cnt"))
       val sketch = CountMin.merge(hist, delta)
-      val top = Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+      val top = perKey
         .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
       CountMin.estimate(sketch, top, "l_suppkey")
         .select(col("l_suppkey"), col("exact_cnt"), col("cm_est"))
@@ -386,7 +407,7 @@ object StatQueries extends QueryGroup {
         size() > 8
     }
 
-  private def storedCmSketch(s: SparkSession, d: String): String =
+  private[graft] def storedCmSketch(s: SparkSession, d: String): String =
     cmStores.synchronized { Option(cmStores.get((s, d))).getOrElse {
       val path = java.nio.file.Files.createTempDirectory("graft-q127").toString
       graft.operators.CountMin.build(

@@ -58,4 +58,15 @@ class CountMinSpec extends SparkTestBase {
       .select($"cm_est").as[Long].collect().head
     assert(est >= 1L)
   }
+
+  test("linearity: build over per-key counts equals build over raw rows") {
+    // the q112/q127 r14 shared-pass rewrite relies on this cell-for-cell
+    val df = freqs
+    val raw = CountMin.build(df, col("k"), lit(1L), width = 64)
+      .orderBy($"r", $"c").as[(Int, Int, Long)].collect().toSeq
+    val perKey = df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+    val pre = CountMin.build(perKey, col("k"), col("cnt"), width = 64)
+      .orderBy($"r", $"c").as[(Int, Int, Long)].collect().toSeq
+    assert(pre === raw)
+  }
 }
