@@ -255,6 +255,12 @@ object CurationQueries extends QueryGroup {
     // diff→apply path breaks the hash (the q111/q132 store≡scratch
     // discipline pointed at CDC merge).
     "q149_diff_apply" -> ((s, d) => {
+      // (r14 measured dead end: eager-checkpointing the orders scan to
+      // collapse the chain's 5 parquet scans to 1 LOST at the 10×
+      // corpus — 1.80 → 2.04 s median, PassProbe — because the
+      // materialization writes full-width payload rows while re-scans
+      // of a page-cached parquet are nearly free, the q124 lesson. The
+      // multi-scan shape stands; only 16-byte (k, fp) rows shuffle.)
       val o = Tables.orders(s, d)
       val older = o.filter(col("o_orderkey") % 10 =!= 3)
       val newer = o.filter(col("o_orderkey") % 10 =!= 7)

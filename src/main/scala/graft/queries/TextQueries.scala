@@ -371,8 +371,17 @@ object TextQueries extends QueryGroup {
     // hash — vocabulary-sized, never a corpus broadcast; the totals
     // row is the only broadcast (3 scalars).
     "q93_dsir_weights" -> ((s, d) => {
+      // r14: the token stream feeds two consumers (the per-token dim
+      // aggregation and the per-doc scoring join) — tokenizing twice
+      // was a full second regex pass over the corpus. One eager
+      // localCheckpoint of the PRE-explode (doc_id, lang, th) frame
+      // (arrays, narrower than the exploded stream) tokenizes once;
+      // both consumers explode from the materialized blocks (q32/q142
+      // convention).
       val docs = Tables.spread(Tables.documents(s, d))
-        .withColumn("th", graft.operators.TextDedup.tokenHashes(col("text")))
+        .select(col("doc_id"), col("lang"),
+          graft.operators.TextDedup.tokenHashes(col("text")).as("th"))
+        .localCheckpoint(true)
       val stream = docs.select(col("doc_id"), col("lang"), explode(col("th")).as("t"))
       val dim = stream.groupBy(col("t")).agg(
         count(lit(1)).as("cb"),
@@ -395,8 +404,14 @@ object TextQueries extends QueryGroup {
     }),
 
     "q72_ngram_lm_score" -> ((s, d) => {
+      // r14: four consumers (uni dim, bigram dim, vocab, probe side)
+      // re-tokenized the corpus three times (plan: 3 parquet scans).
+      // Tokenize ONCE into a checkpointed (doc_id, th) frame — project
+      // early (guide §2.3): only those two columns cross.
       val th = graft.operators.TextDedup.tokenHashes(col("text"))
-      val docs = Tables.spread(Tables.documents(s, d)).withColumn("th", th)
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), th.as("th"))
+        .localCheckpoint(true)
       // non-distinct streams: counts need multiplicity
       val uniStream = docs.select(col("doc_id"), explode(col("th")).as("t1"))
       val bigStream = docs.select(col("doc_id"), explode(
@@ -448,6 +463,11 @@ object TextQueries extends QueryGroup {
     // ln() of the same exact integers is the same libm-grade double in
     // both engines; tfidf is irrational so the 1e4 render is tie-safe.
     "q63_text_tfidf" -> ((s, d) => {
+      // (r14 measured dead end: a checkpointed one-tokenize frame LOST
+      // at the 10× corpus — 0.69 → 0.87 s median, PassProbe — the df
+      // dim is the only full-corpus tokenize, the tf slice tokenizes
+      // 200 docs, so the materialization buys nothing. Unlike q72/q93,
+      // whose 2-3 full tokenize passes DID pay for one checkpoint.)
       val docs = Tables.spread(Tables.documents(s, d))
       // df straight off per-doc distinct tokens (in-row array_distinct →
       // explode → map-side-combining groupBy(token)): the corpus-wide
