@@ -63,12 +63,33 @@ object Triangles {
             (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("w"))
       .localCheckpoint(true)
-    val wedges = oriented.select(col("u"), col("w").as("v"))
-      .join(oriented.select(col("u").as("v"), col("w")), Seq("v"))
-    val tris = wedges.join(oriented, Seq("u", "w"), "leftsemi")
+    // r14: EDGE-ITERATOR over sorted adjacency arrays replaces the
+    // wedge join + (u,w) closure semi-join. A triangle u→v, v→w closed
+    // by u→w is counted exactly once at its base edge (u,v) as a member
+    // of N+(u) ∩ N+(v) — same orientation algebra, same exact count
+    // (TriProbe pins equality on the co-purchase graph at 1× and 10×;
+    // AnalyticsOpsSpec pins K4/star/parity). Why it wins: the closure
+    // probe shuffled |wedges| rows (Θ(Σ d_out²) — 10-50× |E| on dense
+    // graphs); this shape shuffles only |E|+|V| rows and does the same
+    // Θ(Σ d_out²) work inside array_intersect with no exchange. The
+    // per-vertex arrays are out-degree-sized, O(√m) by the orientation
+    // bound, so no hub array can exceed ~√(2m) entries — skew-safe by
+    // the same argument as the wedge form. Measured (TriProbe,
+    // interleaved medians): 9.07 → 6.60 s at the 10× graph (−27%),
+    // 1.07 → 0.99 s at sf0.1.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+    val tris = oriented
+      .join(adj, Seq("u"), "inner")
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nbrs_w")),
+        Seq("w"), "left")
+      .select(size(array_intersect(col("nbrs"),
+        coalesce(col("nbrs_w"), array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            oriented.schema("w").dataType))))).cast("long").as("t"))
     val nv = deg.agg(cnt(lit(1)).as("n_vertices"))
     val ne = e0.agg(cnt(lit(1)).as("n_edges"))
-    val nt = tris.agg(cnt(lit(1)).as("n_triangles"))
+    val nt = tris.agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     nv.crossJoin(ne).crossJoin(nt)
   }
 }
