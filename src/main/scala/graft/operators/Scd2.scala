@@ -61,4 +61,57 @@ object Scd2 {
   def asOf(scd2: DataFrame, at: Column): DataFrame =
     scd2.filter(col("eff_from") <= at &&
       (col("eff_to").isNull || col("eff_to") > at))
+
+  /** Point-in-time join for the case where the FACT stream and the
+    * change stream are the same rows (each event both opens/extends a
+    * version and is itself a fact to stamp): returns `df` with the
+    * `version` and tracked value of the [[build]] row effective at the
+    * fact's own instant — without building the dimension or joining.
+    *
+    * Identity (window form of `facts ⋈ build(df)` on
+    * `eff_from <= f_t AND (eff_to IS NULL OR eff_to > f_t)`): versions
+    * of one entity are ordered by (time, tie) with eff_to_v =
+    * eff_from_{v+1}, so the end-exclusive interval containing f_t is
+    * exactly the LAST change row with time <= f_t —
+    * max{v : t_v <= f_t}. (⇐: maximality gives t_{v+1} > f_t or v
+    * open; ⇒: any earlier v has t_{v+1} <= f_t, any later has
+    * t_v > f_t. A zero-width version has t_{v+1} = t_v <= f_t so it is
+    * never the max — the skip rule for same-instant changes falls out.)
+    * Every fact's time >= its entity's first change time (that change
+    * is the entity's (time,tie)-minimal row), so the max is never NULL.
+    *
+    * Plan shape: ONE exchange on the entity hash; the change-marking
+    * window sorts by (entity, time, tie) and the effective-version
+    * window's (entity, time) requirement is a prefix of that order, so
+    * no second sort and no join — the hot-entity O(facts × versions)
+    * sort-merge residual of the join form is structurally gone.
+    * Peer semantics: the second window's default RANGE frame up to
+    * CURRENT ROW includes same-instant peers, which is precisely the
+    * eff_from <= f_t inclusivity.
+    */
+  def asOfSameSource(df: DataFrame, entity: String, time: String,
+      tie: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(time), col(tie))
+    val wt = Window.partitionBy(col(entity)).orderBy(col(time))
+    val marked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .withColumn("__chg",
+        col("__rn") === 1 || !(col(value) <=> col("__prev")))
+      // running change count in (time, tie) order = the version a
+      // change row opens; only consulted at change rows below
+      .withColumn("__ver",
+        sum(when(col("__chg"), 1L).otherwise(0L)).over(w))
+    marked
+      // last change at-or-before this fact's instant: max over the
+      // default RANGE frame (peers included); struct orders by __ver
+      // first and versions are distinct per entity, so the tracked
+      // value rides along without influencing the max
+      .withColumn("__eff",
+        max(when(col("__chg"), struct(col("__ver"), col(value))))
+          .over(wt))
+      .withColumn("version", col("__eff.__ver"))
+      .withColumn(value, col(s"__eff.$value"))
+      .drop("__rn", "__prev", "__chg", "__ver", "__eff")
+  }
 }

@@ -75,6 +75,38 @@ class HistoryGraphOpsSpec extends SparkTestBase {
       === Seq("C"))
   }
 
+  test("scd2 asOfSameSource equals the PIT join when facts are the change stream") {
+    // the r14 q134 rewrite's identity, pinned on the nasty fixture:
+    // same-instant changes (zero-width version), a NULL tracked value,
+    // runs that collapse, and two entities — every source row stamped
+    // with the version effective AT ITS OWN INSTANT must equal the
+    // end-exclusive interval join against the built dimension
+    val src = Seq[(Long, Long, Long, Option[String])](
+      (1L, 10L, 1L, Some("A")), (1L, 10L, 2L, Some("B")), // zero-width v1
+      (1L, 20L, 3L, Some("B")),                           // run continues
+      (1L, 30L, 4L, None),                                // NULL tracked
+      (1L, 30L, 5L, Some("C")),                           // zero-width v3
+      (1L, 40L, 6L, Some("C")),
+      (2L, 15L, 1L, Some("X")), (2L, 15L, 2L, Some("X")))
+      .toDF("ent", "t", "tie", "v")
+    val dim = Scd2.build(src, "ent", "t", "tie", "v")
+    val viaJoin = src.select($"ent".as("f_ent"), $"t".as("f_t"),
+        $"tie".as("f_tie"))
+      .join(dim, $"f_ent" === $"ent" && $"eff_from" <= $"f_t" &&
+        ($"eff_to".isNull || $"eff_to" > $"f_t"))
+      .select($"f_ent", $"f_t", $"f_tie", $"version", $"v")
+      .as[(Long, Long, Long, Long, Option[String])].collect().toSeq.sorted
+    val viaWindow = Scd2.asOfSameSource(src, "ent", "t", "tie", "v")
+      .select($"ent", $"t", $"tie", $"version", $"v")
+      .as[(Long, Long, Long, Long, Option[String])].collect().toSeq.sorted
+    assert(viaJoin === viaWindow)
+    assert(viaWindow.size === 8) // every fact matched exactly once
+    // the same-instant fact at (1, 10) adopts the LAST same-instant
+    // version (tie 2 opened v2) for BOTH tie rows — the zero-width skip
+    assert(viaWindow.filter(r => r._1 == 1L && r._2 == 10L)
+      .map(_._4).toSet === Set(2L))
+  }
+
   // ---- Bfs ----
 
   test("bfs hop distances from multiple seeds, min over paths") {
