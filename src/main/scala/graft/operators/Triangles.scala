@@ -43,8 +43,8 @@ object Triangles {
     * are ContextCleaner-freed when the result goes unreachable. */
   def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
@@ -71,22 +71,35 @@ object Triangles {
     // AnalyticsOpsSpec pins K4/star/parity). Why it wins: the closure
     // probe shuffled |wedges| rows (Θ(Σ d_out²) — 10-50× |E| on dense
     // graphs); this shape shuffles only |E|+|V| rows and does the same
-    // Θ(Σ d_out²) work inside array_intersect with no exchange. The
-    // per-vertex arrays are out-degree-sized, O(√m) by the orientation
-    // bound, so no hub array can exceed ~√(2m) entries — skew-safe by
-    // the same argument as the wedge form. Measured (TriProbe,
-    // interleaved medians): 9.07 → 6.60 s at the 10× graph (−27%),
-    // 1.07 → 0.99 s at sf0.1.
+    // Θ(Σ d_out²) work per edge with no exchange. The per-vertex
+    // arrays are out-degree-sized, O(√m) by the orientation bound, so
+    // no hub array can exceed ~√(2m) entries — skew-safe by the same
+    // argument as the wedge form. Measured (TriProbe, interleaved
+    // medians): 9.07 → 6.60 s at the 10× graph (−27%), 1.07 → 0.99 s
+    // at sf0.1.
+    //
+    // r14 second cut, two per-task savings on the same algebra:
+    //  - the oriented edge list with N+(u) attached IS the exploded
+    //    adjacency table (w ∈ nbrs_u by construction), so the first
+    //    array-attach join disappears — explode(adj) replays each edge
+    //    row with its source array already in hand, and only ONE join
+    //    (N+(w) onto the edge's head) remains;
+    //  - the per-edge intersection runs in the SortedIntersectCount
+    //    codegen kernel (two-pointer walk over the already-sorted
+    //    arrays) instead of size(array_intersect(...)), which built a
+    //    hash set AND materialized the intersection array per edge only
+    //    to discard it.
+    // Same count on identical inputs (spec + TriProbe equality gate);
+    // ids go through LongType so the kernel is monomorphic.
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("w"))).as("nbrs"))
-    val tris = oriented
-      .join(adj, Seq("u"), "inner")
+    val tris = adj
+      .select(col("nbrs"), explode(col("nbrs")).as("w"))
       .join(adj.select(col("u").as("w"), col("nbrs").as("nbrs_w")),
         Seq("w"), "left")
-      .select(size(array_intersect(col("nbrs"),
-        coalesce(col("nbrs_w"), array().cast(
-          org.apache.spark.sql.types.ArrayType(
-            oriented.schema("w").dataType))))).cast("long").as("t"))
+      .select(coalesce(
+        graft.functions.SortedArrayOps.sortedIntersectCount(
+          col("nbrs"), col("nbrs_w")), lit(0L)).as("t"))
     val nv = deg.agg(cnt(lit(1)).as("n_vertices"))
     val ne = e0.agg(cnt(lit(1)).as("n_edges"))
     val nt = tris.agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))

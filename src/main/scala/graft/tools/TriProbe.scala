@@ -6,13 +6,12 @@ import org.apache.spark.sql.functions.{count => cnt}
 import graft.Tables
 import graft.operators.CoOccur
 
-/** r14 A/B: q115 triangle counting — the committed compact-forward
-  * WEDGE JOIN (oriented ⋈ oriented on v, then a (u,w) semi-join
-  * against the edge list: the closure probe shuffles |wedges| rows)
-  * vs an EDGE-ITERATOR over sorted adjacency arrays (adj =
-  * collect_list per source vertex; per edge (u,w) count
-  * |N+(u) ∩ N+(w)| via array_intersect: shuffles only |E|+|V| rows,
-  * same Θ(Σ d_out²) compute). Same orientation, same exact count.
+/** r14 A/B: q115 triangle counting — whatever Triangles.count at HEAD
+  * declares (first the edge-iterator replacing the wedge closure join;
+  * then the SortedIntersectCount codegen kernel replacing
+  * size(array_intersect)) vs the FROZEN array_intersect edge-iterator
+  * body below, so each cut is measured against the previous committed
+  * shape. Same orientation, same exact count, equality-gated.
   * Interleaved A,B,A,B. Usage: runMain graft.tools.TriProbe [sfDir] [reps]
   */
 object TriProbe {
@@ -37,10 +36,10 @@ object TriProbe {
     }
 
     // the committed operator
-    def wedge(s: SparkSession, d: String): DataFrame =
+    def committed(s: SparkSession, d: String): DataFrame =
       graft.operators.Triangles.count(edges(s, d), "a", "b")
 
-    // edge-iterator candidate (same canonicalization + orientation)
+    // frozen array_intersect edge-iterator (the first r14 cut's shape)
     def edgeIter(s: SparkSession, d: String): DataFrame = {
       val e = edges(s, d)
       val e0 = e
@@ -92,15 +91,17 @@ object TriProbe {
     }
 
     // answers must match before timing means anything
-    val a = wedge(spark, sfDir).collect().toSeq
+    val a = committed(spark, sfDir).collect().toSeq
     val b = edgeIter(spark, sfDir).collect().toSeq
-    println(s"[tri] wedge=$a edgeIter=$b match=${a.toString == b.toString}")
+    require(a.toString == b.toString,
+      s"committed=$a vs frozen=$b diverge")
+    println(s"[tri] committed=$a frozen=$b match=true")
 
     val (as, bs) = (Array.newBuilder[Double], Array.newBuilder[Double])
     (1 to reps).foreach { _ =>
-      as += time(wedge(spark, sfDir)); bs += time(edgeIter(spark, sfDir))
+      as += time(committed(spark, sfDir)); bs += time(edgeIter(spark, sfDir))
     }
-    report("wedge", as.result()); report("edgeiter", bs.result())
+    report("committed", as.result()); report("aintersect", bs.result())
     spark.stop()
   }
 }
