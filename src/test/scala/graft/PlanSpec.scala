@@ -347,16 +347,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("q134 point-in-time join is an equi-join on the entity key") {
-    // the range predicate must ride INSIDE an equality join on
-    // o_custkey (sort-merge or shuffled-hash with the interval as a
-    // residual condition) — never a BroadcastNestedLoop/cartesian over
-    // facts × versions, which would be quadratic at 100 TB
+  test("q134 point-in-time lookup is joinless windows over one entity exchange") {
+    // r14: facts and dimension derive from the same orders rows, so the
+    // PIT interval join is a window identity (Scd2.asOfSameSource) —
+    // the plan must contain NO join at all (the pre-r14 guard was
+    // "equi-join, never BroadcastNestedLoop/cartesian over facts ×
+    // versions"; joinless is strictly stronger) and exactly one
+    // hash-partitioning exchange on the entity key feeding the windows
+    // (the second exchange is the render sort's range partitioning).
     val p = plan("q134_scd2_pit")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size >= 1, p)
   }
 
   test("bucketed tables join without a shuffle (co-located join at scale)") {
