@@ -98,6 +98,41 @@ private[operators] object Csr {
     new Verts(idx, names)
   }
 
+  /** Directed weighted edge list: edge i is `src(i) -w(i)-> dst(i)`. */
+  final class WeightedEdges(val edges: Edges, val w: Array[Long])
+
+  /** [[collectEdges]] plus a third non-null integral weight column,
+    * same primitive streaming path (no boxing). */
+  def collectWeightedEdges(df: DataFrame, c1: String, c2: String,
+      cw: String): WeightedEdges = {
+    val plan = df.select(col(c1).cast("long"), col(c2).cast("long"),
+      col(cw).cast("long"))
+    val chunks = plan.queryExecution.toRdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalArgumentException(
+            "Csr.collectWeightedEdges: NULL edge field (documented " +
+              "non-null precondition) — filter nulls before the kernel")
+        b += r.getLong(0); b += r.getLong(1); b += r.getLong(2)
+      }
+      Iterator.single(b.result())
+    }.collect()
+    var total = 0
+    chunks.foreach(c => total += c.length / 3)
+    val src = new Array[Long](total)
+    val dst = new Array[Long](total)
+    val w = new Array[Long](total)
+    var k = 0
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) {
+        src(k) = c(i); dst(k) = c(i + 1); w(k) = c(i + 2); k += 1; i += 3
+      }
+    }
+    new WeightedEdges(new Edges(src, dst), w)
+  }
+
   /** CSR adjacency of the DIRECTED pairs over interned vertices:
     * out-neighbors of index i are `adj(off(i) until off(i + 1))`. */
   final class Graph(val verts: Verts, val off: Array[Int],
@@ -107,6 +142,31 @@ private[operators] object Csr {
     /** fresh out-degree array (mutable per caller) */
     def degrees: Array[Int] =
       Array.tabulate(n)(i => off(i + 1) - off(i))
+  }
+
+  /** [[build]] carrying per-edge weights aligned with `adj` order:
+    * weight of the edge at adjacency slot p is `wadj(p)`. */
+  def buildWeighted(we: WeightedEdges): (Graph, Array[Long]) = {
+    val pairs = we.edges
+    val vs = intern(pairs)
+    val n = vs.n
+    val deg = new Array[Int](n)
+    pairs.foreachEdge { (u, _) => deg(vs.indexOf(u)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](pairs.length)
+    val wadj = new Array[Long](pairs.length)
+    var e = 0
+    while (e < pairs.length) {
+      val ui = vs.indexOf(pairs.src(e))
+      adj(fill(ui)) = vs.indexOf(pairs.dst(e))
+      wadj(fill(ui)) = we.w(e)
+      fill(ui) += 1
+      e += 1
+    }
+    (new Graph(vs, off, adj), wadj)
   }
 
   def build(pairs: Edges,

@@ -42,6 +42,28 @@ object PageRank {
 
   val Scale = 1000000L
 
+  /** Cost gate (r14, the KCore/LabelProp/Bfs discipline): a PageRank
+    * iteration at bench scale is JOB-COUNT-bound — per round one join +
+    * one aggregation + a localCheckpoint against microseconds of actual
+    * integer work, ~0.2 s of scheduler floor × 4 rounds. Under
+    * `spark.graft.pagerank.localEdgeMax` (default 4 M directed edges,
+    * the same threshold the other graph kernels use ≈ 64 MB collected)
+    * the rounds run driver-locally with the IDENTICAL BIGINT
+    * floor-division algebra — integer sums are order-independent, so
+    * local ≡ distributed BIT-FOR-BIT (PageRankBucketedSpec pins all
+    * three variants; the q118/q128/q150 oracle hashes pin it at both
+    * SFs). A non-positive localEdgeMax disables the gate (and skips its
+    * count job) — the plan-shape specs use that to pin the distributed
+    * loop. The local path emits v as LongType (vertex ids here are
+    * integral; the distributed path's output type is whatever the edge
+    * frame carried). */
+  private def underLocalGate(dir: DataFrame): Boolean = {
+    val localMax = dir.sparkSession.conf
+      .getOption("spark.graft.pagerank.localEdgeMax")
+      .map(_.toLong).getOrElse(4000000L)
+    localMax > 0 && dir.count() <= localMax
+  }
+
   /** Canonicalize an undirected [weighted] edge list into the BOTH-
     * ORIENTATIONS directed form the iteration loops consume: (a, b)
     * with a<b, self-loops dropped, duplicates merged ([weight-sum] /
@@ -89,6 +111,14 @@ object PageRank {
     * landing for the zero-edge-Exchange loop (object scaladoc). */
   def ranksWeightedOnPrepared(dir: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    if (underLocalGate(dir)) {
+      val we = Csr.collectWeightedEdges(dir, "u", "v", "w")
+      System.err.println(s"[pagerank] local weighted rounds " +
+        s"(${we.edges.length} directed edges, $iters iters)")
+      val spark = dir.sparkSession
+      import spark.implicits._
+      return ranksWeightedLocal(we, iters).toSeq.toDF("v", "pr")
+    }
     // wtot derives exchange-free from a u-bucketed landing (groupBy on
     // the bucket key) and is |V|-sized — checkpointed once, it joins
     // co-partitioned in every round
@@ -133,6 +163,18 @@ object PageRank {
   def ranksPersonalizedOnPrepared(dir: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    if (underLocalGate(dir)) {
+      val pairs = Csr.collectEdges(dir.select(col("u"), col("v")), "u", "v")
+      val seedIds = seeds.toDF("u").distinct()
+        .select(col("u").cast("long")).collect().map(_.getLong(0))
+      System.err.println(s"[pagerank] local personalized rounds " +
+        s"(${pairs.length} directed edges, ${seedIds.length} seeds, " +
+        s"$iters iters)")
+      val spark = dir.sparkSession
+      import spark.implicits._
+      return ranksPersonalizedLocal(pairs, seedIds, iters)
+        .toSeq.toDF("v", "pr")
+    }
     // r14 loop shape (see [[foldRanks]]): the per-vertex statics —
     // out-degree AND the seed restart indicator — ride the rank vector
     // (seedV below is the one checkpointed (v, d, s) frame), so each
@@ -175,9 +217,116 @@ object PageRank {
   /** [[ranks]] over a PREPARED (u, v[, w]) frame (weight ignored). */
   def ranksOnPrepared(dir: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1, 50]")
+    if (underLocalGate(dir)) {
+      val pairs = Csr.collectEdges(dir.select(col("u"), col("v")), "u", "v")
+      System.err.println(s"[pagerank] local rounds " +
+        s"(${pairs.length} directed edges, $iters iters)")
+      val spark = dir.sparkSession
+      import spark.implicits._
+      return ranksLocal(pairs, iters).toSeq.toDF("v", "pr")
+    }
     val deg = dir.groupBy(col("u")).agg(cnt(lit(1)).as("d"))
       .localCheckpoint(true)
     foldRanks(dir, deg, iters)
+  }
+
+  /** Driver-local rounds, bit-equal to [[foldRanks]]: same BIGINT
+    * floor-division recursion, integer sums are order-independent. */
+  private[operators] def ranksLocal(pairs: Csr.Edges,
+      iters: Int): Array[(Long, Long)] = {
+    val g = Csr.build(pairs)
+    val n = g.n
+    var pr = Array.fill(n)(Scale)
+    var r = 0
+    while (r < iters) {
+      val m = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        val d = g.off(u + 1) - g.off(u)
+        if (d > 0) {
+          val c = pr(u) / d
+          var p = g.off(u)
+          while (p < g.off(u + 1)) { m(g.adj(p)) += c; p += 1 }
+        }
+        u += 1
+      }
+      var v = 0
+      while (v < n) { m(v) = 150000L + (17L * m(v)) / 20L; v += 1 }
+      pr = m
+      r += 1
+    }
+    (0 until n).iterator.map(i => (g.names(i), pr(i))).toArray
+  }
+
+  /** Driver-local weighted rounds, bit-equal to
+    * [[ranksWeightedOnPrepared]]'s loop: contrib per edge is
+    * (pr(u)·w_e) div W(u), W(u) = total incident weight. */
+  private[operators] def ranksWeightedLocal(we: Csr.WeightedEdges,
+      iters: Int): Array[(Long, Long)] = {
+    val (g, wadj) = Csr.buildWeighted(we)
+    val n = g.n
+    val wt = new Array[Long](n)
+    var u0 = 0
+    while (u0 < n) {
+      var p = g.off(u0)
+      while (p < g.off(u0 + 1)) { wt(u0) += wadj(p); p += 1 }
+      u0 += 1
+    }
+    var pr = Array.fill(n)(Scale)
+    var r = 0
+    while (r < iters) {
+      val m = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        if (wt(u) > 0) {
+          var p = g.off(u)
+          while (p < g.off(u + 1)) {
+            m(g.adj(p)) += pr(u) * wadj(p) / wt(u)
+            p += 1
+          }
+        }
+        u += 1
+      }
+      var v = 0
+      while (v < n) { m(v) = 150000L + (17L * m(v)) / 20L; v += 1 }
+      pr = m
+      r += 1
+    }
+    (0 until n).iterator.map(i => (g.names(i), pr(i))).toArray
+  }
+
+  /** Driver-local personalized rounds, bit-equal to
+    * [[ranksPersonalizedOnPrepared]]'s loop: restart mass only on
+    * seeds that are graph vertices (non-vertex seeds contribute
+    * nothing, matching the left-join indicator). */
+  private[operators] def ranksPersonalizedLocal(pairs: Csr.Edges,
+      seedIds: Array[Long], iters: Int): Array[(Long, Long)] = {
+    val g = Csr.build(pairs)
+    val n = g.n
+    val s = new Array[Long](n)
+    seedIds.foreach { sd =>
+      if (g.verts.contains(sd)) s(g.verts.indexOf(sd)) = 1L
+    }
+    var pr = Array.tabulate(n)(i => s(i) * Scale)
+    var r = 0
+    while (r < iters) {
+      val m = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        val d = g.off(u + 1) - g.off(u)
+        if (d > 0) {
+          val c = pr(u) / d
+          var p = g.off(u)
+          while (p < g.off(u + 1)) { m(g.adj(p)) += c; p += 1 }
+        }
+        u += 1
+      }
+      var v = 0
+      while (v < n) { m(v) = s(v) * 150000L + (17L * m(v)) / 20L; v += 1 }
+      pr = m
+      r += 1
+    }
+    (0 until n).iterator.map(i => (g.names(i), pr(i))).toArray
   }
 
   /** One-join-per-iteration variant (r14): the rank vector CARRIES its

@@ -37,6 +37,8 @@ class PageRankBucketedSpec extends SparkTestBase {
     val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // pin the DISTRIBUTED loop's plan: disable the r14 local gate
+    s.conf.set("spark.graft.pagerank.localEdgeMax", "-1")
     val tbl = "graft_bkt_spec_pr_edges"
     try {
       val raw = rawEdges.toDF("x", "y")
@@ -72,8 +74,38 @@ class PageRankBucketedSpec extends SparkTestBase {
     } finally {
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      s.conf.unset("spark.graft.pagerank.localEdgeMax")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
     }
+  }
+
+  test("local gate is bit-equal to the distributed loop (all three variants)") {
+    // the r14 cost-gate identity: the driver-local rounds must
+    // reproduce the distributed BIGINT recursion exactly — fixture has
+    // a hub (degree skew), a ring, weights, and a non-vertex seed
+    val s = spark
+    val raw = rawEdges.toDF("x", "y").withColumn("w",
+      (col("x") * 7 + col("y")) % 5 + 1)
+    val dir = PageRank.directedEdges(raw, "x", "y", Some("w"))
+      .localCheckpoint(true)
+    val seeds = Seq(0L, 7L, 100L, 999L).toDF("v")
+    def distributed[T](body: => T): T = {
+      s.conf.set("spark.graft.pagerank.localEdgeMax", "-1")
+      try body finally s.conf.unset("spark.graft.pagerank.localEdgeMax")
+    }
+    def run(mk: => org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      mk.orderBy("v").as[(Long, Long)].collect().toSeq
+    // the gate default (4 M) is far above the fixture, so the un-wrapped
+    // calls exercise the LOCAL path
+    assert(run(PageRank.ranksOnPrepared(dir.select(col("u"), col("v")), 3))
+      === distributed(
+        run(PageRank.ranksOnPrepared(dir.select(col("u"), col("v")), 3))))
+    assert(run(PageRank.ranksWeightedOnPrepared(dir, 3))
+      === distributed(run(PageRank.ranksWeightedOnPrepared(dir, 3))))
+    assert(run(PageRank.ranksPersonalizedOnPrepared(
+        dir.select(col("u"), col("v")), seeds, 3))
+      === distributed(run(PageRank.ranksPersonalizedOnPrepared(
+        dir.select(col("u"), col("v")), seeds, 3))))
   }
 
   test("prepared-over-bucketed ranks equal the raw-path ranks (weighted and not)") {
