@@ -261,17 +261,35 @@ object Bench {
     // 2 KB capture yields total+contended and says where the rest lives.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_last.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: could not write $outPath: $e")
+    // r15 (verdict item 2): PERF_r14 came back with per_query = {}
+    // because the driver's stdout capture is a 2000-char TAIL window
+    // (BENCH_r13/r14.json tail length = exactly 2000) while the
+    // 157-query map alone renders to 4152 chars — the full map can
+    // never fit the window, and a PARTIAL map would be worse (it would
+    // read as dropped queries). So the per-query map's durable home is
+    // a FILE: in addition to SPARK_GRAFT_BENCH_OUT (volatile /tmp by
+    // default), write the identical full line to tools/bench_last.json
+    // inside the repo working dir when tools/ exists — a stable,
+    // committable path the compact stdout line also names.
+    val repoCopy = java.nio.file.Paths.get("tools", "bench_last.json")
+    val outPaths = Seq(java.nio.file.Paths.get(outPath)) ++
+      (if (java.nio.file.Files.isDirectory(repoCopy.getParent) &&
+           repoCopy.toAbsolutePath.toString !=
+             java.nio.file.Paths.get(outPath).toAbsolutePath.toString)
+        Seq(repoCopy) else Seq.empty)
+    for (p <- outPaths) {
+      try java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: could not write $p: $e")
+      }
     }
     println(fullJson)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""n_queries":${results.size},"contended":$contended,""" +
       f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,""" +
-      s""""artifact":"$outPath","compact":true,"sf":"$sfDir"}""")
+      s""""artifact":"$outPath",""" +
+      (if (outPaths.size > 1) s""""artifact_repo":"tools/bench_last.json",""" else "") +
+      s""""compact":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,9 +54,25 @@ object PageRank {
     * three variants; the q118/q128/q150 oracle hashes pin it at both
     * SFs). A non-positive localEdgeMax disables the gate (and skips its
     * count job) — the plan-shape specs use that to pin the distributed
-    * loop. The local path emits v as LongType (vertex ids here are
-    * integral; the distributed path's output type is whatever the edge
-    * frame carried). */
+    * loop. Both paths emit v as LongType (vertex ids are documented
+    * integral; the distributed paths cast at output, a no-op for long
+    * inputs), so the output schema is gate-INVARIANT — data growth
+    * crossing the gate cannot flip a consumer's schema (ADVICE r14).
+    *
+    * Precondition for local ≡ distributed bit-equality: the prepared
+    * frame carries BOTH orientations of every edge (the
+    * [[directedEdges]] contract), so every vertex appears as a source.
+    * On a general directed frame with sink-only vertices the local path
+    * would intern (and rank) the sinks while the distributed loop's
+    * vertex set is the out-degree keys — extra rows under the gate vs
+    * over it (ADVICE r14). All catalog callers pass canonicalized
+    * both-orientations frames.
+    *
+    * NOTE (ADVICE r14): this gate costs one `dir.count()` job, and the
+    * local path then re-evaluates `dir` via collect — an un-checkpointed
+    * caller of the OnPrepared entry points pays the edge-derivation
+    * subtree twice (the ranks()/ranksWeighted() wrappers checkpoint
+    * first; pass a checkpointed or landed frame). */
   private def underLocalGate(dir: DataFrame): Boolean = {
     val localMax = dir.sparkSession.conf
       .getOption("spark.graft.pagerank.localEdgeMax")
@@ -139,7 +155,9 @@ object PageRank {
           (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"),
           col("wt"))
     }
-    last.select(col("v"), col("pr"))
+    // long cast = gate-invariant output schema (object scaladoc);
+    // optimizer-eliminated when the ids are already long
+    last.select(col("v").cast("long").as("v"), col("pr"))
   }
 
   /** PERSONALIZED integer PageRank (Page et al. 1999 §6; the
@@ -198,7 +216,8 @@ object PageRank {
             expr("(17 * coalesce(m, 0L)) div 20")).as("pr"),
           col("d"))
     }
-    last.select(col("v"), col("pr"))
+    // long cast = gate-invariant output schema (object scaladoc)
+    last.select(col("v").cast("long").as("v"), col("pr"))
   }
 
   /** (v, pr) after `iters` rounds, over the undirected graph's
@@ -354,6 +373,7 @@ object PageRank {
           (lit(150000L) + expr("(17 * coalesce(m, 0L)) div 20")).as("pr"),
           col("d"))
     }
-    last.select(col("v"), col("pr"))
+    // long cast = gate-invariant output schema (object scaladoc)
+    last.select(col("v").cast("long").as("v"), col("pr"))
   }
 }

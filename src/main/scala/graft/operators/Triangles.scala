@@ -42,6 +42,19 @@ object Triangles {
     * measured 26.6 s → ~1 s at sf0.1 on the co-purchase graph. Blocks
     * are ContextCleaner-freed when the result goes unreachable. */
   def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // The kernel path below is monomorphic over LongType ids; a
+    // non-integral id type (e.g. string ids) would cast to NULL and the
+    // a =!= b filter would then silently DROP those edges (ADVICE r14).
+    // Fail loudly instead: integral ids are the operator's contract.
+    for (c <- Seq(srcCol, dstCol)) {
+      import org.apache.spark.sql.types._
+      val ok = edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"Triangles.count requires integral vertex ids; " +
+        s"column '$c' is ${edges.schema(c).dataType}")
+    }
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))

@@ -359,7 +359,9 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
-    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size >= 1, p)
+    // exactly one: a second entity exchange is the very regression the
+    // r14 rewrite removed (ADVICE r14 — `>= 1` would not catch it)
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
   }
 
   test("bucketed tables join without a shuffle (co-located join at scale)") {
