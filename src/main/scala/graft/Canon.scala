@@ -39,8 +39,16 @@ object Canon {
   def nsToMicros(c: Column): Column = timestamp_micros(divL(c, 1000L))
 
   /** Long-nanos epoch → canonical string (for events.ts). DuckDB twin:
-    * strftime(ts, ...) directly on its TIMESTAMP_NS column. */
-  def nsToStr(c: Column): Column = tss(nsToMicros(c))
+    * strftime(ts, ...) directly on its TIMESTAMP_NS column.
+    *
+    * r15: rendered by the [[graft.functions.NsToStrUtc]] codegen kernel
+    * (integer civil-date arithmetic, bytes written directly) instead of
+    * date_format∘timestamp_micros∘div — one expression, no
+    * formatter/LocalDateTime/String per row. NsToStrSpec pins
+    * bit-equality against the old chain over the full int64 domain;
+    * UTC is the driver-surface contract (bench/Verify/oracle all pin
+    * session tz UTC). */
+  def nsToStr(c: Column): Column = graft.functions.NsToStrUtc.nsToStrUtc(c)
 
   def big(c: Column): Column = c.cast("long")
 
