@@ -81,15 +81,18 @@ object ExactSpans {
     val p = spark.sparkContext.defaultParallelism
     val toksCol = filter(split(lower(col(textCol)), "[^a-z]+"), x => x =!= "")
     if (L <= DirectMaxL) {
-      // materialize the token array as a REAL column first (the
-      // LineDedup lesson: lambda-scoped splits re-evaluate per window)
-      // (guarded sequence: Spark's sequence(0, negative) DESCENDS — a
-      // doc shorter than L must yield zero windows, not phantom ones)
-      return docs.withColumn("__t", toksCol)
-        .select(col("doc_id"), posexplode(when(size(col("__t")) >= L, expr(
-          s"transform(sequence(0, size(__t) - $L), " +
-            s"i -> array_join(slice(__t, i + 1, $L), chr(31)))"))
-          .otherwise(expr("array()").cast("array<string>")))
+      // r15: the window strings come from the TokenWindowStrings codegen
+      // kernel (one byte-extract per token per doc, one write per
+      // window). The HOF chain it replaces — transform(sequence(...),
+      // i -> array_join(slice(__t, i+1, L), chr(31))) guarded by
+      // when(size >= L) — is interpreted per window (HOFs don't
+      // whole-stage-codegen) and re-extracts each token ~L times;
+      // measured 41% of q153 at the 10× corpus. TokenWindowsSpec pins
+      // bit-equality incl. the short-doc empty-array guard, which the
+      // kernel builds in.
+      return docs
+        .select(col("doc_id"), posexplode(
+          graft.functions.TokenWindowStrings.tokenWindowStrings(toksCol, L))
           .as(Seq("pos", "cls")))
     }
     // token stream with positions; the only stage that touches strings.
