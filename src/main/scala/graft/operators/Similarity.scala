@@ -184,22 +184,31 @@ object Similarity {
     (0L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= hamming)
 
-  /** Nearest-centroid assignment carrying the vector through: one
-    * map-side-combining `max_by` over the broadcast n×C expansion — the
-    * shared kernel of [[ivfTopK]] and [[kmeansStep]]. Partial
-    * aggregation collapses the expansion to one row per vector BEFORE
-    * the exchange, so the only shuffle is n single rows with no window
-    * sort and no join-back to base. Tie-break matches the oracle's
-    * `ORDER BY cos DESC, cid`: max (cos, −cid) = highest cosine, then
-    * smallest centroid id. */
+  /** Nearest-centroid assignment carrying the vector through — the
+    * shared kernel of [[ivfTopK]] and [[kmeansStep]].
+    *
+    * r15: per-row argmax via the [[graft.functions.NearestCentroid]]
+    * codegen expression over the collected+broadcast centroid matrix,
+    * replacing the r14 crossJoin(broadcast) + map-side max_by shape.
+    * The expansion form paid C generated rows, C struct allocations and
+    * C hash-agg probes per vector plus an n-row exchange (the groupBy),
+    * and recomputed both norms per pair; the kernel computes |v| once
+    * per row, |c| once per centroid, and emits exactly one row per
+    * vector with NO aggregation and NO exchange. The centroid side was
+    * already driver-collected by the broadcast, so the scale contract
+    * is unchanged (centroids must be broadcast-sized). Tie-break
+    * replicates max (cos, −cid) — highest cosine then smallest cid,
+    * NaN-greatest and ±0.0-equal like Spark's double ordering
+    * (NearestCentroidSpec pins kernel ≡ expansion on ties, NaN, float
+    * and double inputs). */
   private def assignToCentroids(base: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col(vecCol), col("cv")))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("cid"), struct(col("cos"), (-col("cid")).as("ncid"))).as("acid"),
-        first(col(vecCol)).as("__v"))
+      centroids: DataFrame): DataFrame = {
+    val bc = graft.functions.NearestCentroid.broadcastCentroids(centroids)
+    base.select(col(idCol),
+      graft.functions.NearestCentroid.nearestCentroid(col(vecCol), bc)
+        .getField("cid").as("acid"),
+      col(vecCol).as("__v"))
+  }
 
   /** One Lloyd k-means update step in exact fixed-point arithmetic:
     * assign each vector to its nearest centroid by cosine, then emit the

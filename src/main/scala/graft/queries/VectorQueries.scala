@@ -362,19 +362,21 @@ object VectorQueries extends QueryGroup {
       val trained = graft.operators.Similarity.kmeansTrain(
         base, "vec_id", "v", cent0, iters = 1).localCheckpoint(true)
       // r14: base and delta partition the corpus, so ONE fused
-      // assignment pass covers both — map-side-combining max(struct)
-      // (the Similarity.assignToCentroids kernel shape: partial agg
-      // collapses the n×C expansion before the exchange, no window
-      // sort) — and ONE per-cell conditional aggregation replaces the
-      // two aggs + two joins. Tie-break max (cs, −cid) ≡ the old
-      // ORDER BY cs DESC, cid (unique per pair, so deterministic);
-      // answer unchanged, oracle re-pinned at both SFs.
-      val best = e.crossJoin(broadcast(trained))
-        .select(col("vec_id"), col("cid"), cosine(col("v"), col("cv")).as("cs"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cid"),
-          floor(col("m.cs") * 10000.0 + 0.5).cast("long").as("c4"))
+      // assignment pass covers both, and ONE per-cell conditional
+      // aggregation replaces the two aggs + two joins.
+      // r15: the assignment is the NearestCentroid per-row argmax
+      // kernel over the collected+broadcast trained matrix (the
+      // Similarity.assignToCentroids r15 shape) instead of
+      // crossJoin(broadcast) + max(struct) — no n×C expansion, no
+      // per-vector aggregation exchange. Tie-break (highest cs, then
+      // smallest cid) and the cosine algebra are bit-identical
+      // (NearestCentroidSpec); answer unchanged, oracle re-pinned at
+      // both SFs.
+      val bc = graft.functions.NearestCentroid.broadcastCentroids(trained)
+      val best = e.select(col("vec_id"),
+          graft.functions.NearestCentroid.nearestCentroid(col("v"), bc).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          floor(col("m.cos") * 10000.0 + 0.5).cast("long").as("c4"))
       val isDelta = col("vec_id") % 20 === 0
       val g = best.groupBy(col("cid")).agg(
         count(when(!isDelta, lit(1))).as("n_base"),
