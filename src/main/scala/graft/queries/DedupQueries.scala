@@ -239,11 +239,24 @@ object DedupQueries extends QueryGroup {
         // than the 4-partition bench default; the explicit hash
         // partitioning on (d1, d2) also satisfies the aggregation's
         // required distribution, so no second exchange exists.
-        .select(col("d1"), col("d2"), col("n1"), col("n2"))
+        // r15: only the 16-byte (d1, d2) key crosses the pair exchange —
+        // n1/n2 still gate the prune inside the join condition above,
+        // but they re-attach AFTER the aggregation as two broadcast
+        // joins of the doc-sized dim onto the distinct-pair stream
+        // (sizes is 1/5-of-corpus doc-grain — broadcast by the same
+        // budget as the probe-side attach). Halves the shuffled row
+        // width of the query's largest exchange (339 M candidate rows
+        // at 50×): Jaccard32Probe interleaved A/B — −27% at 50×
+        // (120.5→85.2 s), −12% at 10× (12.7→11.3), tie at sf0.1. The
+        // r3-era objection to post-agg dim joins was about SHUFFLE
+        // joins; these are broadcasts over the already-aggregated
+        // distinct pairs.
+        .select(col("d1"), col("d2"))
         .repartition(s.sparkContext.defaultParallelism, col("d1"), col("d2"))
         .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+        .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
         .select(col("d1"), col("d2"),
           ratio1e4(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")).cast("double")).as("jacc_1e4"))
