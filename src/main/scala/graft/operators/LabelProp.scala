@@ -67,24 +67,38 @@ object LabelProp {
   }
 
   /** Ground truth for LabelPropSpec's local ≡ distributed pin and the
-    * over-gate path. `dir` must hold both edge orientations. */
+    * over-gate path. `dir` must hold both edge orientations — the
+    * r15 round shape DEPENDS on it: each round joins the label vector
+    * on the edge's SOURCE `u` and aggregates to `v` (for vertex w the
+    * counted multiset {lbl(u) : (u,w) ∈ dir} equals the neighbor
+    * multiset {lbl(x) : x ∈ N(w)} exactly because both orientations
+    * are present — the same argument as PageRank's foldRanks). The
+    * pre-r15 form joined on `v` and aggregated to `u`, which is the
+    * NON-bucket side of the edge landing: every round paid TWO
+    * |E|-sized exchanges (edge re-shuffle by v for the join + the
+    * contribution shuffle). Joining on `u` — the landing's bucket/sort
+    * key — leaves one: the edge side reads bucket-aligned with zero
+    * exchange (the PageRankBucketedSpec property) and only the
+    * partial-aggregated (v, lbl) contributions move. Algebra, tie rule
+    * and vertex set are unchanged — LabelPropSpec's local ≡
+    * distributed pin and the q139 oracle hash cover it. */
   private[operators] def runDistributed(dir: DataFrame,
       rounds: Int): DataFrame = {
-    var labels = dir.select(col("u").as("v")).distinct()
-      .withColumn("lbl", col("v"))
+    var labels = dir.select(col("u")).distinct()
+      .withColumn("lbl", col("u"))
       .localCheckpoint(true)
     var r = 0
     while (r < rounds) {
       labels = dir
-        .join(labels, Seq("v")) // neighbor label rides the edge
-        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("u"))
+        .join(labels, Seq("u")) // source label rides the bucket key
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("w"))
-        .select(col("u").as("v"), (-col("w.nl")).as("lbl"))
+        .select(col("v").as("u"), (-col("w.nl")).as("lbl"))
         .localCheckpoint(true)
       r += 1
     }
-    labels.select(col("v"), col("lbl").as("community"))
+    labels.select(col("u").as("v"), col("lbl").as("community"))
   }
 
   /** Driver-local synchronous sweeps, bit-equal to the distributed
